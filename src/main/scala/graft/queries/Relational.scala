@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Layer-B relational surface (SURVEY.md §2-B): the capabilities the
+  * reference delegates to Hive, re-expressed as declarative Spark plans so
+  * Catalyst handles pushdown/pruning/join-selection.
+  *
+  * Cross-engine determinism rules used throughout (the driver hash-compares
+  * against DuckDB):
+  *   - money/quantity aggregates go through DECIMAL(9,2) (exact) and are cast
+  *     to DOUBLE only at the very end — both engines land on the same bits;
+  *   - every query has a total deterministic ORDER BY (ties broken by keys);
+  *   - NULLS FIRST is spelled explicitly in the oracle (DuckDB defaults to
+  *     NULLS LAST, Spark to NULLS FIRST);
+  *   - interval logic uses integer epoch microseconds, never float seconds;
+  *   - counts use COUNT (BIGINT in both), never SUM over INT (HUGEINT in
+  *     DuckDB).
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan → filter (pushed to parquet) → partial+final hash
+    * agg on 32 shuffle partitions. At 100 TB this is the canonical map-side
+    * combine pattern: 6 aggregates over ~4 groups shuffle only 32×4 rows.
+    */
+  val q01 = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2))) * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val one = lit(1).cast("decimal(9,2)")
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Selective filter + narrow projection: both the predicate and the
+    * 5-column ReadSchema must reach the parquet scan (verified via explain).
+    */
+  val q02 = Q(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_quantity < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_quantity") < 5)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q3 shape: small filtered dim is broadcast, the orders⋈lineitem
+    * side stays shuffle-free on the probe; top-10 ordered on the exact
+    * decimal before the final double cast.
+    */
+  val q03 = Q(
+    "q03_top_revenue",
+    """SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(rev AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS rev
+      |  FROM customer
+      |  JOIN orders   ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |) ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val one = lit(1).cast("decimal(9,2)")
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"))
+  }
+
+  /** Outer join retaining empty groups; SUM over an empty group is NULL in
+    * both engines. nation/region are broadcast dims.
+    */
+  val q04 = Q(
+    "q04_left_join_agg",
+    """SELECT n_nationkey, n_name, r_name,
+      |  COUNT(c_custkey) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS sum_bal
+      |FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_nationkey, n_name, r_name
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"), col("r_name"))
+      .agg(count(col("c_custkey")).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** LEFT SEMI join = EXISTS. */
+  val q05 = Q(
+    "q05_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI join = NOT EXISTS. */
+  val q06 = Q(
+    "q06_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Exact COUNT(DISTINCT) — expands to a two-phase aggregate; the
+    * approx_count_distinct (HLL) variant is exercised in tests, not here,
+    * since its value is engine-specific.
+    */
+  val q07 = Q(
+    "q07_distinct_agg",
+    """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ROLLUP over the region→nation hierarchy. */
+  val q08 = Q(
+    "q08_rollup",
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE over two lineitem dimensions. */
+  val q09 = Q(
+    "q09_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS (SQL form — DataFrame API only exposes
+    * rollup/cube; same Catalyst Expand underneath).
+    */
+  val q10 = Q(
+    "q10_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_q10")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM graft_orders_q10
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Per-group top-k via ranking window — the scalable "top N per key"
+    * pattern (no global sort; partial sort within each hash partition).
+    */
+  val q11 = Q(
+    "q11_window_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic windows: running sum (exact decimal frame), lag/lead. */
+  val q12 = Q(
+    "q12_window_running",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+      |  LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k: Spark's TakeOrderedAndProject — no full sort, each
+    * partition keeps k rows, driver merges 32×k.
+    */
+  val q13 = Q(
+    "q13_topk_global",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION(distinct). */
+  val q14 = Q(
+    "q14_set_ops",
+    """(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | INTERSECT
+      | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION
+      |(SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+      | EXCEPT
+      | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+    val building = cust.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val fOrders = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val rich = cust.where(col("c_acctbal") > 9000).select(col("c_custkey").as("custkey"))
+    building.intersect(fOrders)
+      .union(rich.except(building))
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  /** Scalar string functions (all codegen'd builtins). */
+  val q15 = Q(
+    "q15_string_funcs",
+    """SELECT p_partkey,
+      |  lower(p_name)  AS lname,
+      |  upper(p_brand) AS ubrand,
+      |  length(p_name) AS name_len,
+      |  substr(p_type, 1, 3) AS type_pfx,
+      |  replace(p_name, ' ', '_') AS name_us,
+      |  concat(p_brand, ':', p_type) AS brand_type,
+      |  regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lname"),
+      upper(col("p_brand")).as("ubrand"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 3).as("type_pfx"),
+      regexp_replace(col("p_name"), " ", "_").as("name_us"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+  }
+
+  /** Date/time functions: truncation + field extraction. */
+  val q16 = Q(
+    "q16_date_funcs",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("month_start")
+  }
+
+  /** Semi-structured: JSON path extraction from events.props. Spark side
+    * uses get_json_object; the oracle reproduces it with a regex (DuckDB's
+    * JSON extension may not be loadable offline).
+    */
+  val q17 = Q(
+    "q17_json_extract",
+    """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("k")
+  }
+
+  /** Theta (non-equi) self-join: equi part on region + inequality filter —
+    * Catalyst plans the equi key and keeps the `<` as join condition.
+    */
+  val q18 = Q(
+    "q18_theta_self_join",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b, a.n_regionkey AS region
+      |FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |ORDER BY region, name_a, name_b""".stripMargin) { (s, dir) =>
+    val n = t(s, dir, "nation")
+    val a = n.select(col("n_nationkey").as("ka"), col("n_name").as("name_a"),
+      col("n_regionkey").as("region"))
+    val b = n.select(col("n_nationkey").as("kb"), col("n_name").as("name_b"),
+      col("n_regionkey").as("region_b"))
+    a.join(b, col("region") === col("region_b") && col("ka") < col("kb"))
+      .select("name_a", "name_b", "region")
+      .orderBy("region", "name_a", "name_b")
+  }
+
+  /** Scalar subquery threshold. The threshold itself is computed with exact
+    * decimal arithmetic so both engines compare against the same double.
+    */
+  val q19 = Q(
+    "q19_scalar_subquery",
+    """SELECT COUNT(*) AS n_above,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_above
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) FROM orders)""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val thr = o.agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("thr"))
+    o.crossJoin(broadcast(thr))
+      .where(col("o_totalprice") > col("thr"))
+      .agg(count(lit(1)).as("n_above"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_above"))
+  }
+
+  /** Conditional aggregation (manual pivot). COUNT(CASE...) keeps both
+    * engines in BIGINT (DuckDB SUM(INT) would widen to HUGEINT).
+    */
+  val q20 = Q(
+    "q20_conditional_agg",
+    """SELECT n_name,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM nation
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      .orderBy("n_name")
+  }
+
+  /** Batch sessionization (gaps-and-islands): 30-minute inactivity gap.
+    * Interval math on integer epoch-microseconds for exactness. The
+    * streaming twin (session_window + watermark) lives in graft.streaming.
+    */
+  val q21 = Q(
+    "q21_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM e)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+      |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs
+          || lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Tumbling event-time window in batch (same window() operator Structured
+    * Streaming uses); UTC day floor == date_trunc.
+    */
+  val q22 = Q(
+    "q22_window_tumbling",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("day_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("day_start", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+}
