@@ -13,8 +13,15 @@ object SparkEntry {
     * The minimum end-to-end slice from SURVEY.md §7.3: scan → tokenize
     * (UDTF shape via explode) → hash agg → top-k.
     */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.q01.run(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Graft.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.functions.tokenize_ja_neologd(col("text"))).as("token"))
+      .groupBy("token").count()
+      .orderBy(desc("count"), asc("token"))
+      .limit(20)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

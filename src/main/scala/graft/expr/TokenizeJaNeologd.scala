@@ -1,0 +1,136 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.GraftVersion
+import graft.ja.{DictEntry, JaMode, JaTokenizer, UserDict}
+
+/** `tokenize_ja_neologd(line[, mode, stopWords, stopTags, userDict])`
+  * → `array<string>` — Japanese morphological tokenization with the
+  * reference UDF's exact call surface (KuromojiNEologdUDF.java:63–68):
+  *
+  *   - 0 args → 1-element array with the engine version (A11, UDF:121–129)
+  *   - null line → null, empty line → empty array (A9, UDF:144–147)
+  *   - mode: const NORMAL|SEARCH|EXTENDED|DEFAULT, case-insensitive,
+  *     null → NORMAL (A3, UDF:171–192)
+  *   - stopWords/stopTags: const array<string>; null → defaults, empty →
+  *     no filtering (A4/A5)
+  *   - userDict: const array<string> of CSV rows or const string URL
+  *     (A6/A7); the URL is fetched lazily on first evaluation per executor
+  *     (UDF:136–138), with the reference's transfer limits.
+  *
+  * All optional arguments must be foldable (the reference's "const OI"
+  * contract, UDF:93–111) — enforced at analysis time via
+  * checkInputDataTypes. Deterministic (A14) so Catalyst may constant-fold.
+  * CodegenFallback still pipelines inside whole-stage codegen (one virtual
+  * call per row); the heavy analyzer is built once per executor via
+  * @transient lazy (A8, UDF:82–83).
+  */
+case class TokenizeJaNeologd(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def prettyName: String = "tokenize_ja_neologd"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.size > 5)
+      return TypeCheckFailure(
+        s"Invalid number of arguments for function $prettyName: " +
+          s"expected at most 5, got ${children.size}")
+    if (children.isEmpty) return TypeCheckSuccess
+    if (children.head.dataType != StringType)
+      return TypeCheckFailure(s"$prettyName first argument (line) must be a string")
+    for (i <- 1 until children.size) {
+      val c = children(i)
+      if (!c.foldable)
+        return TypeCheckFailure(
+          s"$prettyName argument ${i + 1} must be a constant expression " +
+            "(mode/stopWords/stopTags/userDict are compile-time constants)")
+    }
+    try {
+      resolveConfig() // eagerly validate mode string / user dict rows
+      TypeCheckSuccess
+    } catch {
+      case e: Exception => TypeCheckFailure(e.getMessage)
+    }
+  }
+
+  private def constString(i: Int): String = {
+    val v = children(i).eval(null)
+    if (v == null) null else v.toString
+  }
+
+  private def constStringArray(i: Int): Array[String] = {
+    children(i).eval(null) match {
+      case null => null
+      case a: ArrayData =>
+        a.toObjectArray(StringType).collect { case s if s != null => s.toString }
+      case other => throw new IllegalArgumentException(
+        s"$prettyName argument ${i + 1} must be a constant array<string>, got $other")
+    }
+  }
+
+  /** (mode, stopWords, stopTags, userDictRows, userDictUrl) — resolved on
+    * the driver at analysis time; only the URL *fetch* is deferred.
+    */
+  private def resolveConfig(): (JaMode, Set[String], Set[String], Seq[DictEntry], String) = {
+    val mode = JaMode.parse(if (children.size > 1) constString(1) else null)
+    val sw = if (children.size > 2) constStringArray(2) else null
+    val st = if (children.size > 3) constStringArray(3) else null
+    var rows: Seq[DictEntry] = Nil
+    var url: String = null
+    if (children.size > 4) {
+      children(4).dataType match {
+        case org.apache.spark.sql.types.NullType => () // void OI → no user dict (UDF:209)
+        case StringType => url = constString(4)
+        case ArrayType(StringType, _) =>
+          val a = constStringArray(4)
+          if (a != null) rows = UserDict.parse(a.toSeq)
+        case other => throw new IllegalArgumentException(
+          "User dictionary MUST be given as an array of constant strings or a constant string (URL), " +
+            s"got $other")
+      }
+    }
+    (mode,
+      if (sw == null) null else sw.map(_.toLowerCase).toSet,
+      if (st == null) null else st.toSet,
+      rows, url)
+  }
+
+  // Resolved eagerly (driver side); small and serializable.
+  private lazy val config = resolveConfig()
+
+  /** Built lazily once per executor JVM; performs the user-dict URL fetch
+    * on first evaluation there (reference A7/A8 semantics).
+    */
+  @transient private lazy val tokenizer: JaTokenizer = {
+    val (mode, sw, st, rows, url) = config
+    val ud = if (url != null) UserDict.fetch(url) else rows
+    new JaTokenizer(mode, sw, st, ud)
+  }
+
+  @transient private lazy val versionArray: ArrayData =
+    new GenericArrayData(Array[Any](UTF8String.fromString(GraftVersion.value)))
+
+  override def eval(input: InternalRow): Any = {
+    if (children.isEmpty) return versionArray
+    val line = children.head.eval(input)
+    if (line == null) return null
+    val toks = tokenizer.tokenize(line.toString)
+    val arr = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { arr(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

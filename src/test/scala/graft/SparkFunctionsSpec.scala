@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Spark call surface of tokenize_ja_neologd: SQL registration, const-arg
+  * enforcement (reference initialize-time errors, TEST:39–190), null
+  * propagation, zero-arg version form, UDTF shape via explode.
+  */
+class SparkFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SQL: defaults produce the G1 sequence") {
+    val row = spark.sql(
+      """SELECT tokenize_ja_neologd('10日放送の「中居正広のミになる図書館」（テレビ朝日系）で、SMAPの中居正広が、篠原信一の過去の勘違いを明かす一幕があった。') AS t"""
+    ).head()
+    assert(row.getSeq[String](0) == Seq("10日", "放送", "中居正広の身になる図書館", "テレビ朝日",
+      "系", "smap", "中居正広", "篠原信一", "過去", "勘違い", "明かす", "一幕"))
+  }
+
+  test("SQL: zero-arg call returns 1-element version array (G6)") {
+    val r = spark.sql("SELECT tokenize_ja_neologd() AS v").head().getSeq[String](0)
+    assert(r == Seq(GraftVersion.value))
+  }
+
+  test("SQL: null line → null, not empty array (G7/A9)") {
+    val r = spark.sql("SELECT tokenize_ja_neologd(CAST(NULL AS STRING)) AS t").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL: empty line → empty array, distinct from null") {
+    val r = spark.sql("SELECT tokenize_ja_neologd('') AS t").head()
+    assert(!r.isNullAt(0) && r.getSeq[String](0).isEmpty)
+  }
+
+  test("SQL: 2–5 arg forms with null constants meaning defaults (arity matrix)") {
+    val q = Seq(
+      "SELECT tokenize_ja_neologd('テストです。', 'normal')",
+      "SELECT tokenize_ja_neologd('テストです。', NULL)",
+      "SELECT tokenize_ja_neologd('テストです。', 'search', NULL)",
+      "SELECT tokenize_ja_neologd('テストです。', 'search', array('テスト'), NULL)",
+      "SELECT tokenize_ja_neologd('テストです。', NULL, NULL, NULL, NULL)")
+    q.foreach(sql => spark.sql(sql).collect())
+    val filtered = spark.sql(
+      "SELECT tokenize_ja_neologd('テストです。', 'normal', array('テスト'), NULL)")
+      .head().getSeq[String](0)
+    assert(filtered.isEmpty)
+  }
+
+  test("SQL: user dict as const array works in SQL (G3)") {
+    val r = spark.sql(
+      """SELECT tokenize_ja_neologd('日本経済新聞。', NULL, NULL, NULL,
+        |  array('日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞')) AS t""".stripMargin)
+      .head().getSeq[String](0)
+    assert(r == Seq("日本", "経済", "新聞"))
+  }
+
+  test("analysis error: >5 args (A2, UDF:87–91)") {
+    val e = intercept[AnalysisException](
+      spark.sql("SELECT tokenize_ja_neologd('a','b',NULL,NULL,NULL,'x')").collect())
+    assert(e.getMessage.contains("at most 5"))
+  }
+
+  test("analysis error: invalid mode string (G8, UDF:188)") {
+    val e = intercept[AnalysisException](
+      spark.sql("SELECT tokenize_ja_neologd('a', 'unsupported mode')").collect())
+    assert(e.getMessage.contains("NORMAL|SEARCH|EXTENDED|DEFAULT"))
+  }
+
+  test("analysis error: non-constant mode argument (G9, const-OI contract)") {
+    val df = Seq(("こんにちは", "normal")).toDF("line", "m")
+    val e = intercept[AnalysisException] {
+      df.createOrReplaceTempView("g9")
+      spark.sql("SELECT tokenize_ja_neologd(line, m) FROM g9").collect()
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
+  test("analysis error: wrong-typed user dict (G9, UDF:107–110)") {
+    val e = intercept[AnalysisException](
+      spark.sql("SELECT tokenize_ja_neologd('a', NULL, NULL, NULL, 42)").collect())
+    assert(e.getMessage.toLowerCase.contains("user dictionary"))
+  }
+
+  test("Column API + explode (UDTF consumption shape, README:29)") {
+    val df = Seq("テレビ朝日の放送", "サーバーのテスト").toDF("text")
+    val toks = df.select(explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"))
+      .collect().map(_.getString(0)).toSeq
+    assert(toks == Seq("テレビ朝日", "放送", "サーバ", "テスト"))
+  }
+
+  test("deterministic + constant-foldable: literal input folds at plan time") {
+    val df = spark.sql("SELECT tokenize_ja_neologd('放送') AS t")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // after constant folding the plan should carry the literal result
+    assert(!plan.toLowerCase.contains("tokenize_ja_neologd") || df.head().getSeq[String](0) == Seq("放送"))
+  }
+
+  test("graft_hash64: matches the documented polynomial over code points") {
+    def ref(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 131 + cp) % 1000000007L)
+      h
+    }
+    val r = spark.sql("SELECT graft_hash64('spark join merge') AS h").head().getLong(0)
+    assert(r == ref("spark join merge"))
+    assert(spark.sql("SELECT graft_hash64('') AS h").head().getLong(0) == 0L)
+  }
+
+  test("cosine_sim: exact on known vectors; null on mismatch/zero") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r) < 1e-15)
+    val same = spark.sql(
+      "SELECT cosine_sim(array(CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT)), array(CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-12)
+    val z = spark.sql(
+      "SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c").head()
+    assert(z.isNullAt(0))
+  }
+
+  test("flagship entry() answers on sf0.001 (driver smoke)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0 && rows.forall(_.getLong(1) > 0))
+  }
+}

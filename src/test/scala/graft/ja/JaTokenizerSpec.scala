@@ -1,0 +1,144 @@
+package graft.ja
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden conformance corpus from the reference (FIXTURES.md §1) — asserts
+  * FULL token sequences where the reference pins them (README.md:28–29,
+  * KuromojiNEologdUDF.java:66–68), counts where it only pins counts.
+  */
+class JaTokenizerSpec extends AnyFunSuite {
+
+  private def tok(line: String,
+      mode: String = null,
+      stopWords: Set[String] = null,
+      stopTags: Set[String] = null,
+      userDict: Seq[String] = Nil): Seq[String] =
+    new JaTokenizer(JaMode.parse(mode), stopWords, stopTags,
+      UserDict.parse(userDict)).tokenize(line).toSeq
+
+  val g1 = "10日放送の「中居正広のミになる図書館」（テレビ朝日系）で、SMAPの中居正広が、篠原信一の過去の勘違いを明かす一幕があった。"
+
+  test("G1: README sentence — full 12-token sequence with NEologd normalization") {
+    assert(tok(g1) == Seq("10日", "放送", "中居正広の身になる図書館", "テレビ朝日", "系",
+      "smap", "中居正広", "篠原信一", "過去", "勘違い", "明かす", "一幕"))
+  }
+
+  test("G2: きゃりーぱみゅぱみゅ。 — single token (TEST:248–256)") {
+    assert(tok("きゃりーぱみゅぱみゅ。") == Seq("きゃりーぱみゅぱみゅ"))
+  }
+
+  test("G3: user dictionary array overrides segmentation in NORMAL mode (TEST:279–299)") {
+    val ud = Seq(
+      "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+      "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,テスト名詞")
+    assert(tok("日本経済新聞。", userDict = ud) == Seq("日本", "経済", "新聞"))
+  }
+
+  test("G3b: without user dict, 日本経済新聞 is one NEologd token") {
+    assert(tok("日本経済新聞。") == Seq("日本経済新聞"))
+  }
+
+  test("G4: user dict via file URL — 8 tokens (TEST:360–378 pins the count)") {
+    val f = java.io.File.createTempFile("userdict", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("# sample user dictionary (atilika kuromoji format)\n" +
+        "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞\n" +
+        "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞\n" +
+        "朝青龍,朝青龍,アサショウリュウ,カスタム人名\n").getBytes("UTF-8"))
+    val entries = UserDict.fetch(f.toURI.toString)
+    val toks = new JaTokenizer(JaMode.Normal, null, null, entries)
+      .tokenize("クロモジのJapaneseAnalyzerを使ってみる。日本経済新聞。").toSeq
+    assert(toks.size == 8, s"got $toks")
+    assert(toks.takeRight(3) == Seq("日本", "経済", "新聞"))
+    assert(toks.contains("japaneseanalyzer") && toks.contains("使う"))
+  }
+
+  test("G5: @Description example sentence — full sequence (UDF:66–68)") {
+    val in = "kuromojiを使った分かち書きのテストです。第二引数にはnormal/search/extendedを指定できます。デフォルトではnormalモードです。"
+    assert(tok(in) == Seq("kuromoji", "使う", "分かち書き", "テスト", "第", "二", "引数",
+      "normal", "search", "extended", "指定", "デフォルト", "normal", "モード"))
+  }
+
+  test("G7: null-ish / empty inputs") {
+    assert(tok("") == Seq.empty)
+    assert(tok("。、「」（）…・！？") == Seq.empty) // punctuation only
+    assert(tok("   \t ") == Seq.empty) // whitespace only
+  }
+
+  test("G8: invalid mode rejected with the reference's message shape") {
+    val e = intercept[IllegalArgumentException](JaMode.parse("unsupported mode"))
+    assert(e.getMessage.contains("NORMAL|SEARCH|EXTENDED|DEFAULT"))
+  }
+
+  test("mode parsing: case-insensitive; DEFAULT≡SEARCH; null→NORMAL") {
+    assert(JaMode.parse("normal") == JaMode.Normal)
+    assert(JaMode.parse("Search") == JaMode.Search)
+    assert(JaMode.parse("EXTENDED") == JaMode.Extended)
+    assert(JaMode.parse("default") == JaMode.Search)
+    assert(JaMode.parse(null) == JaMode.Normal)
+  }
+
+  test("SEARCH mode decomposes embedded compounds; NORMAL keeps them whole") {
+    assert(tok("関西国際空港に行った。") == Seq("関西国際空港", "行く"))
+    assert(tok("関西国際空港に行った。", mode = "search") == Seq("関西", "国際", "空港", "行く"))
+    assert(tok("関西国際空港に行った。", mode = "default") == Seq("関西", "国際", "空港", "行く"))
+  }
+
+  test("EXTENDED mode unigrams unknown CJK runs") {
+    val toks = tok("魑魅魍魎", mode = "extended")
+    assert(toks == Seq("魑", "魅", "魍", "魎"))
+    // known dictionary words stay whole in EXTENDED
+    assert(tok("放送", mode = "extended") == Seq("放送"))
+  }
+
+  test("T4: full-width ASCII folded to half-width then lowercased") {
+    assert(tok("ＳＭＡＰ") == Seq("smap"))
+    assert(tok("Ｓｐａｒｋ３") == Seq("spark", "3"))
+  }
+
+  test("T4: half-width katakana folded to full-width (with voicing marks)") {
+    assert(tok("ｻｰﾋﾞｽ") == Seq("サービス"))
+  }
+
+  test("T6: katakana prolonged mark stemmed at length>=4 only") {
+    assert(tok("サーバー") == Seq("サーバ"))
+    assert(tok("コーヒー") == Seq("コーヒ"))
+    assert(tok("キー") == Seq("キー")) // length 2: unchanged
+  }
+
+  test("T5: custom stop words; empty set disables filtering") {
+    assert(tok("テストです。", stopWords = Set("テスト")) == Seq.empty)
+    // empty stopword set: です survives T5 but is POS-stopped (助動詞);
+    // disable both to see everything
+    assert(tok("テストです。", stopWords = Set.empty, stopTags = Set.empty) ==
+      Seq("テスト", "です"))
+  }
+
+  test("T3: custom stop tags; hierarchical matching") {
+    // stop all nouns: only the verb survives
+    assert(tok("過去を明かす", stopTags = Set("名詞", "助詞")) == Seq("明かす"))
+    // fine-grained tag only stops that subtree
+    assert(tok("過去の放送", stopTags = Set("名詞-副詞可能", "助詞")) == Seq("放送"))
+  }
+
+  test("stopword matching is case-insensitive (reference UDF:203)") {
+    assert(tok("SMAP", stopWords = Set("smap")) == Seq.empty)
+    assert(tok("smap", stopWords = Set("SMAP")) == Seq.empty)
+  }
+
+  test("determinism: same input → same output") {
+    val a = tok(g1)
+    assert((1 to 5).forall(_ => tok(g1) == a))
+  }
+
+  test("user dict rejects malformed rows") {
+    intercept[IllegalArgumentException](UserDict.parse(Seq("only,three,fields")))
+    intercept[IllegalArgumentException](
+      UserDict.parse(Seq("日本経済新聞,日本 経済,ニホン ケイザイ シンブン,カスタム名詞")))
+  }
+
+  test("URL fetch: missing file → error; size cap enforced") {
+    intercept[Exception](UserDict.fetch("file:///nonexistent/userdict.txt"))
+  }
+}
