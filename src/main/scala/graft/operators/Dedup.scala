@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2-C).
+  *
+  * All operators are stateless DataFrame→DataFrame transforms built from
+  * shuffle-keyed built-ins — no driver-side collect anywhere — so they
+  * scale with partition count: shingle/signature explosion is map-side,
+  * candidate generation shuffles on (band, value) or shingle keys, and
+  * skewed keys are handled by AQE skew-join splitting at runtime.
+  */
+object Dedup {
+
+  /** Deterministic polynomial hash constants (mirrored in DuckDB oracles). */
+  final val P = 1000000007L
+  def hashA(i: Int): Long = 1103L * i + 12289L
+  def hashB(i: Int): Long = 24593L * i + 786433L
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Exact dedup by content hash: one representative (min id) per distinct
+    * text. A single hash-shuffle; at 100 TB the md5 shrinks shuffle keys to
+    * 32 bytes regardless of document size.
+    */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** k-gram positions 1..size-k+1, guarded: Spark's sequence(1, n) counts
+    * DOWN when n < 1, so short texts must yield an empty array explicitly.
+    */
+  private[operators] def gramsOf(tk: Column, k: Int): Column =
+    when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct k-token shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(gramsOf(tokens(col(textCol)), k))).as("shingle"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jac ≥
+    * threshold). Shuffle is keyed by shingle; only shingles shared by ≥2
+    * docs produce join rows, so cost tracks true-duplicate density, not
+    * |docs|². Pick k large enough that random shingle collisions are rare
+    * (k=6 over a 31-word vocabulary ⇒ 887M-value space).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** (id, h) where h = graft_hash64(shingle) — the long-keyed shingle view
+    * used by MinHash (8-byte shuffle keys instead of strings).
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .select(col("id"), graft.functions.graft_hash64(col("shingle")).as("h"))
+
+  /** MinHash signatures: one row per doc, columns m0..m{n-1} where
+    * m_i = min over shingles of (a_i·h + b_i) mod P. Computed as n
+    * min-aggregates in a single hash aggregation (partial map-side combine
+    * ⇒ the shuffle carries |docs|·n longs, independent of shingle count).
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val hs = hashedShingles(df, idCol, textCol, k)
+    val aggs = (0 until numHashes).map { i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i")
+    }
+    hs.groupBy(col("id")).agg(aggs.head, aggs.drop(1): _*)
+  }
+
+  /** LSH banding over MinHash signatures → candidate pairs → exact Jaccard
+    * verification. bands×rowsPerBand must equal numHashes. Candidates join
+    * on (band index, band hash): only docs agreeing on an entire band meet,
+    * which is the sub-quadratic path at scale; the exact verification join
+    * then touches candidate docs only.
+    */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    def bandHash(j: Int): Column =
+      (0 until r).foldLeft(lit(0L)) { (acc, i) =>
+        (acc * 131 + col(s"m${j * r + i}")) % P
+      }
+    val bandStructs = array((0 until bands).map { j =>
+      struct(lit(j).as("bidx"), bandHash(j).as("bval"))
+    }: _*)
+    val bandsDf = sigs.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("id"), col("band.bidx").as("bidx"), col("band.bval").as("bval"))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact verification restricted to candidates
+    val sh = shingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val shared = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle").as("sh_b")), Seq("id_b"))
+      .where(col("shingle") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash over the token multiset: `bits`-wide signature where bit b is
+    * set iff Σ_tokens (±1 by bit b of graft_hash64(token)) > 0. One
+    * explode + one hash aggregation with `bits` sum columns.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 30): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), graft.functions.graft_hash64(col("tok")).as("h"))
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
+    }
+    val agg = tok.groupBy(col("id")).agg(sums.head, sums.drop(1): _*)
+    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash signatures (bit_count of XOR). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extracted media features — opaque binary in, typed metadata out. */
+final case class MediaFeatures(
+    id: Long,
+    byte_len: Int,
+    fmt: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feat_sum: Long)
+
+/** Multimodal-column plumbing (SURVEY.md §2-C): image/audio/video travel as
+  * opaque `binary` columns; decode/feature-extract runs batch-wise inside
+  * `mapPartitions`, the Scala analogue of a Pandas UDF — per-partition
+  * iterator in, iterator out, with decoder state initialized once per
+  * partition (the pattern that amortizes a real model/codec load across the
+  * partition at 100 TB scale).
+  *
+  * The decode itself is a STUB: no image/audio codec ships in this
+  * environment, so `decodeStub` computes a deterministic fake from the raw
+  * bytes. Everything around it — schema, encoder, partition batching,
+  * feature shape — is real and oracle-tested.
+  */
+object Multimodal {
+
+  /** STUB decoder — deterministic fake standing in for a real codec
+    * (e.g. JPEG decode + CNN feature head). Replace the body, keep the
+    * signature.
+    */
+  def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val n = bytes.length
+    val fmt = (n % 3) match {
+      case 0 => "png"
+      case 1 => "jpg"
+      case _ => "webp"
+    }
+    var featSum = 0L
+    var i = 0
+    while (i < math.min(4, n)) { featSum += bytes(i) & 0xff; i += 1 }
+    (fmt, 1 + n % 64, 1 + (n * 7) % 64, 1 + n % 8, featSum)
+  }
+
+  /** Batch feature extraction over a binary column. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (codec/model handle)
+        it.map { case (id, bytes) =>
+          val (fmt, w, h, frames, featSum) = decodeStub(bytes)
+          MediaFeatures(id, bytes.length, fmt, w, h, frames, featSum)
+        }
+      }
+  }
+}

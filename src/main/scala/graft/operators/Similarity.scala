@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_sim
+
+/** Similarity search over embedding columns (array<float>), SURVEY.md §2-C.
+  *
+  * Brute-force top-k is the exact baseline: the (small) query set is
+  * broadcast, so the scan over the corpus is embarrassingly parallel and
+  * shuffle-free until the final per-query top-k (a ranking window on qid —
+  * |queries|·|corpus| rows reduced map-side by the window's rank limit at
+  * scale via the TakeOrdered pattern). The bucketed variant is the scale
+  * path: candidates meet only within an LSH bucket, so cost drops from
+  * |corpus| to |bucket| per query.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector (self excluded).
+    * Output: qid, nid, label, cos — deterministic (ties broken by nid).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .select(col("vec_id").as("nid"), col("label"), col("embedding"))
+      .crossJoin(q)
+      .where(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("label"), col("cos"), col("rn"))
+  }
+
+  /** Sign-bucket LSH: bucket id = sign bits of the first `signBits`
+    * dimensions. Bucketed ANN top-k: queries only meet candidates in their
+    * own bucket (equi-join on bucket ⇒ hash-partitioned, no cross join).
+    */
+  def signBucket(emb: Column, signBits: Int): Column =
+    (1 to signBits).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(element_at(emb, i) > 0f, lit(1 << (i - 1))).otherwise(0)
+    }
+
+  def bucketedCosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, signBits: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("label"),
+      col("embedding"), signBucket(col("embedding"), signBits).as("bucket"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb"), signBucket(col("embedding"), signBits).as("bucket")))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn"))
+  }
+
+  /** kNN label vote over exact top-k neighbors: majority label, ties broken
+    * by smaller label. Output: qid, predicted_label, votes.
+    */
+  def knnPredict(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nn = cosineTopK(corpus, queries, k)
+    val votes = nn.groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("label").as("predicted_label"), col("votes"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within sign buckets:
+    * (id_a < id_b, cos ≥ threshold). The bucket equi-join bounds the pair
+    * space; exact cosine verifies.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, threshold: Double, signBits: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), signBits).as("bucket"))
+    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

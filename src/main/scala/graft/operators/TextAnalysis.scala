@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2-C):
+  * quality scoring, language ID, token statistics, fingerprinting, TF-IDF,
+  * n-grams. All are narrow per-row projections + keyed aggregations —
+  * no driver-side state, safe at any scale.
+  */
+object TextAnalysis {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Per-document token statistics + a deterministic quality score in
+    * [0,1]: 0.4·TTR + 0.3·(1 − stopword ratio) + 0.3·min(1, n/100).
+    * (Integer-derived double arithmetic only — reproducible bit-for-bit.)
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val tk = toks(col(textCol))
+    val inStops = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    df.select(
+      col(idCol),
+      size(tk).as("n_tokens"),
+      size(array_distinct(tk)).as("n_uniq"),
+      expr(s"size(filter(split($textCol, ' '), x -> x IN $inStops))").as("n_stop"),
+      (aggregate(tk, lit(0), (acc, x) => acc + length(x)) / size(tk)).as("avg_tok_len"))
+      .withColumn("ttr", col("n_uniq") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("quality",
+        col("ttr") * 0.4 + (lit(1) - col("stop_ratio")) * 0.3 +
+          least(lit(1.0), col("n_tokens") / 100.0) * 0.3)
+  }
+
+  /** Marker-word language ID: score = |tokens ∩ markers(lang)|, predict the
+    * argmax (ties broken by the fixed language order given).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      markers: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("the", "a", "of", "and"),
+        "de" -> Seq("der", "die", "das", "und"),
+        "fr" -> Seq("le", "la", "les", "et"),
+        "es" -> Seq("el", "los", "las", "y"))): DataFrame = {
+    val scored = markers.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (d, (lang, words)) =>
+        val set = words.map(w => s"'$w'").mkString("(", ",", ")")
+        d.withColumn(s"s_$lang",
+          expr(s"size(filter(split($textCol, ' '), x -> x IN $set))"))
+    }
+    val best = markers.map { case (l, _) => col(s"s_$l") }
+    val pred = markers.foldRight(lit("und"): Column) { case ((lang, _), alt) =>
+      when(col(s"s_$lang") >= greatest(best: _*) && col(s"s_$lang") > 0, lang).otherwise(alt)
+    }
+    scored.select(Seq(col(idCol)) ++ markers.map { case (l, _) => col(s"s_$l") }
+      :+ pred.as("predicted"): _*)
+  }
+
+  /** Content fingerprints: fp_content hashes the exact token stream
+    * (rolling polynomial hash), fp_bag hashes the sorted distinct token
+    * bag — invariant under token reordering, catching shuffled duplicates.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = toks(col(textCol))
+    df.select(
+      col(idCol),
+      graft.functions.graft_hash64(concat_ws(" ", tk)).as("fp_content"),
+      graft.functions.graft_hash64(
+        concat_ws(" ", array_sort(array_distinct(tk)))).as("fp_bag"))
+  }
+
+  /** Global token frequencies with dense rank. */
+  def tokenFreq(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    counts.withColumn("rnk",
+      dense_rank().over(Window.orderBy(col("n").desc, col("tok"))))
+  }
+
+  /** Top-n terms per document by a rational TF·(N/df) weight (oracle-safe:
+    * no transcendental functions; ln-based TF-IDF is `tfIdfLog` below).
+    */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+    val docLen = tok.groupBy(col("id")).agg(count(lit(1)).as("len"))
+    val tf = tok.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(docLen, Seq("id"))
+      .join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf", col("cnt") / col("len"))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select(col("id"), col("tok"), col("cnt"), col("df"), col("score"), col("rn"))
+  }
+
+  /** Classic ln-based TF-IDF (engine API; not oracle-compared since libm
+    * log bits may differ across engines).
+    */
+  def tfIdfLog(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+    val tf = tok.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, Seq("tok")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("cnt") * log(col("n_docs") / col("df")))
+  }
+
+  /** Global top word n-grams by frequency. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, limit: Int): DataFrame = {
+    df.select(explode(Dedup.gramsOf(toks(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(limit)
+  }
+}

@@ -1,8 +1,333 @@
 package graft.queries
 
-/** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) — filled in
-  * incrementally; see Dedup/Similarity/TextAnalysis operator modules.
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Tables._
+
+/** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
+  * queries over the driver's documents/embeddings/events tables.
+  *
+  * The DuckDB oracles reproduce every hash/score bit-for-bit: graft_hash64
+  * is a polynomial over code points re-derivable with list_reduce, cosine
+  * accumulates strictly left-to-right in double, and all ratios divide
+  * integers — see the determinism rules in Relational.scala.
   */
 object Pipeline {
-  val all: Seq[Q] = Seq.empty
+
+  // ---- shared DuckDB fragments (kept in lockstep with the Scala ops) ----
+
+  /** graft_hash64(e) in DuckDB. */
+  private def hashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, x) -> (a * 131 + x) % 1000000007)"
+
+  /** Distinct 6-token shingles CTE body (matches Dedup.shingles k=6). */
+  private val shingleCtes =
+    """tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
+      |    i -> array_to_string(list_slice(t, i, i + 5), ' '))) AS s FROM tk)),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Ordered-reduce cosine (matches graft.expr.CosineSimilarity exactly). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, 65), k -> " +
+        s"CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE)), (u, v) -> u + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Sign-bucket over the first 8 dims (matches Similarity.signBucket). */
+  private def bucketSql(e: String): String =
+    (0 until 8).map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  // ---- dedup family ----
+
+  val q30 = Q(
+    "q30_dedup_exact",
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin) { (s, dir) =>
+    Dedup.exactByHash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("content_md5")
+  }
+
+  val q31 = Q(
+    "q31_neardup_ngram",
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 6, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val minhashParamsSql: String =
+    (0 until 16).map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
+
+  val q32 = Q(
+    "q32_neardup_minhash_lsh",
+    s"""WITH $shingleCtes,
+       |hs AS (SELECT doc_id, ${hashSql("s")} h FROM sh),
+       |params(i, a, b) AS (VALUES $minhashParamsSql),
+       |mh AS (SELECT doc_id, i, MIN((a * h + b) % 1000000007) m
+       |       FROM hs CROSS JOIN params GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, j,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, j*4 + 1, j*4 + 4)),
+       |                (acc, x) -> (acc * 131 + x) % 1000000007) bval
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+       |cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.j = y.j AND x.bval = y.bval AND x.doc_id < y.doc_id),
+       |shared AS (SELECT c.id_a, c.id_b, COUNT(*) shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Dedup.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 6, numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val simhashBits = 30
+  private val simhashSumsSql = (0 until simhashBits)
+    .map(b => s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) s$b").mkString(", ")
+  private val simhashCombineSql = (0 until simhashBits)
+    .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+    .mkString(" + ")
+
+  val q33 = Q(
+    "q33_simhash",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+       |h AS (SELECT doc_id, ${hashSql("tok")} h FROM tok),
+       |sums AS (SELECT doc_id, $simhashSumsSql FROM h GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($simhashCombineSql AS BIGINT) AS simhash
+       |FROM sums ORDER BY id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", simhashBits).orderBy("id")
+  }
+
+  // ---- similarity search family ----
+
+  val q34 = Q(
+    "q34_embed_topk",
+    s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id nid, label, embedding ce FROM embeddings),
+       |sc AS (SELECT qid, nid, label, ${cosSql("qe", "ce")} AS cos
+       |       FROM c CROSS JOIN q WHERE nid <> qid)
+       |SELECT qid, nid, label, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM sc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity.cosineTopK(emb, emb.where(col("vec_id") % 100 === 0), k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val q35 = Q(
+    "q35_embed_ann_bucket",
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id qid, embedding qe, bucket FROM e WHERE vec_id % 50 = 0),
+       |sc AS (SELECT qid, c.vec_id nid, ${cosSql("qe", "c.embedding")} AS cos
+       |       FROM e c JOIN q USING (bucket) WHERE c.vec_id <> qid)
+       |SELECT qid, nid, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM sc)
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity.bucketedCosineTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
+      .orderBy("qid", "rn")
+  }
+
+  val q36 = Q(
+    "q36_knn_classify",
+    s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id nid, label, embedding ce FROM embeddings),
+       |sc AS (SELECT qid, nid, label, ${cosSql("qe", "ce")} AS cos
+       |       FROM c CROSS JOIN q WHERE nid <> qid),
+       |topk AS (SELECT qid, label FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM sc)
+       |  WHERE rn <= 10),
+       |votes AS (SELECT qid, label, COUNT(*) votes FROM topk GROUP BY 1, 2)
+       |SELECT qid, label AS predicted_label, votes FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) rn FROM votes)
+       |WHERE rn = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnPredict(emb, emb.where(col("vec_id") % 100 === 0), k = 10)
+      .orderBy("qid")
+  }
+
+  val q37 = Q(
+    "q37_embed_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id id_a, b.vec_id id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- text analysis family ----
+
+  val q38 = Q(
+    "q38_text_quality",
+    """SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_uniq,
+      |  len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+      |  list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, x) -> a + x) / len(t) AS avg_tok_len,
+      |  len(list_distinct(t)) / len(t) AS ttr,
+      |  len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) / len(t) AS stop_ratio,
+      |  (len(list_distinct(t)) / len(t)) * 0.4
+      |    + (1 - len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) / len(t)) * 0.3
+      |    + least(CAST(1.0 AS DOUBLE), len(t) / CAST(100.0 AS DOUBLE)) * 0.3 AS quality
+      |FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q39 = Q(
+    "q39_lang_id",
+    """WITH s AS (SELECT doc_id,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) s_en,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) s_de,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et'))) s_fr,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y'))) s_es
+      |FROM documents)
+      |SELECT doc_id, s_en, s_de, s_fr, s_es,
+      |  CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+      |       WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+      |       WHEN s_es >= greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS predicted
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q40 = Q(
+    "q40_fingerprints",
+    s"""SELECT doc_id, ${hashSql("text")} AS fp_content,
+       |  ${hashSql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fp_bag
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q41 = Q(
+    "q41_token_freq",
+    """SELECT tok, COUNT(*) AS n,
+      |  DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+      |FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
+      |GROUP BY tok ORDER BY rnk""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenFreq(t(s, dir, "documents"), "text").orderBy("rnk")
+  }
+
+  val q42 = Q(
+    "q42_tfidf_top",
+    """WITH tok AS (SELECT doc_id id, unnest(string_split(text, ' ')) tok FROM documents),
+      |lens AS (SELECT id, COUNT(*) len FROM tok GROUP BY id),
+      |tf AS (SELECT id, tok, COUNT(*) cnt FROM tok GROUP BY id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) df FROM tf GROUP BY tok),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) n_docs FROM documents),
+      |sc AS (SELECT id, tok, cnt, df,
+      |         CAST(cnt AS DOUBLE) / len * n_docs / df AS score
+      |       FROM tf JOIN lens USING (id) JOIN dfreq USING (tok) CROSS JOIN nd)
+      |SELECT id, tok, cnt, df, score, rn FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, tok) rn FROM sc)
+      |WHERE rn <= 3 ORDER BY id, rn""".stripMargin) { (s, dir) =>
+    TextAnalysis.tfIdfTop(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("id", "rn")
+  }
+
+  val q43 = Q(
+    "q43_ngrams_top",
+    """SELECT ngram, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS ngram
+      |  FROM (SELECT string_split(text, ' ') t FROM documents))
+      |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+    TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, limit = 20)
+  }
+
+  // ---- multimodal + event dedup + tokenizer parity ----
+
+  val q44 = Q(
+    "q44_multimodal_stub",
+    """SELECT doc_id AS id, length(text) AS byte_len,
+      |  CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+      |  CAST(1 + length(text) % 64 AS INT) AS width,
+      |  CAST(1 + (length(text) * 7) % 64 AS INT) AS height,
+      |  CAST(1 + length(text) % 8 AS INT) AS n_frames,
+      |  CAST(list_reduce(list_prepend(0, list_transform(string_split(substr(text, 1, 4), ''),
+      |    c -> unicode(c))), (a, x) -> a + x) AS BIGINT) AS feat_sum
+      |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    Multimodal.extractFeatures(docs, "doc_id", "media").toDF()
+      .withColumn("byte_len", col("byte_len").cast("long"))
+      .orderBy("id")
+  }
+
+  val q45 = Q(
+    "q45_event_dedup",
+    """SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n
+      |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Tokenizer parity against an independent engine: on the all-ASCII
+    * corpus the analyzer chain reduces to whitespace splitting + lowercase
+    * (no Japanese stopwords/POS hit), which DuckDB can replicate — so the
+    * tokenizer expression itself sits inside the correctness gate.
+    */
+  val q46 = Q(
+    "q46_tokenize_counts",
+    """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.tokenize_ja_neologd(col("text"))).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
+  val q47 = Q(
+    "q47_tokenize_freq",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
+      |WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    t(s, dir, "documents")
+      .select(explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy("tok")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41, q42, q43, q44, q45, q46, q47)
 }
