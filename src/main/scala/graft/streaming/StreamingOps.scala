@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2-B "streaming" row): event-time
+  * windows with watermarks, session windows, within-watermark dedup, and a
+  * custom stateful sessionizer. Every operator here takes the events schema
+  * (ts timestamp, user_id bigint, event_type string, value double) and works
+  * identically on a readStream source or a batch DataFrame (the batch twins
+  * are oracle-checked as q21/q22).
+  *
+  * Scale notes: state size is bounded by the watermark horizon — late data
+  * past the watermark is dropped, closed windows/sessions are evicted; state
+  * is hash-partitioned by group key across executors.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window counts with a watermark. Append mode emits
+    * a window only once the watermark passes its end (late rows dropped).
+    */
+  def tumblingCounts(events: DataFrame, delay: String = "30 minutes",
+      win: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame, delay: String = "30 minutes",
+      win: String = "2 hours", slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows: gap-based, merged by the engine. */
+  def sessionCounts(events: DataFrame, delay: String = "30 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** Exactly-once-style dedup bounded by the watermark: duplicates of
+    * (user_id, event_type) arriving within the watermark horizon are
+    * dropped; state for old keys is evicted as the watermark advances.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionOut(user_id: Long, sess_start: Timestamp,
+      sess_end: Timestamp, n_events: Long)
+  final case class SessState(start: Long, end: Long, n: Long)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState: sessions close
+    * when the event-time watermark passes last-event + gap (EventTimeTimeout
+    * ⇒ state eviction is watermark-driven, never unbounded).
+    */
+  def sessionizeStateful(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StreamingOps.Ev
+
+/** Structured Streaming behavior driven through MemoryStream: watermark
+  * advancement, window finalization in append mode, late-data drop,
+  * within-watermark dedup, and the stateful sessionizer.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runBatches[T](events: Seq[Seq[T]], build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame,
+      name: String)(implicit enc: org.apache.spark.sql.Encoder[T]): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[T]
+    val q = build(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      events.foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling window + watermark: append emits finalized windows; late data dropped") {
+    val day1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "click", 2.0),
+      (3L, ts("2024-01-01 12:00:00"), "view", 3.0))
+    // batch 2 jumps two days ahead -> watermark passes day1 window end
+    val day3 = Seq((4L, ts("2024-01-03 09:00:00"), "click", 4.0))
+    // batch 3 is a LATE day-1 event, beyond the watermark -> must be dropped
+    val late = Seq((5L, ts("2024-01-01 13:00:00"), "click", 99.0))
+    val rows = runBatches[(Long, Timestamp, String, Double)](
+      Seq(day1, day3, late),
+      ds => StreamingOps.tumblingCounts(
+        ds.toDF("event_id", "ts", "event_type", "value"), delay = "30 minutes"),
+      "t_tumbling")
+    val finalized = rows.map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+    assert(finalized.contains(("2024-01-01 00:00:00.0", "click", 2))) // late row NOT counted
+    assert(finalized.contains(("2024-01-01 00:00:00.0", "view", 1)))
+    assert(!finalized.exists { case (_, et, n) => et == "click" && n == 3 })
+  }
+
+  test("session_window: gap-merged sessions finalize once watermark passes") {
+    val b1 = Seq(
+      (7L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (7L, ts("2024-01-01 10:10:00"), "click", 0.0), // same session (gap 30m)
+      (7L, ts("2024-01-01 12:00:00"), "click", 0.0)) // new session
+    val b2 = Seq((7L, ts("2024-01-02 00:00:00"), "click", 0.0)) // advance watermark
+    val rows = runBatches[(Long, Timestamp, String, Double)](
+      Seq(b1, b2),
+      ds => StreamingOps.sessionCounts(
+        ds.toDF("user_id", "ts", "event_type", "value")
+          .selectExpr("ts", "user_id", "event_type", "value")),
+      "t_session")
+    val sessions = rows.map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSet
+    assert(sessions.contains(("2024-01-01 10:00:00.0", 2)))
+    assert(sessions.contains(("2024-01-01 12:00:00.0", 1)))
+  }
+
+  test("dropDuplicatesWithinWatermark: duplicate keys within horizon collapse") {
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:05:00"), "click", 2.0), // dup key within watermark
+      (2L, ts("2024-01-01 10:06:00"), "view", 3.0))
+    val rows = runBatches[(Long, Timestamp, String, Double)](
+      Seq(b1),
+      ds => StreamingOps.dedupWithinWatermark(
+        ds.toDF("user_id", "ts", "event_type", "value")),
+      "t_dedup")
+    assert(rows.length == 2)
+    val keys = rows.map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(keys == Set((1L, "click"), (2L, "view")))
+  }
+
+  test("flatMapGroupsWithState sessionizer: closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeStateful(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("t_fmgws").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click"),
+        Ev(1L, ts("2024-01-01 10:10:00"), "view"))
+      q.processAllAvailable()
+      // second session for same user -> first closes inline
+      mem.addData(Ev(1L, ts("2024-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      // watermark jump -> second session closes via EventTimeTimeout
+      mem.addData(Ev(2L, ts("2024-01-02 00:00:00"), "click"))
+      q.processAllAvailable()
+      mem.addData(Ev(2L, ts("2024-01-02 00:00:01"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("t_fmgws").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+      assert(rows.contains((1L, "2024-01-01 10:00:00.0", 2L)), s"got ${rows.mkString(",")}")
+      assert(rows.contains((1L, "2024-01-01 12:00:00.0", 1L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("streaming plans are the same operators as the oracle-checked batch twins") {
+    // the batch twin of tumblingCounts is q22 (window() on static df) — same
+    // logical operator; here just assert the streaming plan resolves
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = StreamingOps.tumblingCounts(mem.toDS().toDF("event_id", "ts", "event_type", "value"))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("win_start", "win_end", "event_type", "n", "sum_value"))
+  }
+}
