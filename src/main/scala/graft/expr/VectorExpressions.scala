@@ -1,10 +1,9 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,10 +13,10 @@ import org.apache.spark.sql.types._
   * Chosen to be exactly reproducible in portable SQL (the DuckDB oracle
   * recomputes it with list_reduce over code points — no engine-native hash
   * has that property), while staying cheap enough for per-shingle use in
-  * MinHash pipelines. Not cryptographic.
+  * MinHash pipelines. Not cryptographic. Participates in whole-stage
+  * codegen via a static kernel call.
   */
-case class GraftHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class GraftHash64(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_hash64"
   override def dataType: DataType = LongType
@@ -26,17 +25,11 @@ case class GraftHash64(child: Expression)
     if (child.dataType == StringType) TypeCheckSuccess
     else TypeCheckFailure(s"$prettyName expects a string argument")
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.toString
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * 131 + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    java.lang.Long.valueOf(h)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Kernels.polyHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.polyHash($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -45,10 +38,9 @@ case class GraftHash64(child: Expression)
   *
   * Accumulates in double, strictly left-to-right, so the result is
   * bit-identical to any engine that does the same (the DuckDB oracle uses an
-  * ordered list_reduce). Null/length-mismatch/zero-norm → null.
+  * ordered list_reduce). Null/length-mismatch/zero-norm → null. Codegen'd.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
 
   override def prettyName: String = "cosine_sim"
   override def dataType: DataType = DoubleType
@@ -63,31 +55,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckSuccess
     else TypeCheckFailure(s"$prettyName expects two array<float|double> arguments")
 
-  private def get(a: ArrayData, i: Int, float: Boolean): Double =
-    if (float) a.getFloat(i).toDouble else a.getDouble(i)
+  private def aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    if (a.numElements != b.numElements) return null
-    val af = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val bf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    val n = a.numElements
-    while (i < n) {
-      val x = get(a, i, af)
-      val y = get(b, i, bf)
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) null
-    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $res = graft.expr.Kernels.cosine($a, $b, $aFloat, $bFloat);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

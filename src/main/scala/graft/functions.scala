@@ -48,11 +48,16 @@ object functions {
   /** Zero-arg version form (reference A11): returns ["<engine version>"]. */
   def tokenize_ja_neologd_version(): Column = call_function("tokenize_ja_neologd")
 
-  /** Deterministic polynomial string hash (see graft.expr.GraftHash64). */
-  def graft_hash64(c: Column): Column = call_function("graft_hash64", c)
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Deterministic polynomial string hash (see graft.expr.GraftHash64).
+    * Built directly from the expression — no session registration needed.
+    */
+  def graft_hash64(c: Column): Column = toCol(graft.expr.GraftHash64(toExpr(c)))
 
   /** Cosine similarity of two array<float|double> vectors. */
-  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(graft.expr.CosineSimilarity(toExpr(a), toExpr(b)))
 
   private def strOrNull(s: String): Column =
     if (s == null) lit(null).cast("string") else lit(s)

@@ -42,20 +42,31 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode(array_distinct(gramsOf(tokens(col(textCol)), k))).as("shingle"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jac ≥
-    * threshold). Shuffle is keyed by shingle; only shingles shared by ≥2
-    * docs produce join rows, so cost tracks true-duplicate density, not
-    * |docs|². Pick k large enough that random shingle collisions are rare
-    * (k=6 over a 31-word vocabulary ⇒ 887M-value space).
+  /** (id, h) where h = graft_hash64(shingle), distinct per doc — the
+    * long-keyed shingle view: 8-byte shuffle keys instead of strings, used
+    * by both Jaccard and MinHash. Distinct is taken AFTER hashing so a
+    * within-doc hash collision merges identically in every engine.
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .select(col("id"), graft.functions.graft_hash64(col("shingle")).as("h"))
+      .distinct()
+
+  /** n-gram Jaccard near-duplicate pairs over hashed shingles (id_a < id_b,
+    * jac ≥ threshold). Shuffle is keyed by the 8-byte shingle hash; only
+    * shingles shared by ≥2 docs produce join rows, so cost tracks
+    * true-duplicate density, not |docs|². Pick k large enough that random
+    * shingle collisions are rare (k=6 over a 31-word vocabulary ⇒ 887M-value
+    * space; hash space 1e9+7).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val sh = hashedShingles(df, idCol, textCol, k).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val b = sh.select(col("id").as("id_b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle"))
+    val a = sh.select(col("id").as("id_a"), col("h"))
+    val b = sh.select(col("id").as("id_b"), col("h"))
+    val shared = a.join(b, Seq("h"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -67,13 +78,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
-  /** (id, h) where h = graft_hash64(shingle) — the long-keyed shingle view
-    * used by MinHash (8-byte shuffle keys instead of strings).
-    */
-  def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingles(df, idCol, textCol, k)
-      .select(col("id"), graft.functions.graft_hash64(col("shingle")).as("h"))
-
   /** MinHash signatures: one row per doc, columns m0..m{n-1} where
     * m_i = min over shingles of (a_i·h + b_i) mod P. Computed as n
     * min-aggregates in a single hash aggregation (partial map-side combine
@@ -81,8 +85,10 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame = {
-    val hs = hashedShingles(df, idCol, textCol, k)
+      k: Int, numHashes: Int): DataFrame =
+    minhashFromHashed(hashedShingles(df, idCol, textCol, k), numHashes)
+
+  private def minhashFromHashed(hs: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i")
     }
@@ -101,7 +107,10 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    // one materialization of the hashed shingles feeds signatures, sizes,
+    // and the verification join
+    val sh = hashedShingles(df, idCol, textCol, k).cache()
+    val sigs = minhashFromHashed(sh, numHashes)
     def bandHash(j: Int): Column =
       (0 until r).foldLeft(lit(0L)) { (acc, i) =>
         (acc * 131 + col(s"m${j * r + i}")) % P
@@ -116,13 +125,12 @@ object Dedup {
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // exact verification restricted to candidates
-    val sh = shingles(df, idCol, textCol, k)
+    // exact verification restricted to candidates (hashed-shingle keyed)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val shared = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle").as("sh_b")), Seq("id_b"))
-      .where(col("shingle") === col("sh_b"))
+      .join(sh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+      .where(col("h") === col("h_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared

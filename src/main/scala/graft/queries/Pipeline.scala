@@ -23,13 +23,16 @@ object Pipeline {
       s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
       s"(a, x) -> (a * 131 + x) % 1000000007)"
 
-  /** Distinct 6-token shingles CTE body (matches Dedup.shingles k=6). */
-  private val shingleCtes =
-    """tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, s FROM (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
-      |    i -> array_to_string(list_slice(t, i, i + 5), ' '))) AS s FROM tk)),
-      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id)""".stripMargin
+  /** Hashed distinct 6-token shingles CTE (matches Dedup.hashedShingles
+    * k=6: distinct AFTER hashing, 8-byte join keys).
+    */
+  private lazy val shingleCtes =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
+       |    i -> array_to_string(list_slice(t, i, i + 5), ' '))) AS s FROM tk)),
+       |hs AS (SELECT DISTINCT doc_id, ${hashSql("s")} h FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM hs GROUP BY doc_id)""".stripMargin
 
   /** Ordered-reduce cosine (matches graft.expr.CosineSimilarity exactly). */
   private def cosSql(a: String, b: String): String = {
@@ -59,7 +62,7 @@ object Pipeline {
     s"""WITH $shingleCtes,
        |pairs AS (
        |  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
@@ -78,7 +81,6 @@ object Pipeline {
   val q32 = Q(
     "q32_neardup_minhash_lsh",
     s"""WITH $shingleCtes,
-       |hs AS (SELECT doc_id, ${hashSql("s")} h FROM sh),
        |params(i, a, b) AS (VALUES $minhashParamsSql),
        |mh AS (SELECT doc_id, i, MIN((a * h + b) % 1000000007) m
        |       FROM hs CROSS JOIN params GROUP BY doc_id, i),
@@ -92,8 +94,8 @@ object Pipeline {
        |    ON x.j = y.j AND x.bval = y.bval AND x.doc_id < y.doc_id),
        |shared AS (SELECT c.id_a, c.id_b, COUNT(*) shared
        |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.id_a
-       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  JOIN hs a ON a.doc_id = c.id_a
+       |  JOIN hs b ON b.doc_id = c.id_b AND b.h = a.h
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unit-level behavior of the Layer-C operators on tiny synthetic inputs
+  * with hand-computable answers (the sf-scale behavior is oracle-checked
+  * through SparkEntry.queries).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "a b c d e f g h"), // exact dup of 1
+    (3L, "a b c d e f g x"), // near dup of 1 (shares 2 of 3+3-2... 6-gram shingles)
+    (4L, "q r s t u v w z")) // unrelated
+    .toDF("doc_id", "text")
+
+  test("exactByHash groups exact duplicates, keeps min id") {
+    val r = Dedup.exactByHash(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: k=6 over 8 tokens yields 3 shingles; short docs yield none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 6)
+    assert(sh.where($"id" === 1).count() == 3)
+    val short = Seq((9L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, "doc_id", "text", 6).count() == 0)
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates with correct jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 6, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // docs 1,2 identical => jac 1.0 ; 1~3 and 2~3 share 2 of 3 shingles
+    // each => 2/(3+3-2) = 0.5
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
+  }
+
+  test("lshNearDupPairs agrees with exact pairs on duplicates") {
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text",
+      k = 6, numHashes = 16, bands = 4, threshold = 0.9)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs share signatures; signature is stable") {
+    val r = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L))
+    assert(r == Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap)
+  }
+
+  test("hammingDist of equal signatures is 0") {
+    val d = spark.sql("SELECT 1").select(
+      Dedup.hammingDist(lit(0b1011L), lit(0b0011L)).as("d")).head().getInt(0)
+    assert(d == 1)
+  }
+
+  private val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0f), 0), // closest to 0
+    (2L, Seq(0f, 1f, 0f), 1),
+    (3L, Seq(-1f, 0f, 0f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks by cosine, excludes self") {
+    val r = Similarity.cosineTopK(vecs, vecs.where($"vec_id" === 0), k = 3)
+      .orderBy("rn").collect().map(x => x.getLong(1)).toSeq
+    assert(r == Seq(1L, 2L, 3L)) // cos: ~0.993, 0, -1
+  }
+
+  test("knnPredict majority vote with label tiebreak") {
+    val r = Similarity.knnPredict(vecs, vecs.where($"vec_id" === 0), k = 2)
+      .head()
+    assert(r.getInt(1) == 0) // neighbors 1 (label 0) and 2 (label 1) -> tie -> smaller label
+  }
+
+  test("quality metrics are exact on a known doc") {
+    val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(d, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_uniq") == 5)
+    assert(r.getAs[Int]("n_stop") == 2) // 'the' twice
+    assert(math.abs(r.getAs[Double]("ttr") - 5.0 / 6) < 1e-15)
+  }
+
+  test("fingerprints: fp_bag invariant under token reordering, fp_content not") {
+    val d = Seq((1L, "x y z"), (2L, "z y x")).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprints(d, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val m = r.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(1L)._2 == m(2L)._2) // bag equal
+    assert(m(1L)._1 != m(2L)._1) // content differs
+  }
+
+  test("tfIdfLog: rare terms outweigh common ones") {
+    val d = Seq((1L, "common rare"), (2L, "common x"), (3L, "common y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfLog(d, "doc_id", "text")
+      .where($"id" === 1).orderBy(desc("tfidf")).collect()
+    assert(r.head.getAs[String]("tok") == "rare")
+    assert(r.last.getAs[String]("tok") == "common")
+    assert(r.last.getAs[Double]("tfidf") == 0.0) // df == n_docs -> ln(1) = 0
+  }
+
+  test("multimodal stub on real binary round-trips deterministic features") {
+    val d = Seq((1L, Array[Byte](10, 20, 30, 40, 50)), (2L, Array[Byte]()))
+      .toDF("doc_id", "media")
+    val r = Multimodal.extractFeatures(d, "doc_id", "media").collect()
+      .map(f => f.id -> f).toMap
+    assert(r(1L).byte_len == 5 && r(1L).feat_sum == 100 && r(1L).fmt == "webp")
+    assert(r(2L).byte_len == 0 && r(2L).feat_sum == 0 && r(2L).width == 1)
+  }
+
+  test("VectorMeanAggregator: per-label centroid via typed UDAF") {
+    val agg = new VectorMeanAggregator(3).toColumn
+    val r = vecs.as[(Long, Seq[Float], Int)]
+      .groupByKey(_._3)
+      .mapValues(_._2)
+      .agg(agg.name("centroid"))
+      .collect().toMap
+    assert(r(1) == Seq(0.0, 1.0, 0.0))
+    val c0 = r(0)
+    assert(math.abs(c0.head - 0.95) < 1e-7 && math.abs(c0(1) - 0.05) < 1e-7)
+  }
+
+  test("spark.udf.register: scala closure UDF callable from SQL") {
+    spark.udf.register("graft_double_it", (x: Long) => x * 2)
+    assert(spark.sql("SELECT graft_double_it(21) AS v").head().getLong(0) == 42L)
+  }
+}
