@@ -472,6 +472,99 @@ object Relational {
       .orderBy("day_start", "event_type")
   }
 
+  /** Scalar math functions (sqrt is IEEE-correctly-rounded in both engines;
+    * round-half-up matches for positive values; ceil/floor normalized to
+    * BIGINT since Spark returns LONG and DuckDB DOUBLE).
+    */
+  val q23 = Q(
+    "q23_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_discount - 0.05) AS d_abs,
+      |  CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
+      |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS p_floor,
+      |  sqrt(l_extendedprice) AS p_sqrt,
+      |  round(l_extendedprice / 100, 1) AS p_round,
+      |  l_orderkey % 7 AS mod7,
+      |  greatest(l_quantity, l_discount * 100) AS g,
+      |  least(l_tax, l_discount) AS l
+      |FROM lineitem
+      |WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("d_abs"),
+        ceil(col("l_quantity") / 7).cast("long").as("q_ceil"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("p_floor"),
+        sqrt(col("l_extendedprice")).as("p_sqrt"),
+        round(col("l_extendedprice") / 100, 1).as("p_round"),
+        (col("l_orderkey") % 7).as("mod7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Array/lambda functions over the tokenized text column. */
+  val q24 = Q(
+    "q24_array_funcs",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS first3,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |  CAST(list_position(string_split(text, ' '), 'join') AS BIGINT) AS join_pos,
+      |  len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS uniq_sorted
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tk = split(col("text"), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(tk).as("n"),
+      element_at(tk, 1).as("first_tok"),
+      concat_ws("-", slice(tk, 1, 3)).as("first3"),
+      array_contains(tk, "spark").as("has_spark"),
+      array_position(tk, "join").as("join_pos"),
+      size(filter(tk, x => length(x) > 4)).as("n_long"),
+      concat_ws(",", array_sort(array_distinct(tk))).as("uniq_sorted"))
+      .orderBy("doc_id")
+  }
+
+  /** UNION ALL (bag union) then re-aggregate. */
+  val q25 = Q(
+    "q25_union_all_agg",
+    """SELECT custkey, COUNT(*) AS n FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+      |) GROUP BY custkey ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val a = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val b = o.where(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+    a.unionByName(b).groupBy("custkey").agg(count(lit(1)).as("n")).orderBy("custkey")
+  }
+
+  /** Multiset INTERSECT ALL / EXCEPT ALL semantics. */
+  val q26 = Q(
+    "q26_multiset_ops",
+    """SELECT custkey, COUNT(*) AS n FROM (
+      |  SELECT custkey FROM (
+      |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT ALL
+      |    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)
+      |  UNION ALL
+      |  SELECT custkey FROM (
+      |    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT ALL
+      |    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)
+      |) GROUP BY custkey ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val a = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val b = o.where(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).union(a.exceptAll(b))
+      .groupBy("custkey").agg(count(lit(1)).as("n")).orderBy("custkey")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Odds and ends of the §2-B surface whose values are engine-specific and
+  * therefore live outside the DuckDB oracle gate.
+  */
+class MiscSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+
+  test("approx_count_distinct (HLL) is within 5% of exact") {
+    val r = events.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id").as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("broadcast hint forces BroadcastHashJoin; without it small-table join still resolves") {
+    val nation = queries.Tables.t(spark, "/root/testdata/sf0.001", "nation")
+    val customer = queries.Tables.t(spark, "/root/testdata/sf0.001", "customer")
+    val j = customer.join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(j.count() == customer.count())
+  }
+
+  test("per-query plans: agg pushes partial aggregation below the exchange") {
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // partial_sum before Exchange = map-side combine is in place
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Exchange"))
+  }
+
+  test("repartition/bucketed co-location shape: repartition by key removes extra exchange") {
+    val li = queries.Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .repartition(4, $"l_orderkey")
+    val agg = li.groupBy($"l_orderkey").agg(sum($"l_quantity"))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(agg.queryExecution.executedPlan.toString).size
+    // the groupBy reuses the repartition's hash distribution: exactly one
+    // exchange (the explicit repartition), none injected for the aggregate
+    assert(exchanges == 1, agg.queryExecution.executedPlan.toString)
+  }
+}

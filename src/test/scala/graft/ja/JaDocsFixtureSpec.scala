@@ -1,0 +1,69 @@
+package graft.ja
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** FIXTURES.md §3: the engine-owned ja_docs fixture — golden inputs G1–G5
+  * plus edge cases — written as parquet and tokenized through the full
+  * Spark path (scan → SQL function → explode), i.e. the README usage shape.
+  */
+class JaDocsFixtureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val jaDocs = Seq(
+    (1L, "10日放送の「中居正広のミになる図書館」（テレビ朝日系）で、SMAPの中居正広が、篠原信一の過去の勘違いを明かす一幕があった。"),
+    (2L, "きゃりーぱみゅぱみゅ。"),
+    (3L, "kuromojiを使った分かち書きのテストです。第二引数にはnormal/search/extendedを指定できます。デフォルトではnormalモードです。"),
+    (4L, ""), // empty → zero tokens
+    (5L, "   \t "), // whitespace only → zero tokens
+    (6L, "ＳＭＡＰとSpark３"), // mixed full/half width
+    (7L, "サーバーとキー"), // katakana with prolonged marks
+    (8L, "。、「」（）・…")) // punctuation only → zero tokens
+
+  test("ja_docs parquet fixture: scan → tokenize → explode end-to-end") {
+    val dir = Files.createTempDirectory("ja_docs").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/ja_docs.parquet"
+    jaDocs.toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+
+    graft.Graft.register(spark)
+    val docs = spark.read.parquet(path)
+    val tokens = docs
+      .select($"doc_id", graft.functions.tokenize_ja_neologd($"text").as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    assert(tokens(1L).size == 12 && tokens(1L).head == "10日"
+      && tokens(1L).contains("中居正広の身になる図書館"))
+    assert(tokens(2L) == Seq("きゃりーぱみゅぱみゅ"))
+    assert(tokens(3L).size == 14 && tokens(3L).head == "kuromoji")
+    assert(tokens(4L).isEmpty)
+    assert(tokens(5L).isEmpty)
+    assert(tokens(6L) == Seq("smap", "spark", "3"))
+    assert(tokens(7L) == Seq("サーバ", "キー"))
+    assert(tokens(8L).isEmpty)
+
+    // UDTF shape over the fixture: per-token rows
+    val n = docs.select(explode(graft.functions.tokenize_ja_neologd($"text"))).count()
+    assert(n == tokens.values.map(_.size).sum)
+  }
+
+  test("single-core tokenizer throughput meets the BASELINE.md target") {
+    val tok = new JaTokenizer()
+    val sentences = jaDocs.map(_._2).filter(_.nonEmpty)
+    // warmup (dictionary load + JIT)
+    (1 to 2000).foreach(i => tok.tokenize(sentences(i % sentences.size)))
+    val n = 50000
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) { tok.tokenize(sentences(i % sentences.size)); i += 1 }
+    val perSec = n / ((System.nanoTime() - t0) / 1e9)
+    info(f"tokenizer throughput: $perSec%.0f sentences/s (target 50k)")
+    assert(perSec > 50000, f"throughput $perSec%.0f below 50k/s target")
+  }
+}
