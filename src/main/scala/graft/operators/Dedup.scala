@@ -118,8 +118,12 @@ object Dedup {
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("bidx"), bandHash(j).as("bval"))
     }: _*)
+    // cached: the self-join below would otherwise duplicate the whole
+    // signature-aggregation subtree (one copy per join side) — visible as
+    // two partial_min(…)×16 HashAggregates in the physical plan
     val bandsDf = sigs.select(col("id"), explode(bandStructs).as("band"))
       .select(col("id"), col("band.bidx").as("bidx"), col("band.bval").as("bval"))
+      .cache()
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval")
           && col("x.id") < col("y.id"))
