@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{call_function, lit, array, typedLit}
+import org.apache.spark.sql.functions.{aggregate, call_function, lit, sqrt, transform, typedLit, zip_with}
 
 /** Public Column API for the engine's functions — the Spark-side analogue
   * of the reference's registered Hive function (README.md:22–29). Requires
@@ -58,6 +58,26 @@ object functions {
   /** Cosine similarity of two array<float|double> vectors. */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(graft.expr.CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** Dot product of two vectors via ordered fold (zip_with + aggregate —
+    * pure built-ins, codegen'd).
+    */
+  def dot_product(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm of a vector. */
+  def l2_norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Unit-normalize a vector (null-safe via cosine conventions: zero vector
+    * stays zero).
+    */
+  def l2_normalize(a: Column): Column = {
+    val n = l2_norm(a)
+    org.apache.spark.sql.functions.when(n === 0.0, a.cast("array<double>"))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
 
   private def strOrNull(s: String): Column =
     if (s == null) lit(null).cast("string") else lit(s)

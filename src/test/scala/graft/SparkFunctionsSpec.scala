@@ -123,6 +123,19 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(z.isNullAt(0))
   }
 
+  test("vector helpers: dot/l2_norm/l2_normalize built-ins match cosine_sim") {
+    val df = Seq((Seq(3f, 4f), Seq(4f, 3f))).toDF("a", "b")
+    val r = df.select(
+      graft.functions.dot_product(col("a"), col("b")).as("dot"),
+      graft.functions.l2_norm(col("a")).as("na"),
+      graft.functions.cosine_sim(col("a"), col("b")).as("cos"),
+      graft.functions.l2_norm(graft.functions.l2_normalize(col("a"))).as("unit")).head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 24.0 / 25.0) < 1e-15)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("flagship entry() answers on sf0.001 (driver smoke)") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0 && rows.forall(_.getLong(1) > 0))

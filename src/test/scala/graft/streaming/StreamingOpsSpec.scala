@@ -108,6 +108,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replaying the events table as a stream reproduces the oracle-checked batch result") {
+    // batch twin: q22 (tumbling day window) — oracle-verified against DuckDB
+    val batch = graft.SparkEntry.queries("q22_window_tumbling")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // the file-stream source wants a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    // same NANOS workaround as graft.queries.Tables.t, streaming flavor
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // complete mode: every window (no watermark finalization needed to compare)
+    val q = stream
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("t_replay").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t_replay").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch.map { case (t, e, n) => (t, e, n) })
+    } finally q.stop()
+  }
+
   test("streaming plans are the same operators as the oracle-checked batch twins") {
     // the batch twin of tumblingCounts is q22 (window() on static df) — same
     // logical operator; here just assert the streaming plan resolves
