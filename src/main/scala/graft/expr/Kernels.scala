@@ -21,6 +21,40 @@ object Kernels {
     h
   }
 
+  /** Hashes of all k-token shingles of a space-separated text, in order,
+    * duplicates included. Each shingle hash equals polyHash of the shingle
+    * string "tok_i tok_{i+1} … tok_{i+k-1}" — identical to hashing the
+    * concat_ws(" ", slice(tokens…)) form, but with zero intermediate
+    * string/array allocation (one char pass per window).
+    */
+  def shingleHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    // token boundaries under split(" ", -1) semantics (empties kept)
+    val tokens = str.split(" ", -1)
+    val n = tokens.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = i
+      while (j < i + k) {
+        if (j > i) h = (h * 131 + ' ') % 1000000007L
+        val t = tokens(j)
+        var c = 0
+        while (c < t.length) {
+          val cp = t.codePointAt(c)
+          h = (h * 131 + cp) % 1000000007L
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine in double, strict left-to-right accumulation; null on length
     * mismatch or zero norm. aFloat/bFloat select the element accessor.
     */

@@ -34,6 +34,32 @@ case class GraftHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `shingle_hashes(text, k) → array<bigint>`: graft_hash64 of every
+  * k-token shingle of a space-separated text, in order (duplicates kept —
+  * follow with array_distinct for set semantics). Fuses split + slice +
+  * concat_ws + hash into one codegen'd char pass; the shingle strings are
+  * never materialized. Values are bit-identical to hashing the string
+  * shingles, so the DuckDB oracles keep working unchanged.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "k must be >= 1")
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `cosine_sim(a, b) → double` over array<float>/array<double> vectors.
   *
   * Accumulates in double, strictly left-to-right, so the result is

@@ -59,6 +59,12 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(graft.expr.CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** Hashes of all k-token shingles of a space-separated text (codegen'd
+    * fused split+slice+hash; see graft.expr.ShingleHashes).
+    */
+  def shingle_hashes(text: Column, k: Int): Column =
+    toCol(graft.expr.ShingleHashes(toExpr(text), k))
+
   /** Dot product of two vectors via ordered fold (zip_with + aggregate —
     * pure built-ins, codegen'd).
     */

@@ -44,13 +44,14 @@ object Dedup {
 
   /** (id, h) where h = graft_hash64(shingle), distinct per doc — the
     * long-keyed shingle view: 8-byte shuffle keys instead of strings, used
-    * by both Jaccard and MinHash. Distinct is taken AFTER hashing so a
+    * by both Jaccard and MinHash. Computed by the fused ShingleHashes
+    * expression (no intermediate shingle strings) with per-row
+    * array_distinct — dedup happens map-side with NO shuffle, and a
     * within-doc hash collision merges identically in every engine.
     */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingles(df, idCol, textCol, k)
-      .select(col("id"), graft.functions.graft_hash64(col("shingle")).as("h"))
-      .distinct()
+    df.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.shingle_hashes(col(textCol), k))).as("h"))
 
   /** n-gram Jaccard near-duplicate pairs over hashed shingles (id_a < id_b,
     * jac ≥ threshold). Shuffle is keyed by the 8-byte shingle hash; only

@@ -123,6 +123,21 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(z.isNullAt(0))
   }
 
+  test("shingle_hashes equals hashing the string shingles (fusion is transparent)") {
+    val df = Seq("a b c d e f g h", "short text", "", "x").toDF("text")
+    val fused = df.select(graft.functions.shingle_hashes(col("text"), 6).as("h"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val viaStrings = df.select(
+      transform(
+        when(size(split(col("text"), " ")) >= 6,
+          sequence(lit(1), size(split(col("text"), " ")) - 5)).otherwise(array().cast("array<int>")),
+        i => graft.functions.graft_hash64(
+          concat_ws(" ", slice(split(col("text"), " "), i, lit(6))))).as("h"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(fused == viaStrings)
+    assert(fused(1).isEmpty && fused(2).isEmpty)
+  }
+
   test("vector helpers: dot/l2_norm/l2_normalize built-ins match cosine_sim") {
     val df = Seq((Seq(3f, 4f), Seq(4f, 3f))).toDF("a", "b")
     val r = df.select(
