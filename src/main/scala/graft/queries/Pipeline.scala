@@ -330,6 +330,28 @@ object Pipeline {
       .orderBy("tok")
   }
 
+  /** Vector column functions under the oracle: norms and dot products
+    * against a reference vector (vec_id 0), all ordered-fold arithmetic.
+    */
+  val q48 = Q(
+    "q48_vector_stats",
+    s"""WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |  sqrt(list_reduce(list_transform(range(1, 65), k ->
+       |    CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)), (u, v) -> u + v)) AS norm,
+       |  list_reduce(list_transform(range(1, 65), k ->
+       |    CAST(embedding[k] AS DOUBLE) * CAST(qe[k] AS DOUBLE)), (u, v) -> u + v) AS dot0
+       |FROM embeddings CROSS JOIN q
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val q0 = broadcast(emb.where(col("vec_id") === 0).select(col("embedding").as("qe")))
+    emb.crossJoin(q0).select(
+      col("vec_id"), col("label"),
+      graft.functions.l2_norm(col("embedding")).as("norm"),
+      graft.functions.dot_product(col("embedding"), col("qe")).as("dot0"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -564,7 +564,32 @@ object Relational {
       .groupBy("custkey").agg(count(lit(1)).as("n")).orderBy("custkey")
   }
 
+  /** Remaining window-function family: ntile, first/last value with an
+    * explicit full frame (LAST_VALUE defaults to a running frame in both
+    * engines — the full frame must be spelled out).
+    */
+  val q27 = Q(
+    "q27_window_extras",
+    """SELECT o_custkey, o_orderkey,
+      |  NTILE(4) OVER w AS quartile,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      first(col("o_orderkey")).over(w).as("first_ord"),
+      last(col("o_orderkey")).over(wFull).as("last_ord"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26)
+    q25, q26, q27)
 }

@@ -28,6 +28,15 @@ class MiscSurfaceSpec extends AnyFunSuite {
     assert(j.count() == customer.count())
   }
 
+  test("join strategy hints: shuffle_hash and merge are honored") {
+    val o = queries.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val c = queries.Tables.t(spark, "/root/testdata/sf0.001", "customer")
+    val sh = o.join(c.hint("shuffle_hash"), $"o_custkey" === $"c_custkey")
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    val sm = o.join(c.hint("merge"), $"o_custkey" === $"c_custkey")
+    assert(sm.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
   test("per-query plans: agg pushes partial aggregation below the exchange") {
     val plan = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -66,6 +66,11 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(tok("   \t ") == Seq.empty) // whitespace only
   }
 
+  test("supplementary-plane characters (emoji) are treated as punctuation-class and discarded") {
+    assert(tok("放送🎉テスト") == Seq("放送", "テスト"))
+    assert(tok("😀😀") == Seq.empty)
+  }
+
   test("G8: invalid mode rejected with the reference's message shape") {
     val e = intercept[IllegalArgumentException](JaMode.parse("unsupported mode"))
     assert(e.getMessage.contains("NORMAL|SEARCH|EXTENDED|DEFAULT"))
