@@ -352,6 +352,18 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** HLL sketch aggregation — approx values are engine-specific, so this
+    * runs under the driver's weaker rows-only check (no oracle SQL); the
+    * ±5% accuracy bound is asserted in MiscSurfaceSpec.
+    */
+  val q49 = Q.noOracle("q49_approx_distinct") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("props"), 0.02).as("approx_props"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.ja.JaDictionary
+
+/** Dictionary build/validation step — the engine's analogue of the
+  * reference's offline dictionary pipeline (SURVEY.md §3 entry point 3,
+  * build.sh:104–272, which compiles the NEologd CSV into binary FST
+  * resources). Our dictionary is a compact TSV baked into the jar; this
+  * tool is the equivalent of its `ant regenerate` validation: structural
+  * invariants fail the build before a bad dictionary ships.
+  */
+object DictLint {
+
+  final case class Issue(surface: String, problem: String)
+
+  def lint(): Seq[Issue] = {
+    val entries = JaDictionary.embeddedEntries
+    val issues = Seq.newBuilder[Issue]
+    // no duplicate surfaces (trie keeps the last — a silent override)
+    entries.groupBy(_.surface).collect { case (s, es) if es.size > 1 =>
+      issues += Issue(s, s"duplicate surface (${es.size} entries)")
+    }
+    entries.foreach { e =>
+      if (e.surface.isEmpty) issues += Issue(e.surface, "empty surface")
+      if (e.pos.isEmpty) issues += Issue(e.surface, "empty POS")
+      if (e.surface.exists(graft.ja.CharClasses.isPunct))
+        issues += Issue(e.surface, "surface contains punctuation")
+      if (e.segments.nonEmpty && e.segments.map(_.surface).mkString != e.surface)
+        issues += Issue(e.surface, "segments do not concatenate to surface")
+      if (e.base.nonEmpty && e.segments.nonEmpty)
+        issues += Issue(e.surface, "entry has both base-form override and segments")
+    }
+    // default stop sets must be non-empty and lower-cased
+    if (JaDictionary.defaultStopWords.isEmpty) issues += Issue("", "empty stopword set")
+    if (JaDictionary.defaultStopTags.isEmpty) issues += Issue("", "empty stoptag set")
+    JaDictionary.defaultStopWords.find(w => w != w.toLowerCase)
+      .foreach(w => issues += Issue(w, "stopword not lower-cased"))
+    issues.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val issues = lint()
+    issues.foreach(i => System.err.println(s"[dictlint] '${i.surface}': ${i.problem}"))
+    println(s"[dictlint] ${JaDictionary.embeddedEntries.size} entries, " +
+      s"${JaDictionary.defaultStopWords.size} stopwords, " +
+      s"${JaDictionary.defaultStopTags.size} stoptags, ${issues.size} issues")
+    if (issues.nonEmpty) sys.exit(1)
+  }
+}

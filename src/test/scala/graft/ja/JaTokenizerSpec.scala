@@ -66,6 +66,16 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(tok("   \t ") == Seq.empty) // whitespace only
   }
 
+  test("general-vocabulary sentences segment into base-formed content words") {
+    assert(tok("私は会社で働く。") == Seq("私", "会社", "働く"))
+    // 行った resolves to 行く (the いった reading; a cost-based lattice could
+    // prefer 行う in this context — documented greedy divergence)
+    assert(tok("新しい技術の研究を行った。") == Seq("新しい", "技術", "研究", "行く"))
+    assert(tok("研究が行われた。") == Seq("研究", "行う"))
+    assert(tok("昨日、本を買って読んだ。") == Seq("昨日", "本", "買う", "読む"))
+    assert(tok("日本語の問題を考えます。") == Seq("日本語", "問題", "考える"))
+  }
+
   test("supplementary-plane characters (emoji) are treated as punctuation-class and discarded") {
     assert(tok("放送🎉テスト") == Seq("放送", "テスト"))
     assert(tok("😀😀") == Seq.empty)
