@@ -30,6 +30,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # surface no-oracle (rows-only) queries so they aren't silently invisible
+    import os
+    dumped = {d for d in os.listdir(out_dir) if not d.endswith(".json")}
+    for name in sorted(dumped - set(oracle)):
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+        print(f"rows-only {name}: {n} rows (no oracle)")
     for name, sql in sorted(oracle.items()):
         try:
             got_names, got = rows_of(con.sql(

@@ -4,6 +4,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== dictionary lint"
+sbt -batch "runMain graft.tools.DictLint"
+
 echo "== compile + test"
 sbt -batch test
 

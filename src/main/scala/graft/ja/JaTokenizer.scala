@@ -76,7 +76,8 @@ final class JaTokenizer(
       if (CharClasses.isPunct(c)) i += 1 // T1: discardPunctuation
       else {
         val userHit = if (userTrie == null) null else userTrie.longestMatch(line, i)
-        val dictHit = dict.longestMatch(line, i)
+        val dictHit0 = dict.longestMatch(line, i)
+        val dictHit = if (allowHit(line, i, dictHit0)) dictHit0 else null
         // user dict wins ties; otherwise longest match wins
         val useUser = userHit != null &&
           (dictHit == null || userHit.surface.length >= dictHit.surface.length)
@@ -94,6 +95,22 @@ final class JaTokenizer(
     out.toArray
   }
 
+  /** Guard against greedy single-kanji matches tearing apart unknown kanji
+    * compounds (意見 → 意|見る, 今回 → 今|回): a 1-char kanji entry only
+    * matches when the next char does NOT continue a kanji run. Number
+    * prefixes (接頭詞) and numerals (名詞-数) are exempt — 第|二|引数 is the
+    * correct segmentation (golden G5). User-dict hits always apply (the
+    * user declared them). This replaces the cost-based disambiguation of
+    * the reference's Viterbi lattice (documented divergence, SURVEY §7.4).
+    */
+  private def allowHit(line: String, i: Int, hit: DictEntry): Boolean = {
+    if (hit == null) return false
+    if (hit.surface.length > 1) return true
+    if (CharClasses.classOf(line.charAt(i)) != CharClasses.Kanji) return true
+    if (hit.pos.startsWith("接頭詞") || hit.pos == "名詞-数") return true
+    i + 1 >= line.length || CharClasses.classOf(line.charAt(i + 1)) != CharClasses.Kanji
+  }
+
   /** End of the maximal same-class run starting at `from` (Kuromoji-style
     * unknown-word grouping by character class).
     */
@@ -101,7 +118,7 @@ final class JaTokenizer(
     val cls = CharClasses.classOf(line.charAt(from))
     var i = from + 1
     while (i < line.length && CharClasses.classOf(line.charAt(i)) == cls
-      && dict.longestMatch(line, i) == null
+      && !allowHit(line, i, dict.longestMatch(line, i))
       && (userTrie == null || userTrie.longestMatch(line, i) == null)) i += 1
     i
   }

@@ -353,8 +353,9 @@ object Pipeline {
   }
 
   /** HLL sketch aggregation — approx values are engine-specific, so this
-    * runs under the driver's weaker rows-only check (no oracle SQL); the
-    * ±5% accuracy bound is asserted in MiscSurfaceSpec.
+    * runs under the driver's weaker rows-only check (no oracle SQL);
+    * accuracy vs exact counts (both rsd settings) is asserted in
+    * MiscSurfaceSpec, which executes this same query.
     */
   val q49 = Q.noOracle("q49_approx_distinct") { (s, dir) =>
     t(s, dir, "events")

@@ -30,11 +30,15 @@ object DictLint {
       if (e.base.nonEmpty && e.segments.nonEmpty)
         issues += Issue(e.surface, "entry has both base-form override and segments")
     }
-    // default stop sets must be non-empty and lower-cased
+    // default stop sets must be non-empty; lint the RAW resource for the
+    // lower-case invariant (the loader normalizes, which would mask it)
     if (JaDictionary.defaultStopWords.isEmpty) issues += Issue("", "empty stopword set")
     if (JaDictionary.defaultStopTags.isEmpty) issues += Issue("", "empty stoptag set")
-    JaDictionary.defaultStopWords.find(w => w != w.toLowerCase)
-      .foreach(w => issues += Issue(w, "stopword not lower-cased"))
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/ja/stopwords.txt"), "UTF-8")
+      .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    raw.find(w => w != w.toLowerCase)
+      .foreach(w => issues += Issue(w, "stopword resource line not lower-cased"))
     issues.result()
   }
 

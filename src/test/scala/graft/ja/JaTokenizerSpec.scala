@@ -76,6 +76,18 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(tok("日本語の問題を考えます。") == Seq("日本語", "問題", "考える"))
   }
 
+  test("single-kanji entries never tear apart unknown kanji compounds") {
+    // regression (code review, round 1): 見/出/今/… singles rewrote compounds
+    assert(tok("意見を発表した") == Seq("意見", "発表"))
+    assert(tok("発見した") == Seq("発見"))
+    assert(tok("外出する") == Seq("外出"))
+    assert(tok("今回の結果") == Seq("今回", "結果"))
+    assert(tok("毎日の仕事") == Seq("毎日", "仕事"))
+    assert(tok("私立大学") == Seq("私立大学")) // 私 guard: next char is kanji
+    assert(tok("私は会社で働く。") == Seq("私", "会社", "働く")) // 私 still matches pre-particle
+    assert(tok("第二引数") == Seq("第", "二", "引数")) // prefix/numeral exemption intact
+  }
+
   test("supplementary-plane characters (emoji) are treated as punctuation-class and discarded") {
     assert(tok("放送🎉テスト") == Seq("放送", "テスト"))
     assert(tok("😀😀") == Seq.empty)

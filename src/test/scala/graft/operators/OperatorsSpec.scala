@@ -132,6 +132,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(c0.head - 0.95) < 1e-7 && math.abs(c0(1) - 0.05) < 1e-7)
   }
 
+  test("embedded dictionary passes DictLint structural invariants") {
+    assert(graft.tools.DictLint.lint().isEmpty)
+  }
+
   test("spark.udf.register: scala closure UDF callable from SQL") {
     spark.udf.register("graft_double_it", (x: Long) => x * 2)
     assert(spark.sql("SELECT graft_double_it(21) AS v").head().getLong(0) == 42L)
