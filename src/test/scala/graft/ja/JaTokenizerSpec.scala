@@ -112,6 +112,15 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(tok("関西国際空港に行った。", mode = "default") == Seq("関西", "国際", "空港", "行く"))
   }
 
+  test("user dictionary composes with SEARCH/EXTENDED modes") {
+    val ud = Seq("日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞")
+    // user segmentation applies in every mode; embedded compounds split too
+    assert(tok("日本経済新聞と関西国際空港。", mode = "search", userDict = ud) ==
+      Seq("日本", "経済", "新聞", "関西", "国際", "空港"))
+    assert(tok("日本経済新聞。", mode = "extended", userDict = ud) ==
+      Seq("日本", "経済", "新聞"))
+  }
+
   test("EXTENDED mode unigrams unknown CJK runs") {
     val toks = tok("魑魅魍魎", mode = "extended")
     assert(toks == Seq("魑", "魅", "魍", "魎"))
