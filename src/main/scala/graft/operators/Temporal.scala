@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks natively, composed from built-ins
+  * (preference (a) of the custom-operator ladder: no custom plan needed).
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the payload of the latest
+    * right row with the same key and `right.ts <= left.ts`.
+    *
+    * Implemented as union + ordered window (`last(_, ignoreNulls)` over an
+    * unbounded-preceding frame) rather than a range join: ONE shuffle on
+    * the key, no pair explosion, skew bounded by per-key row counts — the
+    * shape that survives 100 TB. Right rows sort before left rows at equal
+    * ts so `<=` semantics hold.
+    *
+    * @param left      (key, ts, …left cols)
+    * @param right     (key, ts, payload)
+    * @param payloadCol single right-side payload column to carry
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__is_left", lit(1))
+      .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right.select(col(keyCol), col(tsCol),
+      lit(0).as("__is_left"), col(payloadCol).as("__payload"))
+    val unioned = l.select((Seq(col(keyCol), col(tsCol), col("__is_left"), col("__payload")) ++
+      leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__is_left") === 1)
+      .select(leftCols.map(col) :+ col("__asof").as(s"asof_$payloadCol"): _*)
+  }
+}

@@ -365,6 +365,36 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** As-of join: each click event picks up the latest prior (<=) signup of
+    * the same user — the union+ordered-window pattern (one shuffle, no
+    * range-join explosion). Oracle mirrors the same algorithm with
+    * last_value IGNORE NULLS.
+    */
+  val q50 = Q(
+    "q50_asof_join",
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, 1 AS is_left, CAST(NULL AS BIGINT) AS payload
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, CAST(NULL AS BIGINT), 0, event_id
+      |  FROM events WHERE event_type = 'signup'),
+      |w AS (SELECT *, last_value(payload IGNORE NULLS) OVER (
+      |        PARTITION BY user_id ORDER BY ts, is_left
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+      |      FROM u)
+      |SELECT user_id, event_id AS click_id, ts, asof_signup
+      |FROM w WHERE is_left = 1 ORDER BY user_id, click_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.Temporal.asofJoin(clicks, signups, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"),
+        col("asof_event_id").as("asof_signup"))
+      .orderBy("user_id", "click_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }

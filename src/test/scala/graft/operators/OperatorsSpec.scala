@@ -132,6 +132,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(c0.head - 0.95) < 1e-7 && math.abs(c0(1) - 0.05) < 1e-7)
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 10:00:00"), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 9L),
+      (1L, ts("2024-01-01 11:00:00"), 11L),
+      (1L, ts("2024-01-01 12:00:00"), 12L), // equal ts => <= applies
+      (2L, ts("2024-01-01 23:00:00"), 23L)) // after left's ts => null
+      .toDF("user_id", "ts", "event_id")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", "event_id")
+      .orderBy("user_id", "event_id").collect()
+      .map(x => (x.getLong(2), if (x.isNullAt(3)) -1L else x.getLong(3)))
+    assert(r.toSeq == Seq((100L, 9L), (101L, 12L), (200L, -1L)))
+  }
+
   test("embedded dictionary passes DictLint structural invariants") {
     assert(graft.tools.DictLint.lint().isEmpty)
   }
