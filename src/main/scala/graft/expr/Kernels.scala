@@ -66,6 +66,8 @@ object Kernels {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element must yield null, not silently read as 0.0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

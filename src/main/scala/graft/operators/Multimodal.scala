@@ -32,15 +32,24 @@ object Multimodal {
     * signature.
     */
   def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
-    val n = bytes.length
+    val n = bytes.length // raw byte length (DuckDB oracle: strlen)
     val fmt = (n % 3) match {
       case 0 => "png"
       case 1 => "jpg"
       case _ => "webp"
     }
+    // "features" = first 4 code points of the UTF-8 decode — char-based so
+    // the SQL oracle (unicode() over substr) agrees on non-ASCII payloads
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     var featSum = 0L
     var i = 0
-    while (i < math.min(4, n)) { featSum += bytes(i) & 0xff; i += 1 }
+    var taken = 0
+    while (i < s.length && taken < 4) {
+      val cp = s.codePointAt(i)
+      featSum += cp
+      i += Character.charCount(cp)
+      taken += 1
+    }
     (fmt, 1 + n % 64, 1 + (n * 7) % 64, 1 + n % 8, featSum)
   }
 

@@ -33,8 +33,10 @@ object Temporal {
     val unioned = l.select((Seq(col(keyCol), col(tsCol), col("__is_left"), col("__payload")) ++
       leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
+    // __payload as final tiebreak: two right rows with identical (key, ts)
+    // would otherwise resolve by engine-internal row order (nondeterministic)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__is_left"))
+      .orderBy(col(tsCol), col("__is_left"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

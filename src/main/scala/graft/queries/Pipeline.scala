@@ -277,18 +277,17 @@ object Pipeline {
 
   val q44 = Q(
     "q44_multimodal_stub",
-    """SELECT doc_id AS id, length(text) AS byte_len,
-      |  CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
-      |  CAST(1 + length(text) % 64 AS INT) AS width,
-      |  CAST(1 + (length(text) * 7) % 64 AS INT) AS height,
-      |  CAST(1 + length(text) % 8 AS INT) AS n_frames,
+    """SELECT doc_id AS id, CAST(strlen(text) AS INT) AS byte_len,
+      |  CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+      |  CAST(1 + strlen(text) % 64 AS INT) AS width,
+      |  CAST(1 + (strlen(text) * 7) % 64 AS INT) AS height,
+      |  CAST(1 + strlen(text) % 8 AS INT) AS n_frames,
       |  CAST(list_reduce(list_prepend(0, list_transform(string_split(substr(text, 1, 4), ''),
       |    c -> unicode(c))), (a, x) -> a + x) AS BIGINT) AS feat_sum
       |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     Multimodal.extractFeatures(docs, "doc_id", "media").toDF()
-      .withColumn("byte_len", col("byte_len").cast("long"))
       .orderBy("id")
   }
 
@@ -320,9 +319,9 @@ object Pipeline {
 
   val q47 = Q(
     "q47_tokenize_freq",
-    """SELECT tok, COUNT(*) AS n
+    """SELECT lower(tok) AS tok, COUNT(*) AS n
       |FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
-      |WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
+      |WHERE tok <> '' GROUP BY lower(tok) ORDER BY lower(tok)""".stripMargin) { (s, dir) =>
     graft.Graft.register(s)
     t(s, dir, "documents")
       .select(explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"))
@@ -379,7 +378,7 @@ object Pipeline {
       |  SELECT user_id, ts, CAST(NULL AS BIGINT), 0, event_id
       |  FROM events WHERE event_type = 'signup'),
       |w AS (SELECT *, last_value(payload IGNORE NULLS) OVER (
-      |        PARTITION BY user_id ORDER BY ts, is_left
+      |        PARTITION BY user_id ORDER BY ts, is_left, payload NULLS FIRST
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
       |      FROM u)
       |SELECT user_id, event_id AS click_id, ts, asof_signup

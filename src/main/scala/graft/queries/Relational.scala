@@ -354,7 +354,7 @@ object Relational {
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
       |FROM events
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .agg(count(lit(1)).as("n"),
@@ -435,8 +435,8 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, event_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM e)
       |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
       |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin) { (s, dir) =>

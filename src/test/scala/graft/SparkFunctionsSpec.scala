@@ -121,6 +121,10 @@ class SparkFunctionsSpec extends AnyFunSuite {
     val z = spark.sql(
       "SELECT cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c").head()
     assert(z.isNullAt(0))
+    // a null ELEMENT must yield null, not read as 0.0 (code-review finding)
+    val ne = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c").head()
+    assert(ne.isNullAt(0))
   }
 
   test("shingle_hashes equals hashing the string shingles (fusion is transparent)") {
