@@ -394,6 +394,31 @@ object Pipeline {
       .orderBy("user_id", "click_id")
   }
 
+  /** Composite: tokenizer (UDTF shape) → hash agg → per-group ranking
+    * window — the full §7.3 slice parameterized by source.
+    */
+  val q51 = Q(
+    "q51_top_tokens_per_source",
+    """SELECT source, tok, n, rn FROM (
+      |  SELECT source, tok, COUNT(*) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY COUNT(*) DESC, tok) AS rn
+      |  FROM (SELECT source, lower(unnest(string_split(text, ' '))) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY source, tok)
+      |WHERE rn <= 3 ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("tok"))
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }
