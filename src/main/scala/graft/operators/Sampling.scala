@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.graft_hash64
+
+/** Deterministic, engine-independent sampling and splitting for
+  * training-data pipelines. Unlike rand()-based sampling, membership is a
+  * pure function of the row's id (+ salt): reproducible across runs,
+  * engines, and cluster topologies, stable under re-partitioning, and
+  * joinable — two tables sampled with the same salt select the SAME ids,
+  * which rand() can never guarantee. This is the property that matters at
+  * 100 TB, where a "10% sample" must mean the same rows tomorrow.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 100) for an id column and salt. */
+  def pctBucket(id: Column, salt: String): Column =
+    graft_hash64(concat(id.cast("string"), lit(":"), lit(salt))) % 100
+
+  /** Keep ~pct% of rows, deterministically by id hash. */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int, salt: String = "graft"): DataFrame =
+    df.where(pctBucket(col(idCol), salt) < pct)
+
+  /** Assign train/val/test splits by hash bucket: [0,train) → "train",
+    * [train, train+val) → "val", rest → "test".
+    */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "graft"): DataFrame = {
+    require(trainPct + valPct <= 100)
+    val b = pctBucket(col(idCol), salt)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}
+
+/** Benchmark decontamination: flag/remove training documents whose content
+  * fingerprint collides with a held-out evaluation set — the standard
+  * pre-training hygiene step. The benchmark side is small → broadcast
+  * semi/anti join on the 8-byte fingerprint; the corpus scan never
+  * shuffles.
+  */
+object Decontaminate {
+
+  private def fp(textCol: String): Column =
+    graft_hash64(concat_ws(" ", split(col(textCol), " ")))
+
+  /** Corpus rows whose exact content fingerprint appears in `benchmark`. */
+  def flagExact(corpus: DataFrame, benchmark: DataFrame, textCol: String): DataFrame = {
+    val bfp = benchmark.select(fp(textCol).as("__fp")).distinct()
+    corpus.withColumn("__fp", fp(textCol))
+      .join(broadcast(bfp), Seq("__fp"), "left_semi")
+      .drop("__fp")
+  }
+
+  /** Corpus with exact benchmark collisions removed (anti join). */
+  def removeExact(corpus: DataFrame, benchmark: DataFrame, textCol: String): DataFrame = {
+    val bfp = benchmark.select(fp(textCol).as("__fp")).distinct()
+    corpus.withColumn("__fp", fp(textCol))
+      .join(broadcast(bfp), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+}

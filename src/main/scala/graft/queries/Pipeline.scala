@@ -419,6 +419,41 @@ object Pipeline {
       .orderBy("source", "rn")
   }
 
+  /** Deterministic hash split: same ids land in the same split in any
+    * engine (the DuckDB oracle recomputes the bucket with the portable
+    * hash). rand()-based sampling could never be oracle-checked.
+    */
+  val q52 = Q(
+    "q52_deterministic_split",
+    s"""WITH b AS (SELECT doc_id, lang,
+       |  ${hashSql("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling
+      .trainValTestSplit(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Exact decontamination: planted near-duplicates are NOT exact content
+    * matches, so only the self-selected benchmark docs flag — the semi-join
+    * on the 8-byte fingerprint is the point.
+    */
+  val q53 = Q(
+    "q53_decontaminate",
+    s"""WITH fp AS (SELECT doc_id, ${hashSql("text")} AS f FROM documents),
+       |bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 97 = 0)
+       |SELECT doc_id FROM fp WHERE f IN (SELECT f FROM bench)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    graft.operators.Decontaminate.flagExact(docs, bench, "text")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }

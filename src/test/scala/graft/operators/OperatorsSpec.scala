@@ -152,6 +152,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((100L, 9L), (101L, 12L), (200L, -1L)))
   }
 
+  test("sampleByHash is deterministic, repartition-stable, and join-consistent") {
+    val df = spark.range(0, 1000).toDF("id")
+    val s1 = Sampling.sampleByHash(df, "id", 10).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleByHash(df.repartition(7), "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 250)
+    // different salt -> different (but still deterministic) selection
+    val s3 = Sampling.sampleByHash(df, "id", 10, salt = "other").collect()
+      .map(_.getLong(0)).toSet
+    assert(s3 != s1)
+  }
+
+  test("trainValTestSplit partitions every row exactly once with stable splits") {
+    val df = spark.range(0, 1000).toDF("id")
+    val split = Sampling.trainValTestSplit(df, "id")
+    assert(split.count() == 1000)
+    val byGroup = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup.keySet == Set("train", "val", "test"))
+    assert(byGroup("train") > 700 && byGroup("train") < 900)
+  }
+
+  test("decontaminate: flag selects exactly the benchmark-content docs; remove is its complement") {
+    val corpus = Seq((1L, "a b c"), (2L, "d e f"), (3L, "a b c"), (4L, "g h i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagExact(corpus, bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 3L)) // both copies of the contaminated text
+    val clean = Decontaminate.removeExact(corpus, bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 4L))
+  }
+
   test("embedded dictionary passes DictLint structural invariants") {
     assert(graft.tools.DictLint.lint().isEmpty)
   }
