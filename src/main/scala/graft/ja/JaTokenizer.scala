@@ -72,8 +72,8 @@ final class JaTokenizer(
     var i = 0
     val n = line.length
     while (i < n) {
-      val c = line.charAt(i)
-      if (CharClasses.isPunct(c)) i += 1 // T1: discardPunctuation
+      val cp = line.codePointAt(i) // code-point-wise: surrogate pairs intact
+      if (CharClasses.classOfCp(cp) == CharClasses.Punct) i += Character.charCount(cp) // T1
       else {
         val userHit = if (userTrie == null) null else userTrie.longestMatch(line, i)
         val dictHit0 = dict.longestMatch(line, i)
@@ -108,18 +108,21 @@ final class JaTokenizer(
     if (hit.surface.length > 1) return true
     if (CharClasses.classOf(line.charAt(i)) != CharClasses.Kanji) return true
     if (hit.pos.startsWith("接頭詞") || hit.pos == "名詞-数") return true
-    i + 1 >= line.length || CharClasses.classOf(line.charAt(i + 1)) != CharClasses.Kanji
+    i + 1 >= line.length ||
+      CharClasses.classOfCp(line.codePointAt(i + 1)) != CharClasses.Kanji
   }
 
   /** End of the maximal same-class run starting at `from` (Kuromoji-style
-    * unknown-word grouping by character class).
+    * unknown-word grouping by character class); advances by code points so
+    * supplementary-plane kanji stay whole.
     */
   private def unknownRunEnd(line: String, from: Int): Int = {
-    val cls = CharClasses.classOf(line.charAt(from))
-    var i = from + 1
-    while (i < line.length && CharClasses.classOf(line.charAt(i)) == cls
+    val cls = CharClasses.classOfCp(line.codePointAt(from))
+    var i = from + Character.charCount(line.codePointAt(from))
+    while (i < line.length && CharClasses.classOfCp(line.codePointAt(i)) == cls
       && !allowHit(line, i, dict.longestMatch(line, i))
-      && (userTrie == null || userTrie.longestMatch(line, i) == null)) i += 1
+      && (userTrie == null || userTrie.longestMatch(line, i) == null))
+      i += Character.charCount(line.codePointAt(i))
     i
   }
 
@@ -135,18 +138,23 @@ final class JaTokenizer(
 
   private def emitUnknown(run: String, out: ArrayBuffer[String]): Unit = {
     if (mode == JaMode.Extended && isCjk(run)) {
-      // EXTENDED: unknown CJK runs are emitted as character unigrams
+      // EXTENDED: unknown CJK runs are emitted as code-point unigrams
       // (Kuromoji JapaneseTokenizer EXTENDED mode).
-      run.foreach(ch => emitToken(ch.toString, unknownPos(run), out))
+      var i = 0
+      while (i < run.length) {
+        val cp = run.codePointAt(i)
+        emitToken(new String(Character.toChars(cp)), unknownPos(run), out)
+        i += Character.charCount(cp)
+      }
     } else emitToken(run, unknownPos(run), out)
   }
 
-  private def isCjk(run: String): Boolean = CharClasses.classOf(run.charAt(0)) match {
+  private def isCjk(run: String): Boolean = CharClasses.classOfCp(run.codePointAt(0)) match {
     case CharClasses.Kanji | CharClasses.Katakana | CharClasses.Hiragana => true
     case _ => false
   }
 
-  private def unknownPos(run: String): String = CharClasses.classOf(run.charAt(0)) match {
+  private def unknownPos(run: String): String = CharClasses.classOfCp(run.codePointAt(0)) match {
     case CharClasses.Digit => "名詞-数"
     case _ => "名詞-一般"
   }

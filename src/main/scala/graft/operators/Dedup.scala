@@ -63,6 +63,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
+    // note: the internal cache lives until the session ends (there is no
+    // safe point to unpersist a frame the returned plan still reads);
+    // long-lived sessions issuing many near-dup queries should checkpoint
+    // or spark.catalog.clearCache() between batches
     val sh = hashedShingles(df, idCol, textCol, k).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("h"))

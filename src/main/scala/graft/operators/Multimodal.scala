@@ -31,7 +31,10 @@ object Multimodal {
     * (e.g. JPEG decode + CNN feature head). Replace the body, keep the
     * signature.
     */
-  def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+  def decodeStub(bytes0: Array[Byte]): (String, Int, Int, Int, Long) = {
+    // null media columns are common in curation tables: decode as empty
+    // rather than failing the task
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
     val n = bytes.length // raw byte length (DuckDB oracle: strlen)
     val fmt = (n % 3) match {
       case 0 => "png"
@@ -61,7 +64,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (codec/model handle)
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val (fmt, w, h, frames, featSum) = decodeStub(bytes)
           MediaFeatures(id, bytes.length, fmt, w, h, frames, featSum)
         }

@@ -40,13 +40,13 @@ object Sampling {
 /** Benchmark decontamination: flag/remove training documents whose content
   * fingerprint collides with a held-out evaluation set — the standard
   * pre-training hygiene step. The benchmark side is small → broadcast
-  * semi/anti join on the 8-byte fingerprint; the corpus scan never
+  * semi/anti join on a 128-bit md5 fingerprint (graft_hash64's ~2^30 range
+  * would false-positive at billion-doc scale); the corpus scan never
   * shuffles.
   */
 object Decontaminate {
 
-  private def fp(textCol: String): Column =
-    graft_hash64(concat_ws(" ", split(col(textCol), " ")))
+  private def fp(textCol: String): Column = md5(col(textCol))
 
   /** Corpus rows whose exact content fingerprint appears in `benchmark`. */
   def flagExact(corpus: DataFrame, benchmark: DataFrame, textCol: String): DataFrame = {

@@ -25,6 +25,10 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit one null-padded row PER SALT REPLICA for
+    // unmatched small-side keys, inflating multiplicity saltFactor-fold
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = large.withColumn("__salt", (rand() * saltFactor).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

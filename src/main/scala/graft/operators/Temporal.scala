@@ -12,6 +12,11 @@ object Temporal {
   /** As-of join: for every left row, attach the payload of the latest
     * right row with the same key and `right.ts <= left.ts`.
     *
+    * Contract: right rows whose payload is null are treated as ABSENT (the
+    * ignoreNulls window skips them) — an explicit "unset" right row does
+    * not shadow an earlier value. Use a sentinel payload if tombstone
+    * semantics are needed.
+    *
     * Implemented as union + ordered window (`last(_, ignoreNulls)` over an
     * unbounded-preceding frame) rather than a range join: ONE shuffle on
     * the key, no pair explosion, skew bounded by per-key row counts — the

@@ -20,12 +20,13 @@ object TextAnalysis {
   def quality(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
     val tk = toks(col(textCol))
-    val inStops = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    // typed lambda, not expr(): word lists with quotes and non-identifier
+    // column names must not break (or inject into) the plan
     df.select(
       col(idCol),
       size(tk).as("n_tokens"),
       size(array_distinct(tk)).as("n_uniq"),
-      expr(s"size(filter(split($textCol, ' '), x -> x IN $inStops))").as("n_stop"),
+      size(filter(tk, x => x.isin(stopwords: _*))).as("n_stop"),
       (aggregate(tk, lit(0), (acc, x) => acc + length(x)) / size(tk)).as("avg_tok_len"))
       .withColumn("ttr", col("n_uniq") / col("n_tokens"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
@@ -45,9 +46,8 @@ object TextAnalysis {
         "es" -> Seq("el", "los", "las", "y"))): DataFrame = {
     val scored = markers.foldLeft(df.select(col(idCol), col(textCol))) {
       case (d, (lang, words)) =>
-        val set = words.map(w => s"'$w'").mkString("(", ",", ")")
         d.withColumn(s"s_$lang",
-          expr(s"size(filter(split($textCol, ' '), x -> x IN $set))"))
+          size(filter(toks(col(textCol)), x => x.isin(words: _*))))
     }
     val best = markers.map { case (l, _) => col(s"s_$l") }
     val pred = markers.foldRight(lit("und"): Column) { case ((lang, _), alt) =>

@@ -443,10 +443,10 @@ object Pipeline {
     */
   val q53 = Q(
     "q53_decontaminate",
-    s"""WITH fp AS (SELECT doc_id, ${hashSql("text")} AS f FROM documents),
-       |bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 97 = 0)
-       |SELECT doc_id FROM fp WHERE f IN (SELECT f FROM bench)
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    """WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+      |bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 97 = 0)
+      |SELECT doc_id FROM fp WHERE f IN (SELECT f FROM bench)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     val bench = docs.where(col("doc_id") % 97 === 0)
     graft.operators.Decontaminate.flagExact(docs, bench, "text")

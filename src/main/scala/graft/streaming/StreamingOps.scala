@@ -8,10 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Structured Streaming surface (SURVEY.md §2-B "streaming" row): event-time
   * windows with watermarks, session windows, within-watermark dedup, and a
-  * custom stateful sessionizer. Every operator here takes the events schema
-  * (ts timestamp, user_id bigint, event_type string, value double) and works
-  * identically on a readStream source or a batch DataFrame (the batch twins
-  * are oracle-checked as q21/q22).
+  * custom stateful sessionizer. Operators take the events schema
+  * (ts timestamp, user_id bigint, event_type string, value double). The
+  * window aggregations work identically on a readStream source or a batch
+  * DataFrame (batch twins oracle-checked as q21/q22);
+  * `sessionizeStateful` is STREAMING-ONLY — in a batch query
+  * flatMapGroupsWithState never fires EventTimeTimeout, so still-open
+  * sessions would be dropped (use the q21 gaps-and-islands form for batch).
   *
   * Scale notes: state size is bounded by the watermark horizon — late data
   * past the watermark is dropped, closed windows/sessions are evicted; state
@@ -88,8 +91,11 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                // merge when within gap of EITHER session edge: a late
+                // arrival just before the session start must extend the
+                // start, not silently inherit it
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  cur = Some(SessState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   cur = Some(SessState(t, t, 1))

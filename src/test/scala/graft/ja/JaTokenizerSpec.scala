@@ -135,6 +135,14 @@ class JaTokenizerSpec extends AnyFunSuite {
 
   test("T4: half-width katakana folded to full-width (with voicing marks)") {
     assert(tok("ｻｰﾋﾞｽ") == Seq("サービス"))
+    assert(tok("ｳﾞｧｲｵﾘﾝ") == Seq("ヴァイオリン")) // ｳ+ﾞ composes to ヴ, not base+1
+    assert(tok("ﾊﾟﾝ") == Seq("パン")) // semi-voiced
+  }
+
+  test("supplementary-plane kanji (CJK ext B) survive as letters, not punctuation") {
+    assert(tok("𠮷野家") == Seq("𠮷野家")) // U+20BB7 groups with the kanji run
+    val uni = tok("𠮷野家", mode = "extended")
+    assert(uni == Seq("𠮷", "野", "家")) // EXTENDED unigrams by code point
   }
 
   test("T6: katakana prolonged mark stemmed at length>=4 only") {

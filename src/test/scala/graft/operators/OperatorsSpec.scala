@@ -84,6 +84,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 0) // neighbors 1 (label 0) and 2 (label 1) -> tie -> smaller label
   }
 
+  test("langId/quality survive word lists containing quotes (no SQL splicing)") {
+    val d = Seq((1L, "l' amour d' été")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(d, "doc_id", "text",
+      markers = Seq("fr" -> Seq("l'", "d'"), "en" -> Seq("the")))
+      .head()
+    assert(r.getAs[Int]("s_fr") == 2 && r.getAs[String]("predicted") == "fr")
+    val q = TextAnalysis.quality(d, "doc_id", "text", stopwords = Seq("l'", "d'")).head()
+    assert(q.getAs[Int]("n_stop") == 2)
+  }
+
+  test("saltedJoin rejects outer join types that would inflate multiplicity") {
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(large, small, "k", 4, "right"))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(large, small, "k", 4, "full_outer"))
+  }
+
+  private lazy val large = spark.range(0, 10).toDF("k")
+  private lazy val small = Seq((1L, "x")).toDF("k", "v")
+
+  test("multimodal stub tolerates null media") {
+    val d = Seq((1L, Array[Byte](65)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val r = Multimodal.extractFeatures(d, "doc_id", "media").collect()
+      .map(f => f.id -> f.byte_len).toMap
+    assert(r == Map(1L -> 1, 2L -> 0))
+  }
+
   test("quality metrics are exact on a known doc") {
     val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(d, "doc_id", "text").head()

@@ -108,6 +108,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer extends session start for late within-gap arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeStateful(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("t_fmgws_late").outputMode("append").start()
+    try {
+      mem.addData(Ev(5L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // late-but-within-watermark event 2 min BEFORE the session start
+      mem.addData(Ev(5L, ts("2024-01-01 09:58:00"), "view"))
+      q.processAllAvailable()
+      // new session far later closes the first one inline
+      mem.addData(Ev(5L, ts("2024-01-01 23:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("t_fmgws_late").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+      // session start moved back to 09:58 and counted both events
+      assert(rows.contains((5L, "2024-01-01 09:58:00.0", 2L)), s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("replaying the events table as a stream reproduces the oracle-checked batch result") {
     // batch twin: q22 (tumbling day window) — oracle-verified against DuckDB
     val batch = graft.SparkEntry.queries("q22_window_tumbling")(spark, "/root/testdata/sf0.001")
