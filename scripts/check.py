@@ -34,8 +34,12 @@ def main(sf_dir, out_dir):
     import os
     dumped = {d for d in os.listdir(out_dir) if not d.endswith(".json")}
     for name in sorted(dumped - set(oracle)):
-        n = con.sql(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
-        print(f"rows-only {name}: {n} rows (no oracle)")
+        try:
+            n = con.sql(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+            print(f"rows-only {name}: {n} rows (no oracle)")
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {type(e).__name__}: {e}")
+            n_bad += 1
     for name, sql in sorted(oracle.items()):
         try:
             got_names, got = rows_of(con.sql(

@@ -19,20 +19,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Full materialization via the noop sink: count() would let Catalyst
+    // prune projections and drop terminal sorts, timing a fraction of the
+    // real work. noop executes every expression and discards rows.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // JVM/codegen/parquet-footer warmup — not part of any measurement
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    run(SparkEntry.queries("q01_pricing_summary"))
     // min of 2 runs per query: this host shows up to 2x run-to-run noise
-    // (see PLANS.md); min is the standard estimator for intrinsic cost
+    // (see PLANS.md); min is the standard estimator for intrinsic cost.
+    // A failing query records -1 (visible in the JSON) + a stderr line.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

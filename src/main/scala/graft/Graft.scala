@@ -22,10 +22,19 @@ object GraftVersion {
   */
 object Graft {
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n,
+      s"Invalid number of arguments for function $name: expected $n, got ${exprs.length}")
+    exprs
+  }
+
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "tokenize_ja_neologd" -> (exprs => TokenizeJaNeologd(exprs)),
-    "graft_hash64" -> (exprs => graft.expr.GraftHash64(exprs.head)),
-    "cosine_sim" -> (exprs => graft.expr.CosineSimilarity(exprs(0), exprs(1))))
+    "graft_hash64" -> (exprs => graft.expr.GraftHash64(arity("graft_hash64", 1)(exprs).head)),
+    "cosine_sim" -> (exprs => {
+      val e = arity("cosine_sim", 2)(exprs)
+      graft.expr.CosineSimilarity(e(0), e(1))
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -34,20 +43,15 @@ object Graft {
     }
 }
 
-/** `spark.sql.extensions` installer. */
+/** `spark.sql.extensions` installer — same (arity-checked) builders as
+  * `Graft.register`.
+  */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("tokenize_ja_neologd"),
-      new ExpressionInfo(classOf[TokenizeJaNeologd].getName, "tokenize_ja_neologd"),
-      (exprs: Seq[Expression]) => TokenizeJaNeologd(exprs)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_hash64"),
-      new ExpressionInfo(classOf[graft.expr.GraftHash64].getName, "graft_hash64"),
-      (exprs: Seq[Expression]) => graft.expr.GraftHash64(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[graft.expr.CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => graft.expr.CosineSimilarity(exprs(0), exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Graft.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.expr", name),
+        builder))
+    }
 }

@@ -36,6 +36,7 @@ object Smoke {
     q.stop()
     val n = spark.table("smoke_stream").count()
     println(s"[smoke] streaming finalized windows=$n")
+    require(n > 0, "streaming smoke produced no finalized windows")
     spark.stop()
   }
 }

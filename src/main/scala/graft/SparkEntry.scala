@@ -7,7 +7,15 @@ import graft.queries.{Pipeline, Relational, Q}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val allQ: Seq[Q] = Relational.all ++ Pipeline.all
+  private val allQ: Seq[Q] = {
+    val qs = Relational.all ++ Pipeline.all
+    // toMap would silently drop a name collision — fail loudly instead
+    require(qs.map(_.name).distinct.size == qs.size,
+      "duplicate query names: " + qs.groupBy(_.name).collect {
+        case (n, g) if g.size > 1 => n
+      }.mkString(", "))
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The minimum end-to-end slice from SURVEY.md §7.3: scan → tokenize

@@ -55,6 +55,32 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Unit-normalize a vector into double elements; zero vector returned
+    * unchanged (as doubles); null element → null result. The norm is
+    * computed ONCE per row (the built-in transform-lambda formulation
+    * re-evaluates the norm fold per element — O(d²)).
+    */
+  def l2Normalize(a: ArrayData, float: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (float) a.getFloat(i).toDouble else a.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = if (float) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = if (norm == 0.0) x else x / norm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine in double, strict left-to-right accumulation; null on length
     * mismatch or zero norm. aFloat/bFloat select the element accessor.
     */

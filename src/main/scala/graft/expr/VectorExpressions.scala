@@ -60,6 +60,39 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `l2_normalize(a) → array<double>`: unit-normalize with the norm computed
+  * once per row (codegen'd kernel); zero vector passes through, null
+  * element → null.
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "l2_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName expects an array<float|double> argument")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.l2Normalize(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("l2n")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $res =
+         |  graft.expr.Kernels.l2Normalize($c, $isFloat);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `cosine_sim(a, b) → double` over array<float>/array<double> vectors.
   *
   * Accumulates in double, strictly left-to-right, so the result is

@@ -76,14 +76,11 @@ object functions {
   def l2_norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Unit-normalize a vector (null-safe via cosine conventions: zero vector
-    * stays zero).
+  /** Unit-normalize a vector — codegen'd expression computing the norm once
+    * per row (a transform-lambda formulation re-evaluates the norm fold per
+    * element, O(d²)). Zero vector passes through as doubles.
     */
-  def l2_normalize(a: Column): Column = {
-    val n = l2_norm(a)
-    org.apache.spark.sql.functions.when(n === 0.0, a.cast("array<double>"))
-      .otherwise(transform(a, x => x.cast("double") / n))
-  }
+  def l2_normalize(a: Column): Column = toCol(graft.expr.L2Normalize(toExpr(a)))
 
   private def strOrNull(s: String): Column =
     if (s == null) lit(null).cast("string") else lit(s)

@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2-C).
   *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * sketches (Broder 1997, "On the resemblance and containment of
+  * documents"), LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3), and SimHash (Charikar 2002, "Similarity estimation
+  * techniques from rounding algorithms").
+  *
   * All operators are stateless DataFrame→DataFrame transforms built from
   * shuffle-keyed built-ins — no driver-side collect anywhere — so they
   * scale with partition count: shingle/signature explosion is map-side,

@@ -9,7 +9,8 @@ import graft.functions.cosine_sim
 /** IVF (inverted-file) approximate nearest neighbor over an embedding
   * column — the classic two-level ANN: k-means-style coarse quantizer →
   * per-centroid posting lists → queries probe only the `nprobe` nearest
-  * lists.
+  * lists (the IVF stage of Jégou/Douze/Schmid 2011, "Product quantization
+  * for nearest neighbor search", sans the PQ residual codes).
   *
   * Scale shape (SURVEY.md §2-C): centroid fitting is the ONLY driver-side
   * state and is sample-bounded (nlist × dim floats — kilobytes); assignment
