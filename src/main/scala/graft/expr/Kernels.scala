@@ -55,6 +55,85 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** SimHash signature over the space-separated token multiset, one char
+    * pass per row (no explode/aggregate): bit b of the result is set iff
+    * Σ_tokens (±1 by bit b of polyHash(token)) > 0. Token boundaries follow
+    * split(" ", -1) semantics (empty tokens kept, including a trailing one),
+    * so the value is bit-identical to the explode + per-bit-sum formulation
+    * the DuckDB oracle uses.
+    */
+  def simhash64(s: UTF8String, bits: Int): Long = {
+    val str = s.toString
+    val counts = new Array[Int](bits)
+    val n = str.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        var h = 0L
+        var c = start
+        while (c < i) {
+          val cp = str.codePointAt(c)
+          h = (h * 131 + cp) % 1000000007L
+          c += Character.charCount(cp)
+        }
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Nearest centroid by cosine (ordered-fold, same accumulation order as
+    * `cosine`): returns the smallest index among maxima; vectors with no
+    * valid cosine against any centroid (zero norm) fall back to index 0 —
+    * matching a `row_number over (order by cos desc nulls last, cid)` pick.
+    */
+  def nearestCentroid(a: ArrayData, centroids: Array[Array[Double]], aFloat: Boolean): Int = {
+    val n = a.numElements
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      if (c.length == n) {
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          if (a.isNullAt(i)) ok = false
+          else {
+            val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+            val y = c(i)
+            dot += x * y
+            na += x * x
+            nb += y * y
+            i += 1
+          }
+        }
+        if (ok && na != 0.0 && nb != 0.0) {
+          val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (cos > best) { best = cos; bestIdx = ci }
+        }
+      }
+      ci += 1
+    }
+    bestIdx
+  }
+
   /** Unit-normalize a vector into double elements; zero vector returned
     * unchanged (as doubles); null element → null result. The norm is
     * computed ONCE per row (the built-in transform-lambda formulation

@@ -60,6 +60,64 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `simhash64(text, bits)` → bigint: per-row SimHash signature over the
+  * space-separated token multiset (Charikar 2002). Fuses split + per-token
+  * hash + per-bit vote into one codegen'd char pass — the explode + `bits`
+  * sum-aggregates formulation shuffles every token, while this is a pure
+  * projection (zero shuffle). Bit-identical to that formulation (and to the
+  * DuckDB oracle's unnest + per-bit SUM).
+  */
+case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Kernels.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.simhash64($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `nearest_centroid(emb)` → int: index of the cosine-nearest centroid in a
+  * plan-embedded (broadcast-with-the-task) centroid table — the shuffle-free
+  * IVF assignment path: a per-row argmax needs no crossJoin, no window, no
+  * exchange. Ties pick the smallest index; a vector with no valid cosine
+  * (zero norm) falls back to index 0 (matching `row_number over (order by
+  * cos desc nulls last, cid)`).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName expects an array<float|double> argument")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(Kernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.nearestCentroid($c, $cRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `l2_normalize(a) → array<double>`: unit-normalize with the norm computed
   * once per row (codegen'd kernel); zero vector passes through, null
   * element → null.

@@ -65,6 +65,19 @@ object functions {
   def shingle_hashes(text: Column, k: Int): Column =
     toCol(graft.expr.ShingleHashes(toExpr(text), k))
 
+  /** Per-row SimHash signature of a space-separated text (codegen'd fused
+    * split+hash+vote; see graft.expr.SimHash64). A pure projection — the
+    * scale-safe replacement for explode + per-bit sum aggregation.
+    */
+  def simhash64(text: Column, bits: Int): Column =
+    toCol(graft.expr.SimHash64(toExpr(text), bits))
+
+  /** Index of the cosine-nearest centroid (shuffle-free per-row argmax over
+    * plan-embedded centroids; see graft.expr.NearestCentroid).
+    */
+  def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    toCol(graft.expr.NearestCentroid(toExpr(emb), centroids))
+
   /** Dot product of two vectors via ordered fold (zip_with + aggregate —
     * pure built-ins, codegen'd).
     */

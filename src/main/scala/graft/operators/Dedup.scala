@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Reuse point for an intermediate frame read by several downstream
+    * subtrees. DISK_ONLY, not MEMORY: a library operator must never pin an
+    * unbounded corpus-sized frame in executor memory at 100 TB — disk blocks
+    * spill-proof and still break subtree duplication. The persist lives
+    * until the session ends (there is no safe point to unpersist a frame
+    * the returned plan still reads); long-lived sessions issuing many
+    * near-dup queries should `spark.catalog.clearCache()` between batches.
+    */
+  private def stage(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** Deterministic polynomial hash constants (mirrored in DuckDB oracles). */
   final val P = 1000000007L
   def hashA(i: Int): Long = 1103L * i + 12289L
@@ -65,15 +76,28 @@ object Dedup {
     * true-duplicate density, not |docs|². Pick k large enough that random
     * shingle collisions are rare (k=6 over a 31-word vocabulary ⇒ 887M-value
     * space; hash space 1e9+7).
+    *
+    * `maxShingleDocFreq` is the hot-key density control for corpus scale: a
+    * shingle appearing in more than this many documents (boilerplate,
+    * license headers) would contribute a quadratic number of join rows on a
+    * single key; such shingles are dropped from the representation entirely
+    * (both the shared counts AND the per-doc sizes — set semantics stay
+    * consistent, like a stopword). The hot set is tiny by construction
+    * (Zipf tail), so it broadcasts.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    // note: the internal cache lives until the session ends (there is no
-    // safe point to unpersist a frame the returned plan still reads);
-    // long-lived sessions issuing many near-dup queries should checkpoint
-    // or spark.catalog.clearCache() between batches
-    val sh = hashedShingles(df, idCol, textCol, k).cache()
+      k: Int, threshold: Double,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val all = stage(hashedShingles(df, idCol, textCol, k))
+    val sh =
+      if (maxShingleDocFreq == Int.MaxValue) all
+      else {
+        // rows of `all` are distinct (id, h), so count(*) per h = doc freq
+        val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDocFreq).select(col("h"))
+        all.join(broadcast(hot), Seq("h"), "left_anti")
+      }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("id").as("id_a"), col("h"))
     val b = sh.select(col("id").as("id_b"), col("h"))
@@ -120,7 +144,7 @@ object Dedup {
     val r = numHashes / bands
     // one materialization of the hashed shingles feeds signatures, sizes,
     // and the verification join
-    val sh = hashedShingles(df, idCol, textCol, k).cache()
+    val sh = stage(hashedShingles(df, idCol, textCol, k))
     val sigs = minhashFromHashed(sh, numHashes)
     def bandHash(j: Int): Column =
       (0 until r).foldLeft(lit(0L)) { (acc, i) =>
@@ -129,12 +153,11 @@ object Dedup {
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("bidx"), bandHash(j).as("bval"))
     }: _*)
-    // cached: the self-join below would otherwise duplicate the whole
+    // staged: the self-join below would otherwise duplicate the whole
     // signature-aggregation subtree (one copy per join side) — visible as
     // two partial_min(…)×16 HashAggregates in the physical plan
-    val bandsDf = sigs.select(col("id"), explode(bandStructs).as("band"))
-      .select(col("id"), col("band.bidx").as("bidx"), col("band.bval").as("bval"))
-      .cache()
+    val bandsDf = stage(sigs.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("id"), col("band.bidx").as("bidx"), col("band.bval").as("bval")))
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval")
           && col("x.id") < col("y.id"))
@@ -157,21 +180,15 @@ object Dedup {
   }
 
   /** SimHash over the token multiset: `bits`-wide signature where bit b is
-    * set iff Σ_tokens (±1 by bit b of graft_hash64(token)) > 0. One
-    * explode + one hash aggregation with `bits` sum columns.
+    * set iff Σ_tokens (±1 by bit b of graft_hash64(token)) > 0. A pure
+    * per-row projection (fused codegen'd kernel — zero shuffle, unlike the
+    * explode + `bits` sum-aggregates formulation, which moves every token
+    * through an exchange). A null text yields a null signature row (the
+    * explode form silently dropped such docs).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 30): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), graft.functions.graft_hash64(col("tok")).as("h"))
-    val sums = (0 until bits).map { b =>
-      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b")
-    }
-    val agg = tok.groupBy(col("id")).agg(sums.head, sums.drop(1): _*)
-    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
-    }
-    agg.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 30): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.simhash64(col(textCol), bits).as("simhash"))
 
   /** Hamming distance between two simhash signatures (bit_count of XOR). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -35,14 +35,18 @@ object Similarity {
       .select(col("qid"), col("nid"), col("label"), col("cos"), col("rn"))
   }
 
-  /** Sign-bucket LSH: bucket id = sign bits of the first `signBits`
-    * dimensions. Bucketed ANN top-k: queries only meet candidates in their
-    * own bucket (equi-join on bucket ⇒ hash-partitioned, no cross join).
+  /** Sign-bucket LSH: bucket id = sign bits of dimensions
+    * offset+1 .. offset+signBits (axis-aligned hyperplanes — SQL-expressible
+    * in any engine, which keeps the oracle exact). Bucketed ANN top-k:
+    * queries only meet candidates in their own bucket (equi-join on bucket
+    * ⇒ hash-partitioned, no cross join).
     */
-  def signBucket(emb: Column, signBits: Int): Column =
+  def signBucketAt(emb: Column, offset: Int, signBits: Int): Column =
     (1 to signBits).foldLeft(lit(0)) { (acc, i) =>
-      acc + when(element_at(emb, i) > 0f, lit(1 << (i - 1))).otherwise(0)
+      acc + when(element_at(emb, offset + i) > 0f, lit(1 << (i - 1))).otherwise(0)
     }
+
+  def signBucket(emb: Column, signBits: Int): Column = signBucketAt(emb, 0, signBits)
 
   def bucketedCosineTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, signBits: Int = 8): DataFrame = {
@@ -71,18 +75,38 @@ object Similarity {
       .select(col("qid"), col("label").as("predicted_label"), col("votes"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within sign buckets:
-    * (id_a < id_b, cos ≥ threshold). The bucket equi-join bounds the pair
-    * space; exact cosine verifies.
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    * `numTables` independent tables, table t bucketing on the sign pattern
+    * of dimensions [t·signBits+1, (t+1)·signBits] (numTables·signBits must
+    * not exceed the embedding dimension). A pair is a candidate iff it
+    * agrees on SOME table's entire bucket; exact cosine then verifies
+    * (id_a < id_b, cos ≥ threshold).
+    *
+    * Scale controls: size `signBits` ≈ log2(N / target bucket size) so the
+    * expected bucket stays O(1) as the corpus grows — a fixed bucket count
+    * makes the within-bucket self-join O(N²/buckets), i.e. still quadratic.
+    * `numTables` buys recall (a near-dup pair only needs one agreeing
+    * block) at linear candidate-generation cost. Candidate generation
+    * carries only (vec_id, table, bucket) — embeddings rejoin by id
+    * afterwards, so the wide vectors never ride the candidate shuffle.
     */
   def embeddingNearDupPairs(
-      corpus: DataFrame, threshold: Double, signBits: Int = 8): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), signBits).as("bucket"))
-    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+      corpus: DataFrame, threshold: Double,
+      signBits: Int = 8, numTables: Int = 8): DataFrame = {
+    val tables = array((0 until numTables).map { tIdx =>
+      struct(lit(tIdx).as("tbl"),
+        signBucketAt(col("embedding"), tIdx * signBits, signBits).as("bkt"))
+    }: _*)
+    val keyed = corpus.select(col("vec_id"), explode(tables).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -70,10 +70,19 @@ object TextAnalysis {
         concat_ws(" ", array_sort(array_distinct(tk)))).as("fp_bag"))
   }
 
-  /** Global token frequencies with dense rank. */
-  def tokenFreq(df: DataFrame, textCol: String): DataFrame = {
+  /** Top-`topK` global token frequencies with dense rank. Bounded by
+    * construction: the count aggregation is partial+final, and the global
+    * order materializes as TakeOrderedAndProject (per-partition top-K, then
+    * a K-row merge) — NOT a global sort or a single-partition window over
+    * the full distinct-token table, which would funnel every distinct token
+    * through one task at corpus scale. The rank window then runs over ≤ K
+    * rows (a user constant), which is O(K) regardless of corpus size.
+    */
+  def tokenFreq(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
     val counts = df.select(explode(toks(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(topK)
     counts.withColumn("rnk",
       dense_rank().over(Window.orderBy(col("n").desc, col("tok"))))
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -47,6 +47,13 @@ object Pipeline {
     (0 until 8).map(i => s"(CASE WHEN $e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Sign-bucket of 8 dims starting at a SQL offset expression (matches
+    * Similarity.signBucketAt with signBits=8).
+    */
+  private def bucketSqlAt(e: String, offset: String): String =
+    (0 until 8).map(i => s"(CASE WHEN $e[$offset + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
   // ---- dedup family ----
 
   val q30 = Q(
@@ -57,21 +64,30 @@ object Pipeline {
       .orderBy("content_md5")
   }
 
+  /** q31 exercises the hot-shingle density control (maxShingleDocFreq=50):
+    * a shingle in more docs than the cap is dropped from the representation
+    * (shared counts AND sizes), bounding the worst join key at corpus scale.
+    * The oracle mirrors the cap exactly.
+    */
   val q31 = Q(
     "q31_neardup_ngram",
     s"""WITH $shingleCtes,
+       |hot AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 50),
+       |hs2 AS (SELECT * FROM hs WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes2 AS (SELECT doc_id, COUNT(*) n FROM hs2 GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
-       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM hs2 a JOIN hs2 b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
        |FROM pairs
-       |JOIN sizes sa ON sa.doc_id = id_a
-       |JOIN sizes sb ON sb.doc_id = id_b
+       |JOIN sizes2 sa ON sa.doc_id = id_a
+       |JOIN sizes2 sb ON sb.doc_id = id_b
        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 6, threshold = 0.8)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 6, threshold = 0.8,
+      maxShingleDocFreq = 50)
       .orderBy("id_a", "id_b")
   }
 
@@ -179,15 +195,28 @@ object Pipeline {
       .orderBy("qid")
   }
 
+  /** q37 runs banded hyperplane LSH (8 tables × 8 sign bits covering all 64
+    * dims): a pair is a candidate iff some 8-dim block's sign pattern
+    * agrees — strictly higher recall than the old single-table form, with
+    * bucket-keyed (sub-quadratic) candidate generation. Oracle mirrors the
+    * banding exactly.
+    */
   val q37 = Q(
     "q37_embed_neardup",
-    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
-       |SELECT a.vec_id id_a, b.vec_id id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
-       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    s"""WITH tb AS (SELECT unnest(range(0, 8)) AS tbl),
+       |e AS (SELECT vec_id, tbl, ${bucketSqlAt("embedding", "tbl * 8")} AS bkt
+       |      FROM embeddings CROSS JOIN tb),
+       |cand AS (SELECT DISTINCT x.vec_id id_a, y.vec_id id_b
+       |  FROM e x JOIN e y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM cand
+       |JOIN embeddings a ON a.vec_id = id_a
+       |JOIN embeddings b ON b.vec_id = id_b
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     graft.Graft.register(s)
-    Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+    Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4,
+      signBits = 8, numTables = 8)
       .orderBy("id_a", "id_b")
   }
 
@@ -237,13 +266,20 @@ object Pipeline {
     TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
   }
 
+  /** q41's rank is bounded top-K (K=1000): the plan must be TakeOrdered +
+    * an O(K) window, never a single-partition window over every distinct
+    * token (asserted in PlanShapeSpec).
+    */
   val q41 = Q(
     "q41_token_freq",
-    """SELECT tok, COUNT(*) AS n,
-      |  DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
-      |FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
-      |GROUP BY tok ORDER BY rnk""".stripMargin) { (s, dir) =>
-    TextAnalysis.tokenFreq(t(s, dir, "documents"), "text").orderBy("rnk")
+    """WITH counts AS (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
+      |  GROUP BY tok),
+      |top AS (SELECT * FROM counts ORDER BY n DESC, tok LIMIT 1000)
+      |SELECT tok, n, DENSE_RANK() OVER (ORDER BY n DESC, tok) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenFreq(t(s, dir, "documents"), "text", topK = 1000).orderBy("rnk")
   }
 
   val q42 = Q(
@@ -351,16 +387,30 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
-  /** HLL sketch aggregation — approx values are engine-specific, so this
-    * runs under the driver's weaker rows-only check (no oracle SQL);
-    * accuracy vs exact counts (both rsd settings) is asserted in
-    * MiscSurfaceSpec, which executes this same query.
+  /** HLL sketch aggregation under a REAL oracle: raw sketch values are
+    * engine-specific (DuckDB cannot reproduce Spark's HLL++ bits), so the
+    * query emits exact distinct counts PLUS booleans asserting the sketch
+    * landed within its error budget (3σ of the configured rsd: 15% for the
+    * default 5%, 6% for rsd=0.02). The oracle states the booleans as TRUE —
+    * if the sketch ever drifts outside the budget the hash-compare fails,
+    * so HLL accuracy itself sits inside the correctness gate.
     */
-  val q49 = Q.noOracle("q49_approx_distinct") { (s, dir) =>
+  val q49 = Q(
+    "q49_approx_distinct",
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(DISTINCT props) AS exact_props,
+      |  TRUE AS approx_users_ok, TRUE AS approx_props_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("props"), 0.02).as("approx_props"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("props")).as("exact_props"),
+        approx_count_distinct(col("user_id")).as("au"),
+        approx_count_distinct(col("props"), 0.02).as("ap"))
+      .select(col("event_type"), col("exact_users"), col("exact_props"),
+        (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.15).as("approx_users_ok"),
+        (abs(col("ap") - col("exact_props")) <= col("exact_props") * 0.06).as("approx_props_ok"))
       .orderBy("event_type")
   }
 
@@ -454,6 +504,65 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** One Lloyd iteration of the q54 oracle: assign the sample to the
+    * centroids of CTE `$prev` (argmax cosine, ties → smallest cid), then
+    * dim-wise means via an ordered double fold in vec_id order — the exact
+    * accumulation order of IvfIndex.fit, so centroids match bit-for-bit.
+    */
+  private def ivfIterSql(prev: String, n: Int): String =
+    s"""a$n AS (SELECT vec_id, v, cid FROM (
+       |  SELECT s.vec_id, s.v, $prev.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |      ORDER BY ${cosSql("s.v", s"$prev.c")} DESC NULLS LAST, $prev.cid) rn
+       |  FROM s CROSS JOIN $prev) WHERE rn = 1),
+       |m$n AS (SELECT cid, dim,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v[dim] ORDER BY vec_id)),
+       |      (acc, x) -> acc + x) / COUNT(*) AS mean
+       |  FROM a$n CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+       |  GROUP BY cid, dim),
+       |c$n AS (SELECT $prev.cid, coalesce(u.c, $prev.c) AS c
+       |  FROM $prev LEFT JOIN (SELECT cid, list(mean ORDER BY dim) AS c
+       |                        FROM m$n GROUP BY cid) u USING (cid))""".stripMargin
+
+  /** Full IVF pipeline under the oracle: fit (2 deterministic Lloyd
+    * iterations on the vec_id%7 sample, nlist=4) → assign → probe search
+    * (nprobe=2, k=5). The DuckDB oracle replays fit bit-for-bit (ordered
+    * folds), then the same argmax assignment and probe top-k.
+    */
+  val q54 = Q(
+    "q54_ivf_search",
+    s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id % 7 = 0),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 4)),
+       |${ivfIterSql("c0", 1)},
+       |${ivfIterSql("c1", 2)},
+       |q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |      FROM embeddings WHERE vec_id % 100 = 0),
+       |pr AS (SELECT qid, qv, cid FROM (
+       |        SELECT q.qid, q.qv, c2.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY q.qid
+       |            ORDER BY ${cosSql("q.qv", "c2.c")} DESC NULLS LAST, c2.cid) rn
+       |        FROM q CROSS JOIN c2) WHERE rn <= 2),
+       |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |         FROM embeddings),
+       |asg AS (SELECT vec_id AS nid, v AS nv, cid FROM (
+       |         SELECT corp.vec_id, corp.v, c2.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+       |             ORDER BY ${cosSql("corp.v", "c2.c")} DESC NULLS LAST, c2.cid) rn
+       |         FROM corp CROSS JOIN c2) WHERE rn = 1),
+       |cand AS (SELECT pr.qid, asg.nid, ${cosSql("pr.qv", "asg.nv")} AS cos
+       |         FROM pr JOIN asg USING (cid) WHERE asg.nid <> pr.qid)
+       |SELECT qid, nid, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM cand)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    val m = IvfIndex.fit(emb.where(col("vec_id") % 7 === 0), nlist = 4, iters = 2)
+    IvfIndex.search(emb, emb.where(col("vec_id") % 100 === 0), m, k = 5, nprobe = 2)
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

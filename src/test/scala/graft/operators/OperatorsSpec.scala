@@ -51,6 +51,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
+    // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
+    // doc has 2 shingles, one of which (the hot one) appears in all 30
+    val hotDocs = (1 to 30).map(i => (i.toLong, s"h1 h2 h3 h4 h5 h6 u$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", k = 6, threshold = 0.3)
+    assert(uncapped.count() == 30L * 29 / 2) // every pair shares the hot shingle: jac = 1/3
+    val capped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", k = 6, threshold = 0.3,
+      maxShingleDocFreq = 10)
+    assert(capped.count() == 0) // hot shingle dropped; remaining shingles unique per doc
+    // cap above the actual doc frequency changes nothing
+    val loose = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", k = 6, threshold = 0.3,
+      maxShingleDocFreq = 30)
+    assert(loose.count() == 30L * 29 / 2)
+  }
+
+  test("simhash kernel is bit-identical to the explode + per-bit-sum formulation") {
+    val tricky = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a  b"),            // empty token between double spaces
+      (3L, "trailing "),       // trailing empty token
+      (4L, ""),                // single empty token
+      (5L, "日本語 トークン 混在 text")) // non-ASCII code points
+      .toDF("doc_id", "text")
+    val bits = 30
+    // reference formulation: explode + 30 sum aggregates (the pre-kernel shape)
+    val tok = tricky.select($"doc_id".as("id"),
+      explode(split($"text", " ")).as("tok"))
+      .select($"id", graft.functions.graft_hash64($"tok").as("h"))
+    val sums = (0 until bits).map(b => sum(shiftright($"h", b) % 2 * 2 - 1).as(s"s$b"))
+    val agg = tok.groupBy($"id").agg(sums.head, sums.drop(1): _*)
+    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }
+    val expected = agg.select($"id", sig.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = Dedup.simhash(tricky, "doc_id", "text", bits).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+  }
+
+  test("simhash is a pure projection: no shuffle, no explode in the plan") {
+    val plan = Dedup.simhash(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("simhash: identical docs share signatures; signature is stable") {
     val r = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
