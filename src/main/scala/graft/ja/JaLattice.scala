@@ -1,0 +1,147 @@
+package graft.ja
+
+/** Cost model for the Viterbi lattice (JaTokenizer): morpheme classes, the
+  * class-transition connection matrix, per-class word costs, and
+  * unknown-word costs.
+  *
+  * This is the compact-class analogue of MeCab/Kuromoji's full left/right
+  * connection-id matrices (the reference builds those from mecab-ipadic-
+  * NEologd, /root/reference/build.sh:104-161; no corpus statistics are
+  * available offline, so transitions are hand-assigned per grammatical
+  * class instead of per context id). Costs are unit-free integers; lower is
+  * better. The invariants the tuning maintains:
+  *
+  *   - dictionary morphemes beat unknown runs covering the same span;
+  *   - one long unknown run beats the same run fragmented (base cost is
+  *     paid per token, so grouping is naturally subadditive);
+  *   - long lexicalized entries (NEologd named entities) beat their
+  *     compositional segmentations in NORMAL mode via the length bonus;
+  *   - inflected verb/adjective forms attract their auxiliaries
+  *     (使っ+た, 高かっ+た) through negative connection costs.
+  */
+private[ja] object JaCosts {
+
+  // connection classes
+  final val BOS = 0
+  final val Particle = 1
+  final val Aux = 2
+  final val VerbInfl = 3 // non-terminal conjugated form (base set): 使っ, 書か
+  final val VerbTerm = 4 // terminal/dictionary form: 使う
+  final val AdjInfl = 5 // 高く, 高かっ
+  final val AdjTerm = 6 // 高い
+  final val Noun = 7
+  final val NounSuffix = 8 // 名詞-接尾: 系, 者, 的
+  final val Prefix = 9 // 接頭詞: 第, 約
+  final val Num = 10 // 名詞-数 and digit runs
+  final val Adv = 11 // adverbs, conjunctions, adnominals, interjections
+  final val Unknown = 12
+  final val Sahen = 13 // 名詞-サ変接続: attracts する/し (発表した)
+  final val NumClasses = 14
+
+  def classOf(e: DictEntry): Int = {
+    val pos = e.pos
+    if (pos.startsWith("助詞")) Particle
+    else if (pos.startsWith("助動詞")) Aux
+    else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
+    else if (pos.startsWith("形容詞")) { if (e.base.nonEmpty) AdjInfl else AdjTerm }
+    else if (pos == "名詞-数") Num
+    else if (pos == "名詞-サ変接続") Sahen
+    else if (pos.startsWith("名詞-接尾")) NounSuffix
+    else if (pos.startsWith("接頭詞")) Prefix
+    else if (pos.startsWith("副詞") || pos.startsWith("接続詞") ||
+      pos.startsWith("連体詞") || pos.startsWith("感動詞")) Adv
+    else Noun
+  }
+
+  /** conn(left, right): cost of `right` following `left`. */
+  val conn: Array[Array[Int]] = {
+    val m = Array.fill(NumClasses, NumClasses)(0)
+    def set(a: Int, b: Int, v: Int): Unit = m(a)(b) = v
+    // sentences/regions rarely open with dependent morphemes
+    set(BOS, Particle, 1200); set(BOS, Aux, 1500); set(BOS, NounSuffix, 1200)
+    // canonical attachments
+    set(Noun, Particle, -300); set(Particle, Noun, -200)
+    set(VerbInfl, Aux, -800) // 使っ+た
+    set(VerbInfl, Particle, -300) // 使っ+て
+    set(AdjInfl, Aux, -500) // 高かっ+た
+    set(Aux, Aux, -300) // でし+た
+    set(Noun, Aux, -200) // テスト+です
+    set(Noun, NounSuffix, -400) // 研究+者 (kept above 接尾 compound traps)
+    set(Num, NounSuffix, -600) // 三+回
+    set(Prefix, Num, -700) // 第+二
+    set(Prefix, Noun, -500) // 新+技術
+    // サ変接続 noun behaves as a noun, plus attracts する/し (発表した —
+    // the canonical light-verb pattern, so 発表+し beats 発+表し)
+    set(Sahen, Particle, -300); set(Particle, Sahen, -200)
+    set(Sahen, Aux, -200)
+    set(Sahen, NounSuffix, -400)
+    set(Prefix, Sahen, -500)
+    set(Sahen, VerbInfl, -700); set(Sahen, VerbTerm, -700)
+    // discourage fragmenting
+    set(Num, Num, 300)
+    set(Particle, Particle, 200)
+    set(Unknown, Unknown, 400)
+    m
+  }
+
+  /** Cost of ending the region after a token of each class. */
+  val eos: Array[Int] = {
+    val a = Array.fill(NumClasses)(0)
+    a(Prefix) = 1000
+    a(VerbInfl) = 400
+    a
+  }
+
+  private def posBase(e: DictEntry): Int = {
+    val pos = e.pos
+    if (pos.startsWith("助詞")) 500
+    else if (pos.startsWith("助動詞")) 600
+    else if (pos == "名詞-数") 2000
+    else if (pos.startsWith("名詞-接尾")) 3000 // costly enough not to tear compounds
+    else if (pos.startsWith("接頭詞")) 2200
+    else if (pos.startsWith("名詞-固有名詞")) 3200
+    else if (pos.startsWith("動詞") || pos.startsWith("形容詞") ||
+      pos.startsWith("副詞") || pos.startsWith("接続詞") ||
+      pos.startsWith("連体詞") || pos.startsWith("感動詞")) 2800
+    else 3000
+  }
+
+  /** Embedded-dictionary word cost: class base minus a length bonus (longer
+    * lexicalized entries win over their parts — the NEologd contract),
+    * floored so chains of long entries cannot go cost-negative.
+    */
+  def dictCost(e: DictEntry, cpLen: Int): Int =
+    math.max(100, posBase(e) - 400 * (cpLen - 1))
+
+  /** User-dictionary entries outrank every embedded/unknown alternative on
+    * their span (the Kuromoji user-dict contract).
+    */
+  def userCost(cpLen: Int): Int = -3000 - 400 * cpLen
+
+  /** Unknown-run cost by character class: base paid per token (grouping is
+    * subadditive) + per-code-point slope. Hiragana is steep (function words
+    * should come from the dictionary); Latin/digit runs group cheaply.
+    */
+  def unknownCost(cls: CharClasses.CharClass, cpLen: Int): Int = cls match {
+    case CharClasses.Kanji => 4500 + 1400 * cpLen
+    case CharClasses.Katakana => 4500 + 1000 * cpLen
+    case CharClasses.Hiragana => 4800 + 1700 * cpLen
+    case CharClasses.Latin => 3500 + 300 * cpLen
+    case CharClasses.Digit => 2000 + 300 * cpLen
+    case _ => 4000 + 1000 * cpLen
+  }
+
+  final val SearchKanjiLen = 3 // kanji tokens this long or longer are penalized
+  final val SearchKanjiPenalty = 2000
+  final val SearchOtherLen = 7
+  final val SearchOtherPenalty = 1500
+
+  /** SEARCH/EXTENDED-mode long-token penalty (the Kuromoji search-mode
+    * heuristic: long tokens pay per extra character so the lattice prefers
+    * decomposing compounds into known sub-words when they exist).
+    */
+  def searchPenalty(allKanji: Boolean, cpLen: Int): Int =
+    if (allKanji && cpLen >= SearchKanjiLen) (cpLen - SearchKanjiLen + 1) * SearchKanjiPenalty
+    else if (cpLen >= SearchOtherLen) (cpLen - SearchOtherLen + 1) * SearchOtherPenalty
+    else 0
+}

@@ -29,11 +29,18 @@ object JaMode {
   * KuromojiNEologdUDF.java:131–163 building Lucene's JapaneseAnalyzer over
   * the NEologd dictionary).
   *
-  * Segmentation is dictionary-first longest-match over (user dict ≻ embedded
-  * dict) with character-class fallback runs for unknown text — the
-  * documented divergence from Kuromoji's Viterbi lattice (SURVEY.md §7.4);
-  * all golden sequences from the reference's tests/docs are covered by
-  * explicit dictionary entries. Filter chain, in reference order:
+  * Segmentation is a cost-based Viterbi lattice (the Kuromoji/MeCab
+  * algorithm): at every position all dictionary prefixes (user dict and
+  * embedded dict) plus unknown same-class character runs enter the lattice
+  * as edges, and dynamic programming over (position, connection class)
+  * picks the globally cheapest path under JaCosts' class-transition matrix.
+  * User-dictionary edges carry strongly negative costs, so they win their
+  * span in every mode (the Kuromoji user-dict contract); SEARCH/EXTENDED
+  * add the Kuromoji long-token penalty so lexicalized compounds decompose
+  * into known sub-words. Connection costs are a compact class-transition
+  * matrix rather than mecab-ipadic's corpus-trained id matrices — the
+  * remaining documented divergence from the reference (SURVEY.md §7.4).
+  * Filter chain, in reference order:
   *
   *   T1 segmentation + punctuation discard (discardPunctuation=true)
   *   T2 base-form mapping (使った→使う; NEologd normalization T8)
@@ -75,55 +82,154 @@ final class JaTokenizer(
       val cp = line.codePointAt(i) // code-point-wise: surrogate pairs intact
       if (CharClasses.classOfCp(cp) == CharClasses.Punct) i += Character.charCount(cp) // T1
       else {
-        val userHit = if (userTrie == null) null else userTrie.longestMatch(line, i)
-        val dictHit0 = dict.longestMatch(line, i)
-        val dictHit = if (allowHit(line, i, dictHit0)) dictHit0 else null
-        // user dict wins ties; otherwise longest match wins
-        val useUser = userHit != null &&
-          (dictHit == null || userHit.surface.length >= dictHit.surface.length)
-        val hit = if (useUser) userHit else dictHit
-        if (hit != null) {
-          emitEntry(hit, useUser, out)
-          i += hit.surface.length
-        } else {
-          val end = unknownRunEnd(line, i)
-          emitUnknown(line.substring(i, end), out)
-          i = end
-        }
+        // maximal punctuation-free region: the lattice unit (tokens never
+        // span punctuation; discardPunctuation=true per the reference)
+        var end = i + Character.charCount(cp)
+        while (end < n && CharClasses.classOfCp(line.codePointAt(end)) != CharClasses.Punct)
+          end += Character.charCount(line.codePointAt(end))
+        segmentRegion(line, i, end, out)
+        i = end
       }
     }
     out.toArray
   }
 
-  /** Guard against greedy single-kanji matches tearing apart unknown kanji
-    * compounds (意見 → 意|見る, 今回 → 今|回): a 1-char kanji entry only
-    * matches when the next char does NOT continue a kanji run. Number
-    * prefixes (接頭詞) and numerals (名詞-数) are exempt — 第|二|引数 is the
-    * correct segmentation (golden G5). User-dict hits always apply (the
-    * user declared them). This replaces the cost-based disambiguation of
-    * the reference's Viterbi lattice (documented divergence, SURVEY §7.4).
+  private final val Inf = Int.MaxValue / 4
+  private final val MaxUnknownCp = 24 // unknown-edge prefix lengths generated per position
+
+  private val searchMode = mode != JaMode.Normal
+
+  /** Viterbi over one punctuation-free region [from, end): states are
+    * (position, connection class); edges are dictionary matches (all prefix
+    * lengths), user-dictionary matches, and unknown same-class run
+    * prefixes. The cheapest path under JaCosts is backtracked and emitted
+    * through the T2–T7 filter chain.
     */
-  private def allowHit(line: String, i: Int, hit: DictEntry): Boolean = {
-    if (hit == null) return false
-    if (hit.surface.length > 1) return true
-    if (CharClasses.classOf(line.charAt(i)) != CharClasses.Kanji) return true
-    if (hit.pos.startsWith("接頭詞") || hit.pos == "名詞-数") return true
-    i + 1 >= line.length ||
-      CharClasses.classOfCp(line.codePointAt(i + 1)) != CharClasses.Kanji
+  private def segmentRegion(line: String, from: Int, end: Int,
+      out: ArrayBuffer[String]): Unit = {
+    val L = end - from
+    val C = JaCosts.NumClasses
+    val size = (L + 1) * C
+    val cost = new Array[Int](size)
+    java.util.Arrays.fill(cost, Inf)
+    val bpStart = new Array[Int](size) // region-relative start of best edge into state
+    val bpEntry = new Array[DictEntry](size) // null = unknown edge
+    val bpUser = new Array[Boolean](size)
+    val bpSrc = new Array[Int](size) // predecessor class
+    cost(JaCosts.BOS) = 0
+
+    // relax one edge [pos, pos+len) of class `ecls` with word cost `w`
+    def relax(pos: Int, len: Int, ecls: Int, w: Int, e: DictEntry, user: Boolean): Unit = {
+      if (pos + len > L) return // user surfaces may contain punct; never cross the region
+      val rowBase = pos * C
+      val idx = (pos + len) * C + ecls
+      var src = 0
+      while (src < C) {
+        val sc = cost(rowBase + src)
+        if (sc < Inf) {
+          val t = sc + JaCosts.conn(src)(ecls) + w
+          if (t < cost(idx)) {
+            cost(idx) = t
+            bpStart(idx) = pos
+            bpEntry(idx) = e
+            bpUser(idx) = user
+            bpSrc(idx) = src
+          }
+        }
+        src += 1
+      }
+    }
+
+    var pos = 0
+    while (pos < L) {
+      // skip dead positions (incl. trailing-surrogate offsets)
+      var alive = false
+      var c = 0
+      while (c < C && !alive) { if (cost(pos * C + c) < Inf) alive = true; c += 1 }
+      if (alive) {
+        val abs = from + pos
+        if (userTrie != null) userTrie.matchesAt(line, abs, { e =>
+          val cpLen = e.surface.codePointCount(0, e.surface.length)
+          relax(pos, e.surface.length, JaCosts.classOf(e), JaCosts.userCost(cpLen), e, true)
+        })
+        dict.matchesAt(line, abs, { e =>
+          val cpLen = e.surface.codePointCount(0, e.surface.length)
+          var w = JaCosts.dictCost(e, cpLen)
+          if (searchMode) w += JaCosts.searchPenalty(allKanji(e.surface), cpLen)
+          relax(pos, e.surface.length, JaCosts.classOf(e), w, e, false)
+        })
+        // unknown edges: every code-point prefix of the same-class run
+        // (capped), plus the full run so long runs can stay whole
+        val cls = CharClasses.classOfCp(line.codePointAt(abs))
+        val ecls = if (cls == CharClasses.Digit) JaCosts.Num else JaCosts.Unknown
+        val kanji = cls == CharClasses.Kanji
+        var j = abs + Character.charCount(line.codePointAt(abs))
+        var cpLen = 1
+        var emit = true
+        while (emit) {
+          var w = JaCosts.unknownCost(cls, cpLen)
+          if (searchMode) w += JaCosts.searchPenalty(kanji, cpLen)
+          relax(pos, j - abs, ecls, w, null, false)
+          if (j < end && CharClasses.classOfCp(line.codePointAt(j)) == cls) {
+            if (cpLen < MaxUnknownCp) {
+              j += Character.charCount(line.codePointAt(j))
+              cpLen += 1
+            } else {
+              // jump to the run end and emit one final whole-run edge
+              while (j < end && CharClasses.classOfCp(line.codePointAt(j)) == cls) {
+                j += Character.charCount(line.codePointAt(j))
+                cpLen += 1
+              }
+            }
+          } else emit = false
+        }
+      }
+      pos += 1
+    }
+
+    // best terminal state
+    var bestCls = -1
+    var best = Inf
+    var c = 0
+    while (c < C) {
+      val t = cost(L * C + c)
+      if (t < Inf && t + JaCosts.eos(c) < best) { best = t + JaCosts.eos(c); bestCls = c }
+      c += 1
+    }
+    if (bestCls < 0) return // unreachable: length-1 unknown edges connect everything
+
+    // backtrack, then emit forward
+    val path = new ArrayBuffer[Int](8) // state indices, reverse order
+    var p = L
+    var cl = bestCls
+    while (p > 0) {
+      val idx = p * C + cl
+      path += idx
+      val np = bpStart(idx)
+      cl = bpSrc(idx)
+      p = np
+    }
+    var k = path.length - 1
+    while (k >= 0) {
+      val idx = path(k)
+      val e = bpEntry(idx)
+      if (e != null) emitEntry(e, bpUser(idx), out)
+      else {
+        val tokenEnd = from + idx / C
+        emitUnknown(line.substring(from + bpStart(idx), tokenEnd), out)
+      }
+      k -= 1
+    }
   }
 
-  /** End of the maximal same-class run starting at `from` (Kuromoji-style
-    * unknown-word grouping by character class); advances by code points so
-    * supplementary-plane kanji stay whole.
-    */
-  private def unknownRunEnd(line: String, from: Int): Int = {
-    val cls = CharClasses.classOfCp(line.codePointAt(from))
-    var i = from + Character.charCount(line.codePointAt(from))
-    while (i < line.length && CharClasses.classOfCp(line.codePointAt(i)) == cls
-      && !allowHit(line, i, dict.longestMatch(line, i))
-      && (userTrie == null || userTrie.longestMatch(line, i) == null))
-      i += Character.charCount(line.codePointAt(i))
-    i
+  private def allKanji(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (CharClasses.classOfCp(cp) != CharClasses.Kanji) return false
+      i += Character.charCount(cp)
+    }
+    s.nonEmpty
   }
 
   /** User-dictionary segmentation applies in every mode (G3: NORMAL mode

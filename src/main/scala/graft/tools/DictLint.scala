@@ -16,9 +16,14 @@ object DictLint {
   def lint(): Seq[Issue] = {
     val entries = JaDictionary.embeddedEntries
     val issues = Seq.newBuilder[Issue]
-    // no duplicate surfaces (trie keeps the last — a silent override)
-    entries.groupBy(_.surface).collect { case (s, es) if es.size > 1 =>
-      issues += Issue(s, s"duplicate surface (${es.size} entries)")
+    // homographs (several POS per surface) are legitimate — the Viterbi
+    // lattice disambiguates — but (surface, pos) must be unique after the
+    // loader's dedupe, and runaway homograph sets signal lexicon redundancy
+    entries.groupBy(e => (e.surface, e.pos)).collect { case ((s, p), es) if es.size > 1 =>
+      issues += Issue(s, s"duplicate (surface, pos=$p) (${es.size} entries)")
+    }
+    entries.groupBy(_.surface).collect { case (s, es) if es.size > 3 =>
+      issues += Issue(s, s"${es.size} homograph entries (max 3)")
     }
     entries.foreach { e =>
       if (e.surface.isEmpty) issues += Issue(e.surface, "empty surface")
