@@ -444,6 +444,25 @@ object Pipeline {
       .orderBy("user_id", "click_id")
   }
 
+  /** Real-Japanese tokenization inside the correctness gate: the 122
+    * hand-reviewed golden sentences run through the full analyzer chain
+    * (Viterbi lattice + T2–T7 filters) on executors, and the DuckDB oracle
+    * is the literal table of reviewed expectations (JaGolden.oracleSql) —
+    * so any dictionary/cost-model regression fails the driver's
+    * hash-compare, not just ScalaTest. Mixed-script coverage: kanji,
+    * hiragana function words, katakana loanwords, Latin (SNS), digits.
+    */
+  val q55 = Q("q55_tokenize_ja_golden", graft.ja.JaGolden.oracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    val corpus = graft.ja.JaGolden.corpus.map(g => (g.sid, g.sentence))
+    s.createDataFrame(corpus).toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   /** Composite: tokenizer (UDTF shape) → hash agg → per-group ranking
     * window — the full §7.3 slice parameterized by source.
     */
@@ -564,5 +583,6 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q55)
 }
