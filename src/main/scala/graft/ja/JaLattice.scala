@@ -84,6 +84,22 @@ private[ja] object JaCosts {
     m
   }
 
+  /** conn flattened and transposed for the relaxation inner loop: cost of
+    * `right` following `left` at connT(right * NumClasses + left) — the loop
+    * fixes the edge class and scans predecessors, so this is the
+    * stride-1 layout.
+    */
+  val connT: Array[Int] = {
+    val a = new Array[Int](NumClasses * NumClasses)
+    var l = 0
+    while (l < NumClasses) {
+      var r = 0
+      while (r < NumClasses) { a(r * NumClasses + l) = conn(l)(r); r += 1 }
+      l += 1
+    }
+    a
+  }
+
   /** Cost of ending the region after a token of each class. */
   val eos: Array[Int] = {
     val a = Array.fill(NumClasses)(0)

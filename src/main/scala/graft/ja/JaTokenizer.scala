@@ -87,7 +87,20 @@ final class JaTokenizer(
         var end = i + Character.charCount(cp)
         while (end < n && CharClasses.classOfCp(line.codePointAt(end)) != CharClasses.Punct)
           end += Character.charCount(line.codePointAt(end))
-        segmentRegion(line, i, end, out)
+        // Bound lattice memory on pathological unpunctuated runs (scraped
+        // 100 TB text can contain multi-megabyte regions; unchunked, the
+        // lattice arrays are O(region × classes) per row and accumulated
+        // path cost can saturate Inf): chunk long regions. A chunk boundary
+        // may split a token — documented divergence, only on >4096-char
+        // punctuation-free runs.
+        var rs = i
+        while (end - rs > MaxRegionChars) {
+          var ce = rs + MaxRegionChars
+          if (Character.isLowSurrogate(line.charAt(ce))) ce -= 1
+          segmentRegion(line, rs, ce, out)
+          rs = ce
+        }
+        segmentRegion(line, rs, end, out)
         i = end
       }
     }
@@ -96,71 +109,141 @@ final class JaTokenizer(
 
   private final val Inf = Int.MaxValue / 4
   private final val MaxUnknownCp = 24 // unknown-edge prefix lengths generated per position
+  private final val MaxRegionChars = 4096 // lattice chunk bound (memory + cost saturation)
 
   private val searchMode = mode != JaMode.Normal
+
+  /** Single-class fast path: a region that is entirely one Latin/Digit run
+    * with no dictionary surface starting anywhere inside it has exactly one
+    * lattice outcome — the whole run as one unknown token (unknown base cost
+    * is paid per token and conn(Unknown,Unknown) > 0, so grouping is always
+    * strictly cheapest). This is precisely the documents.parquet shape
+    * (ASCII words between spaces), so q46/q47/q51 skip lattice construction
+    * entirely. In SEARCH/EXTENDED the long-token penalty can make
+    * fragmenting optimal, so the shortcut only applies below the penalty
+    * threshold there.
+    */
+  private def fastSingleClass(line: String, from: Int, end: Int,
+      out: ArrayBuffer[String]): Boolean = {
+    val cls0 = CharClasses.classOfCp(line.charAt(from).toInt)
+    if (cls0 != CharClasses.Latin && cls0 != CharClasses.Digit) return false
+    if (searchMode && end - from >= JaCosts.SearchOtherLen) return false
+    var i = from
+    while (i < end) {
+      val c = line.charAt(i) // Latin/Digit are BMP; any surrogate fails the class check
+      if (CharClasses.classOfCp(c.toInt) != cls0 || dict.startsWith(c) ||
+        (userTrie != null && userTrie.startsWith(c))) return false
+      i += 1
+    }
+    emitUnknown(line.substring(from, end), out)
+    true
+  }
+
+  /** Defensive fallback when no terminal lattice state is reachable (cannot
+    * happen — length-1 unknown edges connect everything — but silently
+    * dropping a region would be the worst failure mode): emit the region as
+    * same-class character runs.
+    */
+  private def emitClassRuns(line: String, from: Int, end: Int,
+      out: ArrayBuffer[String]): Unit = {
+    var i = from
+    while (i < end) {
+      val cls = CharClasses.classOfCp(line.codePointAt(i))
+      var j = i + Character.charCount(line.codePointAt(i))
+      while (j < end && CharClasses.classOfCp(line.codePointAt(j)) == cls)
+        j += Character.charCount(line.codePointAt(j))
+      emitUnknown(line.substring(i, j), out)
+      i = j
+    }
+  }
 
   /** Viterbi over one punctuation-free region [from, end): states are
     * (position, connection class); edges are dictionary matches (all prefix
     * lengths), user-dictionary matches, and unknown same-class run
     * prefixes. The cheapest path under JaCosts is backtracked and emitted
     * through the T2–T7 filter chain.
+    *
+    * Hot path: lattice arrays and the match buffer come from a per-thread
+    * scratch (callers run one region at a time per task thread), dictionary
+    * entries carry precomputed costs, and the connection matrix is scanned
+    * via its flattened transpose — no allocation per region beyond token
+    * output.
     */
   private def segmentRegion(line: String, from: Int, end: Int,
       out: ArrayBuffer[String]): Unit = {
+    if (fastSingleClass(line, from, end, out)) return
     val L = end - from
     val C = JaCosts.NumClasses
     val size = (L + 1) * C
-    val cost = new Array[Int](size)
-    java.util.Arrays.fill(cost, Inf)
-    val bpStart = new Array[Int](size) // region-relative start of best edge into state
-    val bpEntry = new Array[DictEntry](size) // null = unknown edge
-    val bpUser = new Array[Boolean](size)
-    val bpSrc = new Array[Int](size) // predecessor class
+    val s = JaTokenizer.scratch.get()
+    s.ensure(size)
+    val cost = s.cost
+    val bpStart = s.bpStart // region-relative start of best edge into state
+    val bpEntry = s.bpEntry // null = unknown edge
+    val bpUser = s.bpUser
+    val bpSrc = s.bpSrc // predecessor class
+    java.util.Arrays.fill(cost, 0, size, Inf)
     cost(JaCosts.BOS) = 0
+    val alive = s.aliveMask // bit per class with finite cost at each row
+    java.util.Arrays.fill(alive, 0, L + 1, 0)
+    alive(0) = 1 << JaCosts.BOS
+    val connT = JaCosts.connT
+    val matches = s.matches
 
-    // relax one edge [pos, pos+len) of class `ecls` with word cost `w`
+    // relax one edge [pos, pos+len) of class `ecls` with word cost `w` —
+    // scans only the predecessor classes actually reachable at `pos`
     def relax(pos: Int, len: Int, ecls: Int, w: Int, e: DictEntry, user: Boolean): Unit = {
       if (pos + len > L) return // user surfaces may contain punct; never cross the region
       val rowBase = pos * C
       val idx = (pos + len) * C + ecls
-      var src = 0
-      while (src < C) {
-        val sc = cost(rowBase + src)
-        if (sc < Inf) {
-          val t = sc + JaCosts.conn(src)(ecls) + w
-          if (t < cost(idx)) {
-            cost(idx) = t
-            bpStart(idx) = pos
-            bpEntry(idx) = e
-            bpUser(idx) = user
-            bpSrc(idx) = src
-          }
+      val connBase = ecls * C
+      var bits = alive(pos)
+      while (bits != 0) {
+        val src = java.lang.Integer.numberOfTrailingZeros(bits)
+        bits &= bits - 1
+        val t = cost(rowBase + src) + connT(connBase + src) + w
+        if (t < cost(idx)) {
+          cost(idx) = t
+          bpStart(idx) = pos
+          bpEntry(idx) = e
+          bpUser(idx) = user
+          bpSrc(idx) = src
+          alive(pos + len) |= 1 << ecls
         }
-        src += 1
       }
     }
 
+    var runEnd = -1 // cached end of the current same-class run (absolute)
+    var runCls: CharClasses.CharClass = null
     var pos = 0
     while (pos < L) {
       // skip dead positions (incl. trailing-surrogate offsets)
-      var alive = false
-      var c = 0
-      while (c < C && !alive) { if (cost(pos * C + c) < Inf) alive = true; c += 1 }
-      if (alive) {
+      if (alive(pos) != 0) {
         val abs = from + pos
-        if (userTrie != null) userTrie.matchesAt(line, abs, { e =>
-          val cpLen = e.surface.codePointCount(0, e.surface.length)
-          relax(pos, e.surface.length, JaCosts.classOf(e), JaCosts.userCost(cpLen), e, true)
-        })
-        dict.matchesAt(line, abs, { e =>
-          val cpLen = e.surface.codePointCount(0, e.surface.length)
-          var w = JaCosts.dictCost(e, cpLen)
-          if (searchMode) w += JaCosts.searchPenalty(allKanji(e.surface), cpLen)
-          relax(pos, e.surface.length, JaCosts.classOf(e), w, e, false)
-        })
+        var userCount = 0
+        matches.clear()
+        if (userTrie != null) {
+          userTrie.matchesAt(line, abs, matches)
+          userCount = matches.length
+        }
+        dict.matchesAt(line, abs, matches)
+        var m = 0
+        while (m < matches.length) {
+          val e = matches(m)
+          if (m < userCount) relax(pos, e.surface.length, e.cls, JaCosts.userCost(e.cpLen), e, true)
+          else relax(pos, e.surface.length, e.cls,
+            if (searchMode) e.searchCost else e.normalCost, e, false)
+          m += 1
+        }
         // unknown edges: every code-point prefix of the same-class run
         // (capped), plus the full run so long runs can stay whole
         val cls = CharClasses.classOfCp(line.codePointAt(abs))
+        if (abs >= runEnd || cls != runCls) { // scan each run once, not per position
+          runCls = cls
+          runEnd = abs + Character.charCount(line.codePointAt(abs))
+          while (runEnd < end && CharClasses.classOfCp(line.codePointAt(runEnd)) == cls)
+            runEnd += Character.charCount(line.codePointAt(runEnd))
+        }
         val ecls = if (cls == CharClasses.Digit) JaCosts.Num else JaCosts.Unknown
         val kanji = cls == CharClasses.Kanji
         var j = abs + Character.charCount(line.codePointAt(abs))
@@ -170,16 +253,14 @@ final class JaTokenizer(
           var w = JaCosts.unknownCost(cls, cpLen)
           if (searchMode) w += JaCosts.searchPenalty(kanji, cpLen)
           relax(pos, j - abs, ecls, w, null, false)
-          if (j < end && CharClasses.classOfCp(line.codePointAt(j)) == cls) {
+          if (j < runEnd) {
             if (cpLen < MaxUnknownCp) {
               j += Character.charCount(line.codePointAt(j))
               cpLen += 1
             } else {
               // jump to the run end and emit one final whole-run edge
-              while (j < end && CharClasses.classOfCp(line.codePointAt(j)) == cls) {
-                j += Character.charCount(line.codePointAt(j))
-                cpLen += 1
-              }
+              cpLen += Character.codePointCount(line, j, runEnd)
+              j = runEnd
             }
           } else emit = false
         }
@@ -196,10 +277,11 @@ final class JaTokenizer(
       if (t < Inf && t + JaCosts.eos(c) < best) { best = t + JaCosts.eos(c); bestCls = c }
       c += 1
     }
-    if (bestCls < 0) return // unreachable: length-1 unknown edges connect everything
+    if (bestCls < 0) { emitClassRuns(line, from, end, out); return }
 
     // backtrack, then emit forward
-    val path = new ArrayBuffer[Int](8) // state indices, reverse order
+    val path = s.path // state indices, reverse order
+    path.clear()
     var p = L
     var cl = bestCls
     while (p > 0) {
@@ -220,16 +302,6 @@ final class JaTokenizer(
       }
       k -= 1
     }
-  }
-
-  private def allKanji(s: String): Boolean = {
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      if (CharClasses.classOfCp(cp) != CharClasses.Kanji) return false
-      i += Character.charCount(cp)
-    }
-    s.nonEmpty
   }
 
   /** User-dictionary segmentation applies in every mode (G3: NORMAL mode
@@ -285,4 +357,37 @@ final class JaTokenizer(
     }
     false
   }
+}
+
+object JaTokenizer {
+
+  /** Per-thread lattice scratch: Viterbi state arrays, the trie match
+    * buffer, and the backtrack path, grown on demand and reused across
+    * regions/rows. Tokenizer instances are shared across Spark task threads
+    * (built once per executor, A8), so the scratch is thread-local rather
+    * than instance state; region chunking (MaxRegionChars) bounds the
+    * retained size at ~(4097 × 14) entries per array per thread.
+    */
+  private final class Scratch {
+    var cost = new Array[Int](0)
+    var bpStart = new Array[Int](0)
+    var bpEntry = new Array[DictEntry](0)
+    var bpUser = new Array[Boolean](0)
+    var bpSrc = new Array[Int](0)
+    var aliveMask = new Array[Int](0)
+    val matches = new ArrayBuffer[DictEntry](64)
+    val path = new ArrayBuffer[Int](32)
+    def ensure(n: Int): Unit = if (cost.length < n) {
+      val cap = math.max(n, 2048)
+      cost = new Array[Int](cap)
+      bpStart = new Array[Int](cap)
+      bpEntry = new Array[DictEntry](cap)
+      bpUser = new Array[Boolean](cap)
+      bpSrc = new Array[Int](cap)
+      aliveMask = new Array[Int](cap / JaCosts.NumClasses + 2)
+    }
+  }
+
+  private val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
 }
