@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2-C).
   *
@@ -19,16 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Reuse point for an intermediate frame read by several downstream
-    * subtrees. DISK_ONLY, not MEMORY: a library operator must never pin an
-    * unbounded corpus-sized frame in executor memory at 100 TB — disk blocks
-    * spill-proof and still break subtree duplication. The persist lives
-    * until the session ends (there is no safe point to unpersist a frame
-    * the returned plan still reads); long-lived sessions issuing many
-    * near-dup queries should `spark.catalog.clearCache()` between batches.
+  /** Storage level for staged intermediates, settable per workload.
+    * Default MEMORY_AND_DISK: hot at interactive scale (pure DISK_ONLY paid
+    * write+read passes even when the frame fit comfortably in memory —
+    * VERDICT r2 perf audit on q32), while memory pressure at corpus scale
+    * degrades to disk blocks instead of OOM. Batch jobs staging frames far
+    * beyond executor memory can set DISK_ONLY up front.
     */
-  private def stage(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  @volatile var stageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
+
+  /** Reuse point for an intermediate frame read by several downstream
+    * subtrees — persisting breaks subtree duplication across the self-join
+    * sides. The persist lives until the session ends (there is no safe
+    * point to unpersist a frame the returned plan still reads); long-lived
+    * sessions issuing many near-dup queries should
+    * `spark.catalog.clearCache()` between batches.
+    */
+  private def stage(df: DataFrame): DataFrame = df.persist(stageLevel)
 
   /** Deterministic polynomial hash constants (mirrored in DuckDB oracles). */
   final val P = 1000000007L

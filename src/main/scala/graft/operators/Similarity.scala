@@ -77,8 +77,8 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
     * `numTables` independent tables, table t bucketing on the sign pattern
-    * of dimensions [t·signBits+1, (t+1)·signBits] (numTables·signBits must
-    * not exceed the embedding dimension). A pair is a candidate iff it
+    * of dimensions [t·signBits+1, (t+1)·signBits] (numTables is clamped so
+    * the blocks fit inside `dim`). A pair is a candidate iff it
     * agrees on SOME table's entire bucket; exact cosine then verifies
     * (id_a < id_b, cos ≥ threshold).
     *
@@ -92,8 +92,15 @@ object Similarity {
     */
   def embeddingNearDupPairs(
       corpus: DataFrame, threshold: Double,
-      signBits: Int = 8, numTables: Int = 8): DataFrame = {
-    val tables = array((0 until numTables).map { tIdx =>
+      signBits: Int = 8, numTables: Int = 8, dim: Int = 64): DataFrame = {
+    // Tables beyond the embedding dimension would hash every row to the
+    // same bucket (element_at past the array end is null → bucket 0),
+    // silently degenerating that table's self-join to the full N²/2 pair
+    // space — so the table count is clamped to the blocks that fit.
+    require(signBits >= 1 && signBits <= dim,
+      s"signBits=$signBits must be in [1, dim=$dim]")
+    val nTables = math.min(numTables, dim / signBits)
+    val tables = array((0 until nTables).map { tIdx =>
       struct(lit(tIdx).as("tbl"),
         signBucketAt(col("embedding"), tIdx * signBits, signBits).as("bkt"))
     }: _*)

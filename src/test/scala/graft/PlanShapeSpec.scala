@@ -37,4 +37,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q54_ivf_search")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q49 distinct counts plan without Expand: no row multiplication ahead of the shuffle") {
+    // two DISTINCT columns in one Aggregate would Expand (4x the events
+    // table through the exchange); the split-and-join form must not
+    val p = plan("q49_approx_distinct")
+    assert(!p.contains("Expand"), p)
+  }
 }
