@@ -1,17 +1,27 @@
 package graft.ja
 
 /** Loader for the engine-owned golden corpus
-  * (resources/graft/ja/golden_corpus.tsv): 122 hand-reviewed sentences with
-  * their expected token sequences. Shipped in the main jar because the
-  * corpus is both a spec fixture (JaCorpusSpec full-sequence assertions) and
-  * the input to the oracle-checked query q55 — the Japanese-text analogue of
-  * the reference's golden tests, pinned inside the driver's correctness gate
-  * (VERDICT r1 "Next round" #1).
+  * (resources/graft/ja/golden_corpus.tsv): hand-reviewed sentences with
+  * their expected token sequences — NORMAL for every sentence, SEARCH and
+  * EXTENDED for the mode-reviewed subset. Shipped in the main jar because
+  * the corpus is both a spec fixture (JaCorpusSpec full-sequence
+  * assertions) and the input to the oracle-checked queries q55 (NORMAL) and
+  * q56/q57 (SEARCH/EXTENDED) — the Japanese-text analogue of the
+  * reference's golden tests, pinned inside the driver's correctness gate
+  * (VERDICT r1 #1; mode pins VERDICT r2 "Next round" #4, mirroring the
+  * reference's mode contract KuromojiNEologdUDF.java:171-192).
   */
 object JaGolden {
 
-  /** (1-based sentence id, raw sentence, expected tokens). */
-  final case class Golden(sid: Int, sentence: String, expected: Seq[String])
+  /** (1-based sentence id, raw sentence, expected tokens per mode; SEARCH/
+    * EXTENDED are None for sentences outside the mode-reviewed subset).
+    */
+  final case class Golden(
+      sid: Int,
+      sentence: String,
+      expected: Seq[String],
+      search: Option[Seq[String]],
+      extended: Option[Seq[String]])
 
   lazy val corpus: Seq[Golden] = {
     val in = getClass.getResourceAsStream("/graft/ja/golden_corpus.tsv")
@@ -19,11 +29,31 @@ object JaGolden {
     val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
     lines.zipWithIndex.map { case (l, i) =>
-      val Array(sentence, toks) = l.split("\t", 2)
-      require(!sentence.contains("'") && !toks.contains("'"),
+      require(!l.contains("'"),
         s"corpus line ${i + 1} contains a quote — would break the SQL oracle literal")
-      Golden(i + 1, sentence, toks.split("\\|").toSeq)
+      val f = l.split("\t", -1)
+      require(f.length >= 2 && f.length <= 4, s"corpus line ${i + 1}: ${f.length} fields")
+      def toks(s: String): Option[Seq[String]] =
+        if (s.trim.isEmpty) None else Some(s.trim.split("\\|").toSeq)
+      Golden(i + 1, f(0),
+        toks(f(1)).getOrElse(sys.error(s"corpus line ${i + 1}: empty NORMAL column")),
+        if (f.length > 2) toks(f(2)) else None,
+        if (f.length > 3) toks(f(3)) else None)
     }
+  }
+
+  /** The mode-reviewed subsets driving q56/q57. */
+  lazy val searchSubset: Seq[(Int, String, Seq[String])] =
+    corpus.collect { case g if g.search.isDefined => (g.sid, g.sentence, g.search.get) }
+  lazy val extendedSubset: Seq[(Int, String, Seq[String])] =
+    corpus.collect { case g if g.extended.isDefined => (g.sid, g.sentence, g.extended.get) }
+
+  private def literalTable(rows: Seq[(Int, Seq[String])]): String = {
+    val vals = rows.map { case (sid, toks) =>
+      s"($sid, ${toks.size}, '${toks.mkString("|")}')"
+    }
+    s"""SELECT * FROM (VALUES ${vals.mkString(",\n  ")}) AS t(sid, n_toks, tokens)
+       |ORDER BY sid""".stripMargin
   }
 
   /** DuckDB VALUES literal of the expected outputs — the q55 oracle. The
@@ -31,11 +61,11 @@ object JaGolden {
     * is a literal table: Spark recomputes the tokens through the real
     * analyzer chain and the driver hash-compares against these rows.
     */
-  def oracleSql: String = {
-    val rows = corpus.map { g =>
-      s"(${g.sid}, ${g.expected.size}, '${g.expected.mkString("|")}')"
-    }
-    s"""SELECT * FROM (VALUES ${rows.mkString(",\n  ")}) AS t(sid, n_toks, tokens)
-       |ORDER BY sid""".stripMargin
-  }
+  def oracleSql: String = literalTable(corpus.map(g => (g.sid, g.expected)))
+
+  /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
+  def searchOracleSql: String =
+    literalTable(searchSubset.map { case (sid, _, toks) => (sid, toks) })
+  def extendedOracleSql: String =
+    literalTable(extendedSubset.map { case (sid, _, toks) => (sid, toks) })
 }

@@ -471,6 +471,32 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** SEARCH/EXTENDED modes under the oracle (VERDICT r2 "Next round" #4):
+    * the mode-reviewed corpus subset runs through the analyzer chain with an
+    * explicit mode argument — pinning the reference's mode dispatch contract
+    * (KuromojiNEologdUDF.java:171-192: SEARCH decomposes lexicalized
+    * compounds, EXTENDED additionally unigrams unknown CJK runs) inside the
+    * driver gate, not just ScalaTest.
+    */
+  private def modeGolden(
+      name: String, mode: String,
+      subset: Seq[(Int, String, Seq[String])], oracle: String): Q =
+    Q(name, oracle) { (s, dir) =>
+      graft.Graft.register(s)
+      s.createDataFrame(subset.map { case (sid, sentence, _) => (sid, sentence) })
+        .toDF("sid", "sentence")
+        .select(col("sid"),
+          graft.functions.tokenize_ja_neologd(col("sentence"), mode).as("toks"))
+        .select(col("sid"), size(col("toks")).as("n_toks"),
+          concat_ws("|", col("toks")).as("tokens"))
+        .orderBy("sid")
+    }
+
+  val q56 = modeGolden("q56_tokenize_ja_search", "SEARCH",
+    graft.ja.JaGolden.searchSubset, graft.ja.JaGolden.searchOracleSql)
+  val q57 = modeGolden("q57_tokenize_ja_extended", "EXTENDED",
+    graft.ja.JaGolden.extendedSubset, graft.ja.JaGolden.extendedOracleSql)
+
   /** Composite: tokenizer (UDTF shape) → hash agg → per-group ranking
     * window — the full §7.3 slice parameterized by source.
     */
@@ -593,5 +619,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55)
+    q55, q56, q57)
 }

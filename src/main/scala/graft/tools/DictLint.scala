@@ -57,12 +57,19 @@ object DictLint {
     * reviewed 観光|地 / 自動|化 decompositions (VERDICT r2 "What's wrong" #1).
     */
   def replayGoldens(): Seq[Issue] = {
-    val tok = new graft.ja.JaTokenizer()
-    graft.ja.JaGolden.corpus.flatMap { g =>
-      val got = tok.tokenize(g.sentence).toSeq
-      if (got == g.expected) None
-      else Some(Issue(g.sentence,
-        s"golden corpus sid=${g.sid} diverged: expected ${g.expected.mkString("|")}, got ${got.mkString("|")}"))
+    import graft.ja.{JaGolden, JaMode, JaTokenizer}
+    val byMode = Seq(
+      ("NORMAL", new JaTokenizer(),
+        JaGolden.corpus.map(g => (g.sid, g.sentence, g.expected))),
+      ("SEARCH", new JaTokenizer(JaMode.Search), JaGolden.searchSubset),
+      ("EXTENDED", new JaTokenizer(JaMode.Extended), JaGolden.extendedSubset))
+    byMode.flatMap { case (mode, tok, rows) =>
+      rows.flatMap { case (sid, sentence, expected) =>
+        val got = tok.tokenize(sentence).toSeq
+        if (got == expected) None
+        else Some(Issue(sentence,
+          s"golden corpus sid=$sid ($mode) diverged: expected ${expected.mkString("|")}, got ${got.mkString("|")}"))
+      }
     }
   }
 

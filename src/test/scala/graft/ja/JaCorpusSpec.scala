@@ -11,18 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class JaCorpusSpec extends AnyFunSuite {
 
-  private lazy val corpus: Seq[(String, Seq[String])] = {
-    val in = getClass.getResourceAsStream("/graft/ja/golden_corpus.tsv")
-    require(in != null, "missing golden_corpus.tsv test resource")
-    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-    lines.map { l =>
-      val Array(sentence, toks) = l.split("\t", 2)
-      (sentence, toks.split("\\|").toSeq)
-    }
-  }
+  private lazy val corpus: Seq[(String, Seq[String])] =
+    JaGolden.corpus.map(g => (g.sentence, g.expected))
 
-  test("golden corpus: 122 sentences, full-sequence match under defaults") {
+  test("golden corpus: 100+ sentences, full-sequence match under defaults") {
     val tok = new JaTokenizer()
     val failures = corpus.flatMap { case (s, expected) =>
       val got = tok.tokenize(s).toSeq
@@ -30,6 +22,28 @@ class JaCorpusSpec extends AnyFunSuite {
     }
     assert(corpus.size >= 100, "corpus must stay at 100+ sentences")
     assert(failures.isEmpty, s"\n${failures.size} corpus mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("golden corpus: mode-reviewed SEARCH subset (20+ sentences) matches") {
+    val tok = new JaTokenizer(JaMode.Search)
+    val subset = JaGolden.searchSubset
+    assert(subset.size >= 20, s"SEARCH subset must stay at 20+ rows, got ${subset.size}")
+    val failures = subset.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
+  test("golden corpus: mode-reviewed EXTENDED subset (20+ sentences) matches") {
+    val tok = new JaTokenizer(JaMode.Extended)
+    val subset = JaGolden.extendedSubset
+    assert(subset.size >= 20, s"EXTENDED subset must stay at 20+ rows, got ${subset.size}")
+    val failures = subset.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
   test("base-form mapping (T2) holds across inflection paradigms") {
