@@ -49,6 +49,10 @@ object JaGolden {
     corpus.collect { case g if g.extended.isDefined => (g.sid, g.sentence, g.extended.get) }
 
   private def literalTable(rows: Seq[(Int, Seq[String])]): String = {
+    // `VALUES` with zero rows is a DuckDB parse error; an empty subset means
+    // every SEARCH/EXTENDED column was stripped from golden_corpus.tsv.
+    require(rows.nonEmpty,
+      "golden corpus subset is empty — check the mode columns in graft/ja/golden_corpus.tsv")
     val vals = rows.map { case (sid, toks) =>
       s"($sid, ${toks.size}, '${toks.mkString("|")}')"
     }

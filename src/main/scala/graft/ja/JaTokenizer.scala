@@ -71,6 +71,15 @@ final class JaTokenizer(
   private val userTrie: DictTrie = if (userDict.isEmpty) null else DictTrie(userDict)
   private val dict: DictTrie = JaDictionary.embedded
 
+  /** Test seam (JaFastPathSpec): force the full lattice even where
+    * `fastSingleClass` would apply, so the shortcut's claimed equivalence to
+    * the Viterbi result is property-checked rather than assumed — the
+    * shortcut's correctness rests on JaCosts invariants
+    * (conn(Unknown,Unknown)>0, linear per-cp unknownCost) that a future
+    * cost-model tuning could silently break (ADVICE r3).
+    */
+  private[ja] var fastPathEnabled = true
+
   /** Tokenize one line. Null handling (null→null) lives in the caller
     * (reference A9); empty string → empty array.
     */
@@ -171,7 +180,7 @@ final class JaTokenizer(
     */
   private def segmentRegion(line: String, from: Int, end: Int,
       out: ArrayBuffer[String]): Unit = {
-    if (fastSingleClass(line, from, end, out)) return
+    if (fastPathEnabled && fastSingleClass(line, from, end, out)) return
     val L = end - from
     val C = JaCosts.NumClasses
     val size = (L + 1) * C

@@ -20,12 +20,79 @@ final case class MediaFeatures(
   * partition (the pattern that amortizes a real model/codec load across the
   * partition at 100 TB scale).
   *
-  * The decode itself is a STUB: no image/audio codec ships in this
-  * environment, so `decodeStub` computes a deterministic fake from the raw
-  * bytes. Everything around it — schema, encoder, partition batching,
-  * feature shape — is real and oracle-tested.
+  * Header decode is REAL for PNG/JPEG/GIF (container signatures + dimension
+  * fields — no codec needed); payloads that match no image signature fall
+  * back to `decodeStub`, a deterministic fake standing in for a full codec +
+  * feature head (which doesn't ship in this environment). The oracle table's
+  * media column is ASCII text cast to binary — it can never match an image
+  * signature — so q44 pins the stub path while ImageHeaderSpec pins the real
+  * one.
   */
 object Multimodal {
+
+  /** Parse (fmt, width, height) from real image container headers:
+    * PNG IHDR (big-endian u32 dims at offsets 16/20 behind the 8-byte
+    * signature), JPEG SOFn frame headers (big-endian u16 height/width after
+    * the precision byte; DHT/JPG/DAC excluded per ITU T.81 B.2.2), GIF
+    * logical screen descriptor (little-endian u16 at 6/8). Returns None for
+    * anything that is not a structurally valid image header.
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (bytes == null) None
+    // PNG: 89 50 4E 47 0D 0A 1A 0A, first chunk must be IHDR
+    else if (bytes.length >= 24 && be32(0) == 0x89504e47L && be32(4) == 0x0d0a1a0aL &&
+      be32(12) == 0x49484452L /* "IHDR" */ ) {
+      val w = be32(16); val h = be32(20)
+      if (w >= 1 && h >= 1 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some(("png", w.toInt, h.toInt))
+      else None
+    }
+    // JPEG: SOI then marker segments until a SOFn frame header
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
+      var i = 2
+      var out: Option[(String, Int, Int)] = None
+      var done = false
+      while (!done && i + 3 < bytes.length) {
+        if (u8(i) != 0xff) { done = true } // desynced — not a parseable JPEG
+        else {
+          var j = i
+          while (j < bytes.length && u8(j) == 0xff) j += 1 // skip fill bytes
+          if (j + 1 >= bytes.length) done = true
+          else {
+            val marker = u8(j)
+            if (marker >= 0xd0 && marker <= 0xd9 || marker == 0x01) i = j + 1 // standalone
+            else if (j + 2 >= bytes.length) done = true
+            else {
+              val segLen = be16(j + 1)
+              val isSof = marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+              if (isSof) {
+                if (j + 8 < bytes.length && segLen >= 8) {
+                  val h = be16(j + 4); val w = be16(j + 6)
+                  if (w >= 1 && h >= 1) out = Some(("jpg", w, h))
+                }
+                done = true
+              } else if (segLen < 2) done = true
+              else i = j + 1 + segLen
+            }
+          }
+        }
+      }
+      out
+    }
+    // GIF87a / GIF89a logical screen descriptor
+    else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      val w = le16(6); val h = le16(8)
+      if (w >= 1 && h >= 1) Some(("gif", w, h)) else None
+    }
+    else None
+  }
 
   /** STUB decoder — deterministic fake standing in for a real codec
     * (e.g. JPEG decode + CNN feature head). Replace the body, keep the
@@ -66,8 +133,17 @@ object Multimodal {
         // per-partition decoder init would go here (codec/model handle)
         it.map { case (id, bytes0) =>
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-          val (fmt, w, h, frames, featSum) = decodeStub(bytes)
-          MediaFeatures(id, bytes.length, fmt, w, h, frames, featSum)
+          decodeImageHeader(bytes) match {
+            case Some((fmt, w, h)) =>
+              // real container header: true dims; still images are 1 frame;
+              // feat_sum stays the deterministic byte-level feature so the
+              // column is total regardless of path
+              val (_, _, _, _, featSum) = decodeStub(bytes)
+              MediaFeatures(id, bytes.length, fmt, w, h, 1, featSum)
+            case None =>
+              val (fmt, w, h, frames, featSum) = decodeStub(bytes)
+              MediaFeatures(id, bytes.length, fmt, w, h, frames, featSum)
+          }
         }
       }
   }

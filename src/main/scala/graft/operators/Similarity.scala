@@ -100,11 +100,27 @@ object Similarity {
     require(signBits >= 1 && signBits <= dim,
       s"signBits=$signBits must be in [1, dim=$dim]")
     val nTables = math.min(numTables, dim / signBits)
+    if (nTables < numTables)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embeddingNearDupPairs: numTables clamped $numTables -> $nTables " +
+          s"(dim=$dim / signBits=$signBits); recall drops accordingly")
     val tables = array((0 until nTables).map { tIdx =>
       struct(lit(tIdx).as("tbl"),
         signBucketAt(col("embedding"), tIdx * signBits, signBits).as("bkt"))
     }: _*)
-    val keyed = corpus.select(col("vec_id"), explode(tables).as("tb"))
+    // `dim` is caller-declared; if the real vectors are shorter, sign blocks
+    // past the end read null -> every row lands in one bucket and that
+    // table's self-join degenerates to N²/2 — exactly what the clamp exists
+    // to prevent (ADVICE r3). Guard per-row inside codegen: a short vector
+    // fails loudly instead of silently going quadratic.
+    val needed = nTables * signBits
+    val checked = when(size(col("embedding")) < needed,
+      raise_error(concat(lit(s"embeddingNearDupPairs: embedding has "),
+        size(col("embedding")),
+        lit(s" dims < required $needed (= $nTables tables × $signBits signBits);" +
+          " pass the actual embedding dim")))).otherwise(col("embedding"))
+    val keyed = corpus.select(col("vec_id"), checked.as("embedding"))
+      .select(col("vec_id"), explode(tables).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&

@@ -124,6 +124,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Seq(1L, 2L, 3L)) // cos: ~0.993, 0, -1
   }
 
+  test("embeddingNearDupPairs finds the near pair when tables fit the dim") {
+    val r = Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 1, numTables = 3, dim = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((0L, 1L))) // only cos(v0,v1) ~ 0.994 clears 0.9
+  }
+
+  test("embeddingNearDupPairs fails loudly on embeddings shorter than declared dim") {
+    // dim=8 declared but vectors are 3-dim: without the guard every row
+    // hashes past the array end into one null bucket and the self-join
+    // silently degenerates to N²/2 (ADVICE r3) — it must raise instead.
+    val e = intercept[Exception] {
+      Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 4, numTables = 2, dim = 8)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("embeddingNearDupPairs")), s"unexpected error: $e")
+  }
+
   test("knnPredict majority vote with label tiebreak") {
     val r = Similarity.knnPredict(vecs, vecs.where($"vec_id" === 0), k = 2)
       .head()
