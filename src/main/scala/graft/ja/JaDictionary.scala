@@ -181,6 +181,7 @@ object JaDictionary {
     */
   lazy val embeddedEntries: Seq[DictEntry] = {
     val all = parseTsv(resource("core.tsv")) ++
+      parseTsv(resource("lexemes/entities.tsv")) ++
       parseTsv(resource("lexemes/misc.tsv")) ++
       parseVerbs("lexemes/verbs.tsv") ++
       parseAdjs("lexemes/adjectives.txt") ++

@@ -44,9 +44,48 @@ object DictLint {
       .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     raw.find(w => w != w.toLowerCase)
       .foreach(w => issues += Issue(w, "stopword resource line not lower-cased"))
+    issues ++= suffixPolicy(entries)
     issues ++= replayGoldens()
     issues.result()
   }
+
+  /** Productive suffixes under the NORMAL-mode decomposition policy
+    * (golden_corpus.tsv header, VERDICT r2 "Next round" #5): an all-kanji
+    * common-noun compound ending in one of these is segmented stem+接尾 by
+    * default (観光|地, 自動|化) and may be lexicalized whole ONLY as a
+    * deliberate, allowlisted decision. The q55 regression (VERDICT r2
+    * "What's wrong" #1) was exactly an un-deliberate whole-noun addition.
+    */
+  private val productiveSuffixes: Set[Char] = "化者性地街品県市町村".toSet
+
+  /** Established lexical units deliberately kept atomic in NORMAL mode.
+    * Additions here are policy decisions: the compound must be an
+    * established word in its own right (dictionary-headword test), not a
+    * transparent X+suffix formation. Proper nouns (固有名詞) and suffix
+    * entries themselves are exempt from the rule.
+    */
+  private val establishedAtomic: Set[String] = Set(
+    "高齢者", "編集者", "技術者", "研究者", "科学者", "経営者", "担当者",
+    "責任者", "利用者", "消費者", "視聴者", "被害者", "加害者", "候補者",
+    "容疑者", "労働者", "管理者", "登録者", "指揮者",
+    "国民性", "現実性", "互換性", "生物多様性",
+    "遊園地", "目的地", "被災地",
+    "商店街", "温泉街",
+    "少子化", "高齢化", "都市化", "温暖化", "地球温暖化", "暗号化",
+    "製品化", "実用化", "最適化", "効率化", "可視化",
+    "伝統文化") // 文化 is opaque (not 伝統文+化); compound of two free nouns
+
+  private[graft] def suffixPolicy(entries: Seq[graft.ja.DictEntry]): Seq[Issue] =
+    entries.filter { e =>
+      e.pos.startsWith("名詞") && !e.pos.contains("固有名詞") &&
+        !e.pos.contains("接尾") && e.segments.isEmpty &&
+        e.surface.length >= 3 && e.surface.forall(c => c >= '一' && c <= '鿿') &&
+        productiveSuffixes.contains(e.surface.last) &&
+        !establishedAtomic.contains(e.surface)
+    }.map(e => Issue(e.surface,
+      s"atomic noun ends in productive suffix '${e.surface.last}' — per the " +
+        "NORMAL-mode suffix policy it must decompose (give it `segments`), or be " +
+        "added to DictLint.establishedAtomic as a deliberate policy decision"))
 
   /** Replay every hand-reviewed golden-corpus sentence through the real
     * analyzer chain. A dictionary edit that changes any reviewed expectation

@@ -279,6 +279,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 4L))
   }
 
+  test("suffix policy flags un-allowlisted atomic productive-suffix nouns") {
+    import graft.ja.DictEntry
+    val bad = DictEntry("観光地", "名詞-一般", "", Array.empty)
+    val properNoun = DictEntry("築地", "名詞-固有名詞-地域", "", Array.empty)
+    val established = DictEntry("研究者", "名詞-一般", "", Array.empty)
+    val issues = graft.tools.DictLint.suffixPolicy(Seq(bad, properNoun, established))
+    assert(issues.map(_.surface) == Seq("観光地")) // the q55-regression class
+  }
+
   test("embedded dictionary passes DictLint structural invariants") {
     assert(graft.tools.DictLint.lint().isEmpty)
   }
