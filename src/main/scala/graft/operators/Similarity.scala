@@ -113,13 +113,15 @@ object Similarity {
     // table's self-join degenerates to N²/2 — exactly what the clamp exists
     // to prevent (ADVICE r3). Guard per-row inside codegen: a short vector
     // fails loudly instead of silently going quadratic.
+    // One boolean filter per row (NOT a wrapper around the embedding column,
+    // which Catalyst would clone into all nTables bucket expressions).
     val needed = nTables * signBits
-    val checked = when(size(col("embedding")) < needed,
+    val dimOk = when(size(col("embedding")) < needed,
       raise_error(concat(lit(s"embeddingNearDupPairs: embedding has "),
         size(col("embedding")),
         lit(s" dims < required $needed (= $nTables tables × $signBits signBits);" +
-          " pass the actual embedding dim")))).otherwise(col("embedding"))
-    val keyed = corpus.select(col("vec_id"), checked.as("embedding"))
+          " pass the actual embedding dim")))).otherwise(lit(true))
+    val keyed = corpus.select(col("vec_id"), col("embedding")).where(dimOk)
       .select(col("vec_id"), explode(tables).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val cand = keyed.as("x").join(keyed.as("y"),
