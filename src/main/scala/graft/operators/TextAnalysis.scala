@@ -126,4 +126,56 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(limit)
   }
+
+  /** PII patterns shared with the DuckDB oracle: kept in the
+    * java.util.regex ∩ RE2 common subset (no lookaround, no backrefs) so
+    * the SAME pattern string runs in both engines with identical matches.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d()\\- ]{6,}\\d"
+
+  /** PII scrubbing for training corpora: emails, IPv4 literals, and
+    * phone-shaped digit runs counted (on the original text) and replaced
+    * with typed placeholders, in a fixed order (email → ip → phone) so the
+    * passes compose deterministically. Pure codegen'd regexp functions —
+    * per-row, shuffle-free, safe at any scale.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    def n(re: String) = size(regexp_extract_all(text, lit(re), lit(0)))
+    df.select(
+      col(idCol),
+      n(EmailRe).as("n_emails"),
+      n(Ipv4Re).as("n_ips"),
+      n(PhoneRe).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** Gopher/C4-style repetition signals per document (Rae et al. 2021
+    * §A1.1 quality heuristics): duplicate-word fraction, duplicate-bigram
+    * fraction, and top-word dominance, plus the combined repetitive flag.
+    * All ratios are int/int divisions (bit-reproducible in the oracle);
+    * the zero-bigram edge is guarded because Spark yields NULL on x/0
+    * while DuckDB yields NaN.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      dupWordMax: Double = 0.3, topWordMax: Double = 0.2): DataFrame = {
+    val tk = toks(col(textCol))
+    val bg = Dedup.gramsOf(tk, 2)
+    df.select(
+      col(idCol),
+      size(tk).as("n_tokens"),
+      (lit(1) - size(array_distinct(tk)) / size(tk)).as("dup_word_frac"),
+      when(size(bg) > 0, lit(1) - size(array_distinct(bg)) / size(bg))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"),
+      (array_max(transform(array_distinct(tk),
+        w => size(filter(tk, x => x === w)))) / size(tk)).as("top_word_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > dupWordMax || col("top_word_frac") > topWordMax)
+  }
 }

@@ -621,7 +621,70 @@ object Pipeline {
       .orderBy("qid", "rn")
   }
 
+  /** PII scrubbing with the SAME regex strings in both engines (patterns
+    * live in the java.util.regex ∩ RE2 common subset — TextAnalysis
+    * scaladoc). The generator corpus carries no PII, so six literal rows
+    * with known emails/IPs/phones ride along (the round-1 lesson: an
+    * oracle the data cannot exercise proves nothing); DuckDB needs the
+    * explicit 'g' flag Spark applies implicitly.
+    */
+  private val piiRows = Seq(
+    -6L -> "edge@case@double.com and 999.999.999.999 and 12345678",
+    -5L -> "mixed: jane_doe99@mail.co.uk from 172.16.254.3 phoned 0800 123 456",
+    -4L -> "no personal info here at all",
+    -3L -> "call +1 555-123-4567 or (03) 1234-5678 for support",
+    -2L -> "server at 10.0.0.1 and backup at 192.168.1.254 rebooted",
+    -1L -> "contact alice.smith@example.com or bob@test.org today")
+
+  val q58 = Q(
+    "q58_pii_redact",
+    s"""WITH src AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    ${piiRows.map { case (id, s) => s"(CAST($id AS BIGINT), '$s')" }.mkString(",\n    ")}
+       |  ) AS v(doc_id, text))
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS n_emails,
+       |  len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS n_ips,
+       |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+       |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+       |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionAll(piiRows.toDF("doc_id", "text"))
+    TextAnalysis.redactPii(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition scoring (q59): int/int ratios only; the
+    * zero-bigram CASE keeps Spark (NULL on /0) and DuckDB (NaN) aligned.
+    */
+  val q59 = Q(
+    "q59_repetition",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |b AS (SELECT doc_id, t,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      |             ELSE [] END bg FROM tk)
+      |SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  1 - len(list_distinct(t)) / len(t) AS dup_word_frac,
+      |  CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) / len(bg)
+      |       ELSE 0.0 END AS dup_bigram_frac,
+      |  list_max(list_transform(list_distinct(t),
+      |    w -> len(list_filter(t, x -> x = w)))) / len(t) AS top_word_frac,
+      |  (1 - len(list_distinct(t)) / len(t)) > 0.3 OR
+      |  (list_max(list_transform(list_distinct(t),
+      |     w -> len(list_filter(t, x -> x = w)))) / len(t)) > 0.2 AS repetitive
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57)
+    q55, q56, q57, q58, q59)
 }

@@ -279,6 +279,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 4L))
   }
 
+  test("redactPii counts and replaces emails, IPs, phone runs in fixed order") {
+    val d = Seq(
+      (1L, "ping 10.0.0.1 then mail root@host.example then call 020-7946-0958"),
+      (2L, "clean text only"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 1 && r(0).getInt(3) == 1)
+    assert(r(0).getString(4) == "ping <IP> then mail <EMAIL> then call <PHONE>")
+    assert(r(1).getString(4) == "clean text only")
+  }
+
+  test("repetition: duplicate fractions, top-word dominance, bigram guard") {
+    val d = Seq(
+      (1L, "spam spam spam spam"), // all dup: top_word_frac 1.0
+      (2L, "a b c d e f"),         // no repetition (top word 1/6 < 0.2)
+      (3L, "solo"))                // single token: zero bigrams -> guard
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getDouble(2) == 0.75 && r(0).getDouble(4) == 1.0 && r(0).getBoolean(5))
+    assert(r(1).getDouble(2) == 0.0 && !r(1).getBoolean(5))
+    assert(r(2).getDouble(3) == 0.0) // not NULL/NaN: the /0 guard
+  }
+
   test("suffix policy flags un-allowlisted atomic productive-suffix nouns") {
     import graft.ja.DictEntry
     val bad = DictEntry("観光地", "名詞-一般", "", Array.empty)
