@@ -589,7 +589,32 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Exact interpolated percentiles (§2-B ordered-set aggregates). Only
+    * integral-valued doubles (l_quantity ∈ 1..50) are interpolated: with
+    * f ∈ {.25,.5,.75} both engines' linear-interpolation formulas
+    * (a + f·(b−a) vs (1−f)·a + f·b) are exact in binary floating point, so
+    * the hash compare is bit-stable; arbitrary doubles would diverge in the
+    * last ulp between the two formulas.
+    */
+  val q28 = Q(
+    "q28_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.50) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.50)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27)
+    q25, q26, q27, q28)
 }
