@@ -614,7 +614,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** PIVOT (wide-format aggregation). Spark's `pivot` with an explicit
+    * value list plans as one hash aggregation with conditional partials —
+    * no extra shuffle vs the long form; the oracle is the equivalent
+    * conditional aggregation (engine-neutral, and how PIVOT desugars).
+    * Explicit values keep the plan static — value discovery would add a
+    * driver-side distinct job, a scale anti-pattern.
+    */
+  val q29 = Q(
+    "q29_pivot",
+    """SELECT l_returnflag,
+      |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+      |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28)
+    q25, q26, q27, q28, q29)
 }

@@ -160,6 +160,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless curation ops (redactPii, repetition) run unchanged on streams") {
+    // per-row projections carry no state: the SAME operator code that q58/
+    // q59 oracle-check in batch applies to a readStream — the shape a
+    // 100 TB ingest pipeline uses for scrub-on-arrival
+    val out = runBatches[(Long, String)](
+      Seq(Seq((1L, "mail root@host.example now")), Seq((2L, "b b b b b"))),
+      ds => {
+        val pii = graft.operators.TextAnalysis.redactPii(ds.toDF("doc_id", "text"), "doc_id", "text")
+        val rep = graft.operators.TextAnalysis.repetition(ds.toDF("doc_id", "text"), "doc_id", "text")
+        pii.select(col("doc_id"), col("redacted"),
+          lit(null).cast("double").as("top_word_frac"))
+          .unionByName(rep.select(col("doc_id"), lit(null).cast("string").as("redacted"),
+            col("top_word_frac")))
+      }, "curation_stream")
+    val rows = out.map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows.contains((1L, "mail <EMAIL> now", None)))
+    assert(rows.exists { case (id, red, top) => id == 2L && red == null && top.contains(1.0) })
+  }
+
   test("streaming plans are the same operators as the oracle-checked batch twins") {
     // the batch twin of tumblingCounts is q22 (window() on static df) — same
     // logical operator; here just assert the streaming plan resolves
