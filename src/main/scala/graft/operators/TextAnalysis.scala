@@ -130,6 +130,10 @@ object TextAnalysis {
   /** PII patterns shared with the DuckDB oracle: kept in the
     * java.util.regex ∩ RE2 common subset (no lookaround, no backrefs) so
     * the SAME pattern string runs in both engines with identical matches.
+    * Caveat: `\b` is Unicode-aware in Java but ASCII-only in RE2 — matches
+    * agree on ASCII text (this corpus) but can differ where a digit abuts a
+    * non-ASCII word character; keep boundary-sensitive patterns
+    * digit-delimited if the corpus goes multilingual.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"

@@ -279,6 +279,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 4L))
   }
 
+  test("LSH recall: every high-Jaccard pair from the exact path is an LSH pair") {
+    // 30 synthetic docs: ten base texts, each with a near-copy (one token
+    // changed -> high shingle overlap) and an unrelated doc. Deterministic
+    // given the fixed hash family: the exact n-gram pairs at J>=0.5 must
+    // all surface through the banded MinHash path with the q32 parameters.
+    // 24-token docs, one token changed -> J = 18/20 = 0.9; with 16 hashes /
+    // 4 bands the per-pair candidate probability is 1-(1-0.9^4)^4 ≈ 0.986,
+    // so ≥80% recall is a safe deterministic floor (fixed hash family).
+    val base = (0 until 10).map { i =>
+      (0 until 24).map(j => s"w${i}_$j").mkString(" ")
+    }
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      Seq(
+        (i * 3L, t),
+        (i * 3L + 1, ("CHANGED" +: toks.drop(1)).mkString(" ")), // near dup
+        (i * 3L + 2, (0 until 24).map(j => s"u${i}_$j").mkString(" ")))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 6, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", k = 6,
+      numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 10, s"expected the 10 engineered near-dup pairs, got $exact")
+    // every LSH pair is exact-verified (candidates re-checked against true
+    // Jaccard), so LSH ⊆ exact ALWAYS; recall is probabilistic by design
+    assert((lsh -- exact).isEmpty, s"LSH produced unverified pairs ${lsh -- exact}")
+    assert(lsh.size >= 8, s"LSH recall below floor: found ${lsh.size}/10 ($lsh)")
+  }
+
   test("redactPii counts and replaces emails, IPs, phone runs in fixed order") {
     val d = Seq(
       (1L, "ping 10.0.0.1 then mail root@host.example then call 020-7946-0958"),
