@@ -42,6 +42,26 @@ object JaGolden {
     }
   }
 
+  /** No-stop-filter subset (reference A4/A5 empty-set semantics) driving
+    * q60: (sid, sentence, expected raw morpheme stream). Reviewed rows in
+    * resources/graft/ja/nostop_corpus.tsv.
+    */
+  lazy val nostopSubset: Seq[(Int, String, Seq[String])] = {
+    val in = getClass.getResourceAsStream("/graft/ja/nostop_corpus.tsv")
+    require(in != null, "missing resource graft/ja/nostop_corpus.tsv")
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        require(!l.contains("'"), "nostop corpus line contains a quote")
+        val f = l.split("\t", -1)
+        require(f.length == 3, s"nostop corpus: expected 3 fields, got ${f.length}")
+        (f(0).toInt, f(1), f(2).split("\\|").toSeq)
+      }.toSeq
+  }
+
+  def nostopOracleSql: String =
+    literalTable(nostopSubset.map { case (sid, _, toks) => (sid, toks) })
+
   /** The mode-reviewed subsets driving q56/q57. */
   lazy val searchSubset: Seq[(Int, String, Seq[String])] =
     corpus.collect { case g if g.search.isDefined => (g.sid, g.sentence, g.search.get) }

@@ -501,6 +501,23 @@ object Pipeline {
   val q57 = modeGolden("q57_tokenize_ja_extended", "EXTENDED",
     graft.ja.JaGolden.extendedSubset, graft.ja.JaGolden.extendedOracleSql)
 
+  /** Empty stop sets disable BOTH filters (reference A4/A5, UDF:95-100,
+    * 194-228 — empty array ≠ null, which means "use defaults"): the raw
+    * morpheme stream with base forms, pinned against reviewed rows like
+    * q55-q57.
+    */
+  val q60 = Q("q60_tokenize_ja_nostop", graft.ja.JaGolden.nostopOracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.nostopSubset.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(
+          col("sentence"), "NORMAL", Seq.empty, Seq.empty).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   /** Composite: tokenizer (UDTF shape) → hash agg → per-group ranking
     * window — the full §7.3 slice parameterized by source.
     */
@@ -686,5 +703,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59)
+    q55, q56, q57, q58, q59, q60)
 }

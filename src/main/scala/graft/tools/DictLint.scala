@@ -101,7 +101,9 @@ object DictLint {
       ("NORMAL", new JaTokenizer(),
         JaGolden.corpus.map(g => (g.sid, g.sentence, g.expected))),
       ("SEARCH", new JaTokenizer(JaMode.Search), JaGolden.searchSubset),
-      ("EXTENDED", new JaTokenizer(JaMode.Extended), JaGolden.extendedSubset))
+      ("EXTENDED", new JaTokenizer(JaMode.Extended), JaGolden.extendedSubset),
+      ("NOSTOP", new JaTokenizer(stopWords = Set.empty, stopTags = Set.empty),
+        JaGolden.nostopSubset))
     byMode.flatMap { case (mode, tok, rows) =>
       rows.flatMap { case (sid, sentence, expected) =>
         val got = tok.tokenize(sentence).toSeq

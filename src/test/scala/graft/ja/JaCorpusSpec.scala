@@ -35,6 +35,17 @@ class JaCorpusSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
+  test("no-stop subset: empty stop sets expose the raw reviewed morpheme stream") {
+    val tok = new JaTokenizer(stopWords = Set.empty, stopTags = Set.empty)
+    val subset = JaGolden.nostopSubset
+    assert(subset.size >= 15, s"no-stop subset must stay at 15+ rows, got ${subset.size}")
+    val failures = subset.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
   test("golden corpus: mode-reviewed EXTENDED subset (20+ sentences) matches") {
     val tok = new JaTokenizer(JaMode.Extended)
     val subset = JaGolden.extendedSubset
