@@ -518,6 +518,47 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** User-dictionary override (reference A6, UDF:102-104, 230-249 and its
+    * own golden TEST:279-299: 日本経済新聞 with a user dict row segments to
+    * 日本|経済|新聞): const CSV rows reparse per the Kuromoji format
+    * `surface,segmentation,readings,POS`, and user entries win their span
+    * in every mode. Pinned as a literal-table oracle over sentences where
+    * the embedded dictionary alone would segment differently.
+    */
+  val q61 = Q(
+    "q61_tokenize_ja_userdict",
+    """SELECT * FROM (VALUES
+      |  (1, 3, '日本|経済|新聞'),
+      |  (2, 5, '日本|経済|新聞|記事|読む'),
+      |  (3, 3, 'グラフト|エンジン|速い')
+      |) AS t(sid, n_toks, tokens) ORDER BY sid""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val userDict = Seq(
+      "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+      "グラフトエンジン,グラフト エンジン,グラフト エンジン,カスタム名詞")
+    val rows = Seq(
+      (1, "日本経済新聞。"),           // user segmentation overrides the whole-entity entry
+      (2, "日本経済新聞の記事を読む。"), // …in context
+      (3, "グラフトエンジンは速い。"))   // user entry over pure-unknown text
+    s.createDataFrame(rows).toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(
+          col("sentence"), "NORMAL", null, null, userDict).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
+  /** Zero-arg version introspection (reference A11, UDF:121-129: the call
+    * returns a 1-element array with the artifact version).
+    */
+  val q62 = Q(
+    "q62_version_call",
+    "SELECT * FROM (VALUES (1, '0.1.0')) AS t(sid, version)") { (s, dir) =>
+    graft.Graft.register(s)
+    s.sql("SELECT 1 AS sid, tokenize_ja_neologd()[0] AS version")
+  }
+
   /** Composite: tokenizer (UDTF shape) → hash agg → per-group ranking
     * window — the full §7.3 slice parameterized by source.
     */
@@ -703,5 +744,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60)
+    q55, q56, q57, q58, q59, q60, q61, q62)
 }
