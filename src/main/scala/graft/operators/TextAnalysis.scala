@@ -171,14 +171,26 @@ object TextAnalysis {
       dupWordMax: Double = 0.3, topWordMax: Double = 0.2): DataFrame = {
     val tk = toks(col(textCol))
     val bg = Dedup.gramsOf(tk, 2)
+    // Top-word count via sort + run-length over boundary indices: O(n log n)
+    // per row (the naive distinct×scan form is O(n_uniq·n) — quadratic on
+    // repetitive docs, which are exactly the ones this operator hunts).
+    // Boundaries b = positions starting a new run in the sorted list; run
+    // lengths are diffs of consecutive boundaries (sentinel n+1 at the end).
+    // Mirrored index-for-index in the DuckDB oracle (both engines compare
+    // strings bytewise and index arrays O(1)).
+    val sorted = array_sort(tk)
+    val n = size(tk)
+    val bounds = filter(sequence(lit(1), n), i =>
+      when(i === 1, lit(true)).otherwise(element_at(sorted, i) =!= element_at(sorted, i - 1)))
+    val runs = transform(sequence(lit(1), size(bounds)), j =>
+      when(j < size(bounds), element_at(bounds, j + 1)).otherwise(n + 1) - element_at(bounds, j))
     df.select(
       col(idCol),
-      size(tk).as("n_tokens"),
-      (lit(1) - size(array_distinct(tk)) / size(tk)).as("dup_word_frac"),
+      n.as("n_tokens"),
+      (lit(1) - size(array_distinct(tk)) / n).as("dup_word_frac"),
       when(size(bg) > 0, lit(1) - size(array_distinct(bg)) / size(bg))
         .otherwise(lit(0.0)).as("dup_bigram_frac"),
-      (array_max(transform(array_distinct(tk),
-        w => size(filter(tk, x => x === w)))) / size(tk)).as("top_word_frac"))
+      (array_max(runs) / n).as("top_word_frac"))
       .withColumn("repetitive",
         col("dup_word_frac") > dupWordMax || col("top_word_frac") > topWordMax)
   }

@@ -724,21 +724,25 @@ object Pipeline {
   val q59 = Q(
     "q59_repetition",
     """WITH tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-      |b AS (SELECT doc_id, t,
+      |srt AS (SELECT doc_id, t, list_sort(t) s,
       |        CASE WHEN len(t) >= 2
       |             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
-      |             ELSE [] END bg FROM tk)
+      |             ELSE [] END bg FROM tk),
+      |bnd AS (SELECT doc_id, t, bg,
+      |        list_filter(range(1, len(s) + 1), i -> i = 1 OR s[i] <> s[i - 1]) b,
+      |        len(t) n FROM srt),
+      |runs AS (SELECT doc_id, t, bg, n,
+      |         list_max(list_transform(range(1, len(b) + 1),
+      |           j -> (CASE WHEN j < len(b) THEN b[j + 1] ELSE n + 1 END) - b[j])) top
+      |         FROM bnd)
       |SELECT doc_id,
-      |  len(t) AS n_tokens,
-      |  1 - len(list_distinct(t)) / len(t) AS dup_word_frac,
+      |  n AS n_tokens,
+      |  1 - len(list_distinct(t)) / n AS dup_word_frac,
       |  CASE WHEN len(bg) > 0 THEN 1 - len(list_distinct(bg)) / len(bg)
       |       ELSE 0.0 END AS dup_bigram_frac,
-      |  list_max(list_transform(list_distinct(t),
-      |    w -> len(list_filter(t, x -> x = w)))) / len(t) AS top_word_frac,
-      |  (1 - len(list_distinct(t)) / len(t)) > 0.3 OR
-      |  (list_max(list_transform(list_distinct(t),
-      |     w -> len(list_filter(t, x -> x = w)))) / len(t)) > 0.2 AS repetitive
-      |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |  top / n AS top_word_frac,
+      |  (1 - len(list_distinct(t)) / n) > 0.3 OR (top / n) > 0.2 AS repetitive
+      |FROM runs ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
   }
 
