@@ -170,27 +170,42 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String,
       dupWordMax: Double = 0.3, topWordMax: Double = 0.2): DataFrame = {
     val tk = toks(col(textCol))
-    val bg = Dedup.gramsOf(tk, 2)
-    // Top-word count via sort + run-length over boundary indices: O(n log n)
-    // per row (the naive distinct×scan form is O(n_uniq·n) — quadratic on
-    // repetitive docs, which are exactly the ones this operator hunts).
-    // Boundaries b = positions starting a new run in the sorted list; run
-    // lengths are diffs of consecutive boundaries (sentinel n+1 at the end).
-    // Mirrored index-for-index in the DuckDB oracle (both engines compare
-    // strings bytewise and index arrays O(1)).
-    val sorted = array_sort(tk)
+    // Bigram stats via zip_with over two slices: BOTH arrays are top-level
+    // lambda children, evaluated once per row. Referencing `tk` (a split
+    // expression) from INSIDE a per-element lambda — element_at(tk, i) or
+    // slice(tk, i, k) over an index sequence — re-runs the split for every
+    // element: O(n²) work per row that profiled as ~5s of q59's 9s at
+    // sf0.1. The denominator is just n-1, no array needed.
+    // Top-word count via sort + ONE-PASS run-length aggregate: O(n log n)
+    // per row. The naive distinct×scan form is O(n_uniq·n) — quadratic on
+    // repetitive docs, which are exactly the ones this operator hunts. The
+    // sorted array must be the aggregate's INPUT child, evaluated once per
+    // row: referencing `array_sort(tk)` from inside per-element lambdas
+    // (e.g. element_at in a filter) re-sorts the array for every element —
+    // O(n²·log n), observed as a runaway q59 at sf0.1. The DuckDB oracle
+    // computes the same max run length from the same sorted list (boundary
+    // diffs — its CTE materializes the sort once, so the shape differs but
+    // the integers agree).
+    val runState = aggregate(
+      array_sort(tk),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val n = size(tk)
-    val bounds = filter(sequence(lit(1), n), i =>
-      when(i === 1, lit(true)).otherwise(element_at(sorted, i) =!= element_at(sorted, i - 1)))
-    val runs = transform(sequence(lit(1), size(bounds)), j =>
-      when(j < size(bounds), element_at(bounds, j + 1)).otherwise(n + 1) - element_at(bounds, j))
+    val distinctBigrams = size(array_distinct(zip_with(
+      slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))))
     df.select(
       col(idCol),
       n.as("n_tokens"),
       (lit(1) - size(array_distinct(tk)) / n).as("dup_word_frac"),
-      when(size(bg) > 0, lit(1) - size(array_distinct(bg)) / size(bg))
+      when(n >= 2, lit(1) - distinctBigrams / (n - 1))
         .otherwise(lit(0.0)).as("dup_bigram_frac"),
-      (array_max(runs) / n).as("top_word_frac"))
+      (runState / n).as("top_word_frac"))
       .withColumn("repetitive",
         col("dup_word_frac") > dupWordMax || col("top_word_frac") > topWordMax)
   }
