@@ -56,11 +56,19 @@ object Dedup {
   /** k-gram positions 1..size-k+1, guarded: Spark's sequence(1, n) counts
     * DOWN when n < 1, so short texts must yield an empty array explicitly.
     */
-  private[operators] def gramsOf(tk: Column, k: Int): Column =
+  private[operators] def gramsOf(tk: Column, k: Int): Column = {
+    // k-gram windows via arrays_zip of k shifted slices: every slice is a
+    // TOP-LEVEL lambda child, evaluated once per row. The index-sequence
+    // form (slice(tk, i, k) inside the transform lambda) re-evaluates the
+    // tokenization expression per element — O(n·k·n) per row, profiled as
+    // the dominant cost of q43/q59 at sf0.1.
+    val m = size(tk) - (k - 1)
+    val shifted = (0 until k).map(j => slice(tk, lit(j + 1), m))
     when(size(tk) >= k,
-      transform(sequence(lit(1), size(tk) - (k - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(k)))))
+      transform(arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*)))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Distinct k-token shingles per document: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
