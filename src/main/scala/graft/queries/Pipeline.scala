@@ -559,6 +559,44 @@ object Pipeline {
     s.sql("SELECT 1 AS sid, tokenize_ja_neologd()[0] AS version")
   }
 
+  /** Skew-handling operators inside the gate: the salted join must produce
+    * EXACTLY the plain join's rows (salt only redistributes them across
+    * tasks), and two-phase salted aggregation must produce exactly the
+    * one-phase totals — so the oracles are the unsalted formulations.
+    * rand()-assigned salts are fine under the hash compare precisely
+    * because the result set is salt-independent. value sums go through
+    * DECIMAL so the partial/total reassociation is exact (the double-sum
+    * ordering rule in Relational.scala).
+    */
+  val q63 = Q(
+    "q63_salted_join",
+    """SELECT e.event_id, e.event_type, e.user_id, d.type_total
+      |FROM events e JOIN (
+      |  SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type
+      |) d USING (event_type)
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+    graft.operators.Skew.saltedJoin(
+      ev.select(col("event_id"), col("event_type"), col("user_id")), dim, "event_type")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("type_total"))
+      .orderBy("event_id")
+  }
+
+  val q64 = Q(
+    "q64_salted_agg",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .withColumn("value_dec", col("value").cast("decimal(18,3)"))
+    graft.operators.Skew.saltedSumCount(ev, "event_type", "value_dec")
+      .select(col("event_type"), col("n"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Composite: tokenizer (UDTF shape) → hash agg → per-group ranking
     * window — the full §7.3 slice parameterized by source.
     */
@@ -748,5 +786,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }
