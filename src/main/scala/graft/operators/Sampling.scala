@@ -63,4 +63,30 @@ object Decontaminate {
       .join(broadcast(bfp), Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** Near-duplicate benchmark contamination (the GPT-3/C4-style n-gram
+    * overlap rule): a corpus doc is contaminated when ≥ `threshold` of its
+    * distinct k-token shingles also occur anywhere in the benchmark set.
+    * Returns (id, n_shingles, n_shared, contaminated).
+    *
+    * Scale shape: shingles travel as 8-byte hashes; the benchmark side
+    * (distinct hashes of a test set — small by construction) broadcasts,
+    * so the corpus never shuffles: scan → semi-match → per-doc count. The
+    * integer comparison `shared·den ≥ num·total` avoids any FP ratio.
+    */
+  def flagNearNgram(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 6,
+      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    val ch = Dedup.hashedShingles(corpus, idCol, textCol, k)
+    val bh = broadcast(
+      Dedup.hashedShingles(benchmark, idCol, textCol, k)
+        .select(col("h")).distinct())
+    val shared = ch.join(bh, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    ch.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      .join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated",
+        col("n_shared") * thresholdDen >= col("n_shingles") * thresholdNum)
+  }
 }

@@ -568,6 +568,29 @@ object Pipeline {
     * DECIMAL so the partial/total reassociation is exact (the double-sum
     * ordering rule in Relational.scala).
     */
+  /** Near-duplicate benchmark decontamination (q65): GPT-3/C4-style rule —
+    * contaminated iff ≥ half of a doc's distinct 6-token shingles occur in
+    * the benchmark set. Docs too short to shingle carry no evidence and are
+    * out of scope (as in q31). The bench subset (doc_id % 89) includes
+    * exact members AND their near-dup neighbors via shared shingles.
+    */
+  val q65 = Q(
+    "q65_decontaminate_near",
+    s"""WITH $shingleCtes,
+       |bh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 89 = 0),
+       |shared AS (SELECT doc_id, COUNT(*) n_shared FROM hs
+       |           WHERE h IN (SELECT h FROM bh) GROUP BY doc_id)
+       |SELECT sizes.doc_id AS id, sizes.n AS n_shingles,
+       |  COALESCE(shared.n_shared, 0) AS n_shared,
+       |  COALESCE(shared.n_shared, 0) * 2 >= sizes.n AS contaminated
+       |FROM sizes LEFT JOIN shared USING (doc_id)
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bench = docs.where(col("doc_id") % 89 === 0)
+    graft.operators.Decontaminate.flagNearNgram(docs, bench, "doc_id", "text")
+      .orderBy("id")
+  }
+
   val q63 = Q(
     "q63_salted_join",
     """SELECT e.event_id, e.event_type, e.user_id, d.type_total
@@ -786,5 +809,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }
