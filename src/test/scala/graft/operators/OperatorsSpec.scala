@@ -279,6 +279,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 4L))
   }
 
+  test("flagNearNgram: shingle-overlap contamination flags near-copies, not unrelated docs") {
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8"),   // exact copy: 3/3 shingles shared
+      (2L, "x0 b1 b2 b3 b4 b5 b6 b7 b8"), // near copy: 3/4 shared
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),   // unrelated: 0/3
+      (4L, "b1 b2 b3"))                  // too short to shingle: out of scope
+      .toDF("doc_id", "text")
+    val r = Decontaminate.flagNearNgram(corpus, bench, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ((3L, true)) && r(2L) == ((3L, true)) && r(3L) == ((0L, false)))
+    assert(!r.contains(4L)) // no shingles -> no evidence -> absent (as q31/q65)
+  }
+
   test("LSH recall: every high-Jaccard pair from the exact path is an LSH pair") {
     // 30 synthetic docs: ten base texts, each with a near-copy (one token
     // changed -> high shingle overlap) and an unrelated doc. Deterministic
