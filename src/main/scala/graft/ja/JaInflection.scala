@@ -40,8 +40,16 @@ object JaInflection {
       val stem = base.dropRight(1)
       val forms = (Seq(a.toString, i.toString, e.toString, o.toString) ++
         (if (onbin.nonEmpty) Seq(onbin) else Nil)).distinct
-      DictEntry(base, pos, "", Array.empty) +:
-        forms.map(f => DictEntry(stem + f, pos, base, Array.empty))
+      // Potential verb (話す→話せる) as its own dictionary-form lexeme with
+      // itself as lemma — ipadic lexicalizes potentials as independent
+      // 一段 verbs, and without the entry 話せる degrades to 話+せ+る
+      // (noun + filtered auxiliaries). Its inflected stem (話せ) already
+      // exists as the 仮定 form mapped to the godan base — a same-class
+      // homograph the compact cost model cannot split (documented
+      // divergence); the dictionary form is the high-frequency win.
+      (DictEntry(base, pos, "", Array.empty) +:
+        forms.map(f => DictEntry(stem + f, pos, base, Array.empty))) :+
+        DictEntry(stem + e + "る", pos, "", Array.empty)
     }
 
   /** い-adjective: 終止/連体 (base), 連用 (〜く), 連用タ接続 (〜かっ),
