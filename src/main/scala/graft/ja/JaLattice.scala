@@ -67,7 +67,7 @@ private[ja] object JaCosts {
     set(Aux, Aux, -300) // でし+た
     set(Noun, Aux, -200) // テスト+です
     set(Noun, NounSuffix, -400) // 研究+者 (kept above 接尾 compound traps)
-    set(Num, NounSuffix, -600) // 三+回
+    set(Num, NounSuffix, -1200) // 三+回 (deep: 年月日 chains must beat grouped unknown runs)
     set(Prefix, Num, -700) // 第+二
     set(Prefix, Noun, -500) // 新+技術
     // サ変接続 noun behaves as a noun, plus attracts する/し (発表した —
@@ -112,7 +112,7 @@ private[ja] object JaCosts {
     val pos = e.pos
     if (pos.startsWith("助詞")) 500
     else if (pos.startsWith("助動詞")) 600
-    else if (pos == "名詞-数") 2000
+    else if (pos == "名詞-数") 1500
     else if (pos.startsWith("名詞-接尾")) 3000 // costly enough not to tear compounds
     else if (pos.startsWith("接頭詞")) 2200
     else if (pos.startsWith("名詞-固有名詞")) 3200
