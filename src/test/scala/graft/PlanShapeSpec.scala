@@ -44,4 +44,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q49_approx_distinct")
     assert(!p.contains("Expand"), p)
   }
+
+  test("q58/q59 curation ops are per-row projections: no aggregate, no join, no Generate") {
+    // the only exchange either query may carry is the terminal
+    // oracle-determinism sort (rangepartitioning)
+    for (q <- Seq("q58_pii_redact", "q59_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+        !p.contains("Generate"), s"$q:\n$p")
+      assert(!p.contains("hashpartitioning"), s"$q shuffles beyond the final sort:\n$p")
+    }
+  }
+
+  test("q63 salted join replicates only the SMALL side: explode sits above the dim aggregate") {
+    // the fact scan must not pass through a Generate — salt on the large
+    // side is a projection (rand), replication is explode on the dim only
+    val p = plan("q63_salted_join")
+    val generateIdx = p.indexOf("Generate")
+    assert(generateIdx >= 0, p)
+    // the Generate subtree must contain the aggregate (dim), i.e. appear
+    // after it in the bottom-up string — cheap structural proxy: exactly
+    // one Generate, and no Generate directly over a parquet scan of events
+    assert(p.indexOf("Generate", generateIdx + 1) < 0, s"multiple Generates:\n$p")
+  }
+
+  test("q65 near-decontamination broadcasts the benchmark hashes (semi join, no shuffle of corpus keys for the probe)") {
+    val p = plan("q65_decontaminate_near")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
