@@ -127,6 +127,28 @@ object TextAnalysis {
       .limit(limit)
   }
 
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019, the public
+    * regex behind BPE chunking), adapted to the java.regex ∩ RE2 subset:
+    * the original's trailing-space lookahead is dropped (RE2 has no
+    * lookaround), so terminal whitespace runs count as one chunk —
+    * deterministic and identical in both engines. Chunks: contractions,
+    * optional-space+letters, optional-space+digits, optional-space+other,
+    * whitespace runs.
+    */
+  val BpeChunkRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token-count statistics per document: whitespace tokens (the corpus
+    * convention) and BPE-ish pre-tokenizer chunks — the quantity an LLM
+    * data pipeline budgets by. Pure codegen'd regexp, shuffle-free.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(toks(col(textCol))).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeChunkRe), lit(0))).as("n_bpe_chunks"),
+      length(col(textCol)).as("n_chars"))
+
   /** PII patterns shared with the DuckDB oracle: kept in the
     * java.util.regex ∩ RE2 common subset (no lookaround, no backrefs) so
     * the SAME pattern string runs in both engines with identical matches.

@@ -54,6 +54,14 @@ object Pipeline {
     (0 until 8).map(i => s"(CASE WHEN $e[$offset + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
+  private val piiRows = Seq(
+    -6L -> "edge@case@double.com and 999.999.999.999 and 12345678",
+    -5L -> "mixed: jane_doe99@mail.co.uk from 172.16.254.3 phoned 0800 123 456",
+    -4L -> "no personal info here at all",
+    -3L -> "call +1 555-123-4567 or (03) 1234-5678 for support",
+    -2L -> "server at 10.0.0.1 and backup at 192.168.1.254 rebooted",
+    -1L -> "contact alice.smith@example.com or bob@test.org today")
+
   // ---- dedup family ----
 
   val q30 = Q(
@@ -559,6 +567,33 @@ object Pipeline {
     s.sql("SELECT 1 AS sid, tokenize_ja_neologd()[0] AS version")
   }
 
+  /** BPE-ish token budgeting (q66): the GPT-2 pre-tokenizer chunk count —
+    * what an LLM pipeline actually budgets by — counted with the SAME
+    * regex string in both engines (apostrophes doubled for the SQL
+    * literal). The six q58 literal rows ride along so punctuation,
+    * contractions, and digit runs are exercised beyond the
+    * space-separated-words corpus.
+    */
+  val q66 = Q(
+    "q66_token_budget",
+    s"""WITH src AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    ${piiRows.map { case (id, s) => s"(CAST($id AS BIGINT), '$s')" }.mkString(",\n    ")}
+       |  ) AS v(doc_id, text))
+       |SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.BpeChunkRe.replace("'", "''")}')) AS n_bpe_chunks,
+       |  CAST(length(text) AS INT) AS n_chars
+       |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionAll(piiRows.toDF("doc_id", "text"))
+    TextAnalysis.tokenStats(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Skew-handling operators inside the gate: the salted join must produce
     * EXACTLY the plain join's rows (salt only redistributes them across
     * tasks), and two-phase salted aggregation must produce exactly the
@@ -745,16 +780,10 @@ object Pipeline {
     * scaladoc). The generator corpus carries no PII, so six literal rows
     * with known emails/IPs/phones ride along (the round-1 lesson: an
     * oracle the data cannot exercise proves nothing); DuckDB needs the
-    * explicit 'g' flag Spark applies implicitly.
+    * explicit 'g' flag Spark applies implicitly. (piiRows itself is
+    * declared at the top of the object: vals initialize in file order and
+    * q66, defined earlier in the file, also embeds the rows.)
     */
-  private val piiRows = Seq(
-    -6L -> "edge@case@double.com and 999.999.999.999 and 12345678",
-    -5L -> "mixed: jane_doe99@mail.co.uk from 172.16.254.3 phoned 0800 123 456",
-    -4L -> "no personal info here at all",
-    -3L -> "call +1 555-123-4567 or (03) 1234-5678 for support",
-    -2L -> "server at 10.0.0.1 and backup at 192.168.1.254 rebooted",
-    -1L -> "contact alice.smith@example.com or bob@test.org today")
-
   val q58 = Q(
     "q58_pii_redact",
     s"""WITH src AS (
@@ -809,5 +838,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -279,6 +279,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean == Set(2L, 4L))
   }
 
+  test("tokenStats: BPE-ish chunks split contractions, digits, punctuation") {
+    val d = Seq((1L, "it's 2025, isn't it?"), (2L, "plain words only")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(d, "doc_id", "text").orderBy("doc_id").collect()
+    // it|'s| 2025|,| isn|'t| it|? -> 8 chunks vs 4 ws tokens
+    assert(r(0).getInt(1) == 4 && r(0).getInt(2) == 8)
+    assert(r(1).getInt(1) == 3 && r(1).getInt(2) == 3)
+  }
+
   test("flagNearNgram: shingle-overlap contamination flags near-copies, not unrelated docs") {
     val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
     val corpus = Seq(
