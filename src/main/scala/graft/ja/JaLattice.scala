@@ -78,7 +78,7 @@ private[ja] object JaCosts {
     set(Prefix, Sahen, -500)
     set(Sahen, VerbInfl, -700); set(Sahen, VerbTerm, -700)
     // discourage fragmenting
-    set(Num, Num, 300)
+    set(Num, Num, -150) // numeral chains cohere (三+十+分); was +300, flipped so 三十|分 beats 三|十分
     set(Particle, Particle, 200)
     set(Unknown, Unknown, 400)
     m
@@ -113,6 +113,7 @@ private[ja] object JaCosts {
     if (pos.startsWith("助詞")) 500
     else if (pos.startsWith("助動詞")) 600
     else if (pos == "名詞-数") 1500
+    else if (pos.startsWith("名詞-接尾-助数詞")) 2400 // counters bind to numerals (三十|分 over 三|十分)
     else if (pos.startsWith("名詞-接尾")) 3000 // costly enough not to tear compounds
     else if (pos.startsWith("接頭詞")) 2200
     else if (pos.startsWith("名詞-固有名詞")) 3200
