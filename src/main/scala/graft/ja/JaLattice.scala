@@ -79,7 +79,7 @@ private[ja] object JaCosts {
     set(Sahen, VerbInfl, -700); set(Sahen, VerbTerm, -700)
     // discourage fragmenting
     set(Num, Num, -150) // numeral chains cohere (三+十+分); was +300, flipped so 三十|分 beats 三|十分
-    set(Particle, Particle, 200)
+    set(Particle, Particle, 700)
     set(Unknown, Unknown, 400)
     m
   }
