@@ -53,7 +53,9 @@ object JaInflection {
     }
 
   /** い-adjective: 終止/連体 (base), 連用 (〜く), 連用タ接続 (〜かっ),
-    * 仮定 (〜けれ). The stem nominalization 〜さ is a separate 接尾 entry.
+    * 仮定 (〜けれ), and the 〜さ degree nominalization (明るさ, 高さ) as a
+    * noun lexeme — without it the stem is an unknown run and the さ
+    * nominalizer tears (明|るさ).
     */
   def expandAdj(base: String): Seq[DictEntry] = {
     val stem = base.dropRight(1)
@@ -61,6 +63,7 @@ object JaInflection {
       DictEntry(base, "形容詞-自立", "", Array.empty),
       DictEntry(stem + "く", "形容詞-自立", base, Array.empty),
       DictEntry(stem + "かっ", "形容詞-自立", base, Array.empty),
-      DictEntry(stem + "けれ", "形容詞-自立", base, Array.empty))
+      DictEntry(stem + "けれ", "形容詞-自立", base, Array.empty),
+      DictEntry(stem + "さ", "名詞-一般", "", Array.empty))
   }
 }
