@@ -208,4 +208,92 @@ object Dedup {
 
   /** Hamming distance between two simhash signatures (bit_count of XOR). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected edge list — the cluster-
+    * formation step between near-duplicate PAIRS (LSH / n-gram / SimHash
+    * output) and a deduplicated corpus: near-duplication is not transitive,
+    * so a pipeline that drops "the b of every (a,b) pair" can drop both
+    * endpoints of one pair and neither endpoint of an inferred one. The
+    * correct keep-set is one canonical representative per component.
+    *
+    * Alternating large-star / small-star (Kiveris et al., SoCC'14,
+    * "Connected Components in MapReduce and Beyond"): converges in
+    * O(log² n) rounds, and every round is built from shuffle-keyed
+    * `groupBy(min)` + equi-joins only — a node's neighborhood is never
+    * materialized in one task (no `collect_list`), so degree skew ends up
+    * as AQE-splittable join skew, not an OOM. Each round localCheckpoints
+    * to truncate lineage (iterative plans otherwise nest exponentially)
+    * and the convergence probe is a count + an anti-join emptiness check
+    * on the checkpointed frames.
+    *
+    * Input rows are (srcCol, dstCol) edges, any orientation, self-loops
+    * and duplicates tolerated. Returns (doc_id, cluster_id) for every node
+    * appearing in `edges`, where cluster_id is the component-minimum id —
+    * deterministic regardless of iteration order, so it hash-compares
+    * against a transitive-closure oracle.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val nodes = sym(raw).select(col("u").as("doc_id")).distinct()
+
+    var e = canon(raw).localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u})
+      val s1 = sym(e)
+      val mL = s1.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(s1.join(mL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star(u): attach u and every neighbor v < u to min(Γ⁻(u) ∪ {u})
+      val s2 = sym(large).where(col("v") < col("u"))
+      val mS = s2.groupBy("u").agg(min("v").as("m"))
+      val small = canon(
+        s2.join(mS, "u").select(col("v").as("u"), col("m").as("v"))
+          .unionAll(mS.select(col("u"), col("m").as("v"))))
+      val next = small.localCheckpoint()
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      iter += 1
+    }
+    // fixed point is a star forest: every edge is (root=u, child=v) with
+    // root the component minimum; roots label themselves
+    nodes
+      .join(e.select(col("v").as("doc_id"), col("u").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters end-to-end: LSH pairs → connected components
+    * → one row per clustered document with its canonical representative
+    * (component-minimum id) and cluster size. Documents in no pair are
+    * implicitly canonical and not emitted (at corpus scale they are the
+    * overwhelming majority — emitting them would turn a pairs-sized result
+    * into a corpus-sized one).
+    */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = lshNearDupPairs(df, idCol, textCol, k, numHashes, bands, threshold)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"),
+        col("n_docs"))
+  }
 }

@@ -102,9 +102,11 @@ object Pipeline {
   private val minhashParamsSql: String =
     (0 until 16).map(i => s"(${i}, ${Dedup.hashA(i)}, ${Dedup.hashB(i)})").mkString(", ")
 
-  val q32 = Q(
-    "q32_neardup_minhash_lsh",
-    s"""WITH $shingleCtes,
+  /** MinHash-LSH verified-pair CTE chain at threshold 0.5, shared by q32
+    * (the pairs themselves) and q67 (cluster formation on top of them).
+    */
+  private lazy val lshPairCtes =
+    s"""$shingleCtes,
        |params(i, a, b) AS (VALUES $minhashParamsSql),
        |mh AS (SELECT doc_id, i, MIN((a * h + b) % 1000000007) m
        |       FROM hs CROSS JOIN params GROUP BY doc_id, i),
@@ -120,18 +122,52 @@ object Pipeline {
        |  FROM cand c
        |  JOIN hs a ON a.doc_id = c.id_a
        |  JOIN hs b ON b.doc_id = c.id_b AND b.h = a.h
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b,
        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
-       |FROM shared
-       |JOIN sizes sa ON sa.doc_id = id_a
-       |JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+       |  FROM shared
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5)""".stripMargin
+
+  val q32 = Q(
+    "q32_neardup_minhash_lsh",
+    s"""WITH $lshPairCtes
+       |SELECT id_a, id_b, jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     graft.Graft.register(s)
     Dedup.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 6, numHashes = 16, bands = 4, threshold = 0.5)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup cluster formation (q67): LSH pairs → connected components →
+    * canonical representative per cluster. The oracle derives the same
+    * labels by brute force — recursive transitive closure over the pair
+    * graph, then MIN(reachable id) — which the large-star/small-star
+    * DataFrame iteration must reproduce exactly (component-min labels are
+    * iteration-order-independent).
+    */
+  val q67 = Q(
+    "q67_dedup_clusters",
+    s"""WITH RECURSIVE $lshPairCtes,
+       |symp AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |cnodes AS (SELECT DISTINCT a AS id FROM symp),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN symp s ON s.a = r.dst),
+       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |cs AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lab GROUP BY cluster_id)
+       |SELECT lab.cluster_id, lab.doc_id,
+       |  lab.doc_id = lab.cluster_id AS is_canonical, cs.n_docs
+       |FROM lab JOIN cs USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+      k = 6, numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("cluster_id", "doc_id")
   }
 
   private val simhashBits = 30
@@ -838,5 +874,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

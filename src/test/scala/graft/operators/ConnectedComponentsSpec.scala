@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Large-star/small-star connected components vs a driver-side union-find
+  * reference on hand-built and seeded-random graphs.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference union-find with path compression. */
+  private def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root labels are min-ids because we always parent max under min
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain collapses to the minimum id") {
+    assert(cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("two components, reversed/duplicate edges and self-loops tolerated") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L), (10L, 20L), (20L, 10L))
+    assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 20L -> 10L))
+  }
+
+  test("self-loop-only node labels itself") {
+    assert(cc(Seq((7L, 7L))) == Map(7L -> 7L))
+  }
+
+  test("empty edge list yields empty labels") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("seeded random graphs match union-find labels exactly") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+      }.filter { case (a, b) => a != b }
+      assert(cc(edges) == ufLabels(edges), s"trial $trial")
+    }
+  }
+
+  test("nearDupClusters groups exact+near dups under the min id with sizes") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x"),
+      (4L, "q r s t u v w z")).toDF("doc_id", "text")
+    val r = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2), x.getLong(3)))
+    // 1,2 identical; 3 near-dups both (jaccard 0.5 ≥ 0.4); 4 unpaired → absent
+    assert(r.toSeq == Seq((1L, 1L, true, 3L), (1L, 2L, false, 3L), (1L, 3L, false, 3L)))
+  }
+}
