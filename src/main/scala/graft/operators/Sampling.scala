@@ -35,6 +35,26 @@ object Sampling {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Deterministic epoch shuffle + shard assignment for training readers:
+    * shard = hash(id:salt) mod numShards — reshuffled per epoch by
+    * changing the salt — and a reading position WITHIN the shard ordered
+    * by (hash, id). Each data-loader worker gets a disjoint, reproducible,
+    * internally-shuffled slice. Deliberately NOT a global row_number (a
+    * no-partition window is a single-reducer at scale): the per-shard
+    * window partitions by shard, so parallelism = numShards and hash
+    * balance bounds the skew; the id tiebreak makes positions unique and
+    * engine-independent.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = "epoch0"): DataFrame = {
+    val h = graft_hash64(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    df.withColumn("shuffle_key", h)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
+      .withColumn("pos_in_shard",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))))
+  }
 }
 
 /** Benchmark decontamination: flag/remove training documents whose content

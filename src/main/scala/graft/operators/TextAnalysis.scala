@@ -13,6 +13,65 @@ object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 
+  /** Sliding-window document chunking for training-sequence preparation:
+    * token windows of `chunkSize` advancing by `chunkSize - overlap`, the
+    * final window clamped to the document end. Every document yields at
+    * least one chunk (short docs yield themselves); ceil is computed in
+    * integer arithmetic so the chunk count is exactly reproducible.
+    *
+    * A pure per-row Generate (projection → posexplode) — no shuffle, no
+    * state: at corpus scale it streams through whole-stage codegen and the
+    * output partitioning inherits the input's. The token array is
+    * materialized as an attribute BEFORE the per-chunk lambda so the split
+    * runs once per row, not once per chunk (the higher-order-lambda
+    * re-evaluation trap, PLANS.md).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("tk"),
+        size(toks(col(textCol))).as("len"))
+      .where(col("len") > 0)
+      .withColumn("n_chunks", // integer ceil((len-overlap)/stride), ≥ 1
+        greatest(lit(1),
+          floor((col("len") - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int")))
+      .select(col("doc_id"), col("tk"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => slice(col("tk"), i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Corpus-frequency quality signals: per document, the mean corpus
+    * frequency of its tokens and the fraction of rare tokens (corpus count
+    * < minCount) — the integer-arithmetic core of unigram-LM scoring
+    * (low mean frequency / high rare ratio ⇒ off-distribution text), kept
+    * rational (long ÷ long in double) so it hash-compares bit-for-bit.
+    *
+    * Two shuffles at scale: the vocabulary aggregation and the doc-keyed
+    * re-aggregation; the token→count join is shuffle-keyed on the token
+    * (skewed head tokens are AQE-splittable). A bounded top-K vocabulary
+    * broadcast would remove the join shuffle at the cost of treating tail
+    * tokens as rare — the exact formulation is kept here because the
+    * vocabulary is itself corpus-derived and already one hash-agg.
+    */
+  def corpusFreqScore(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    tok.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        count(when(col("cnt") < minCount, 1)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_cnt").cast("double") / col("n_tokens")).as("mean_token_freq"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
+  }
+
   /** Per-document token statistics + a deterministic quality score in
     * [0,1]: 0.4·TTR + 0.3·(1 − stopword ratio) + 0.3·min(1, n/100).
     * (Integer-derived double arithmetic only — reproducible bit-for-bit.)

@@ -630,6 +630,63 @@ object Pipeline {
     TextAnalysis.tokenStats(docs, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Sliding-window chunking (q68): chunkSize=64, overlap=16 → stride=48;
+    * chunk_idx/n_tokens cast to INT on the oracle side (DuckDB len/range
+    * are BIGINT, Spark size/posexplode are INT).
+    */
+  val q68 = Q(
+    "q68_chunking",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, t,
+      |         unnest(range(0, GREATEST(1, (len(t) - 16 + 47) // 48))) AS i
+      |       FROM tk WHERE len(t) > 0)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(t, i*48 + 1, i*48 + 64)) AS INT) AS n_tokens,
+      |  array_to_string(list_slice(t, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Corpus-frequency quality scoring (q69): rational unigram-LM signals
+    * (mean corpus frequency, rare-token ratio at minCount=5) — long÷long
+    * doubles only, so the hash compare is exact.
+    */
+  val q69 = Q(
+    "q69_corpus_freq_score",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok2 GROUP BY tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+      |  CAST(COUNT(CASE WHEN cnt < 5 THEN 1 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+      |FROM tok2 JOIN vocab USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.corpusFreqScore(t(s, dir, "documents"), "doc_id", "text", minCount = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic epoch shuffle + sharding (q70): shard and in-shard
+    * position are pure functions of (doc_id, epoch salt) — the oracle
+    * recomputes both from the shared polynomial hash.
+    */
+  val q70 = Q(
+    "q70_epoch_shuffle",
+    s"""WITH hk AS (SELECT doc_id,
+       |  ${hashSql("CAST(doc_id AS VARCHAR) || ':epoch1'")} AS k FROM documents)
+       |SELECT doc_id, k % 8 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS INT)
+       |    AS pos_in_shard
+       |FROM hk ORDER BY shard, pos_in_shard""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.epochShuffle(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id",
+      numShards = 8, salt = "epoch1")
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+      .orderBy("shard", "pos_in_shard")
+  }
+
   /** Skew-handling operators inside the gate: the salted join must produce
     * EXACTLY the plain join's rows (salt only redistributes them across
     * tasks), and two-phase salted aggregation must produce exactly the
@@ -874,5 +931,6 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+    q69, q70)
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Chunking, corpus-frequency scoring, and epoch shuffle on hand-computable
+  * inputs (sf-scale behavior is oracle-checked via q68–q70).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunk: stride windows with clamped tail, short docs yield themselves") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b")).toDF("doc_id", "text") //  2 tokens < chunkSize
+    val r = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    // stride 3, len 10: ceil((10-2)/3)=3 chunks at 1,4,7; tail clamped to 4
+    assert(r.toSeq == Seq(
+      (1L, 0, 5, "t1 t2 t3 t4 t5"),
+      (1L, 1, 5, "t4 t5 t6 t7 t8"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (2L, 0, 2, "a b")))
+  }
+
+  test("chunk: consecutive chunks overlap by exactly `overlap` tokens") {
+    val docs = Seq((1L, (1 to 100).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 16, overlap = 4)
+      .orderBy("chunk_idx").collect()
+    r.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getString(3).split(" ")
+      val bt = b.getString(3).split(" ")
+      assert(at.takeRight(4).sameElements(bt.take(4)))
+    }
+    // every source token appears in some chunk
+    assert(r.flatMap(_.getString(3).split(" ")).distinct.length == 100)
+  }
+
+  test("corpusFreqScore: mean frequency and rare ratio from corpus counts") {
+    val docs = Seq(
+      (1L, "x x y"), // x appears 3 times in corpus, y twice
+      (2L, "x y z")) // z once → rare at minCount=2
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.corpusFreqScore(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, (3 + 3 + 2) / 3.0, 0.0),
+      (2L, 3L, (3 + 2 + 1) / 3.0, 1 / 3.0)))
+  }
+
+  test("epochShuffle: shards partition the corpus; positions are 1..shardSize; salt reshuffles") {
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val e1 = Sampling.epochShuffle(docs, "doc_id", numShards = 4, salt = "e1")
+    val rows = e1.collect()
+    assert(rows.length == 200)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    byShard.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("pos_in_shard")).sorted.sameElements(1 to g.length))
+    }
+    val e2 = Sampling.epochShuffle(docs, "doc_id", numShards = 4, salt = "e2")
+    val m1 = rows.map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Int]("pos_in_shard"))).toMap
+    val m2 = e2.collect().map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Int]("pos_in_shard"))).toMap
+    assert(m1 != m2) // a different epoch salt produces a different permutation
+    // determinism: same salt reproduces bit-identically
+    val e1b = Sampling.epochShuffle(docs, "doc_id", numShards = 4, salt = "e1")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Int]("pos_in_shard"))).toMap
+    assert(m1 == e1b)
+  }
+}
