@@ -73,4 +73,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q68 chunking is a per-row Generate: no aggregate, no join, no shuffle beyond the final sort") {
+    val p = plan("q68_chunking")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), s"q68 shuffles beyond the final sort:\n$p")
+  }
+
+  test("q70 epoch shuffle windows per shard: hash-partitioned on shard, no single-reducer window") {
+    val p = plan("q70_epoch_shuffle")
+    assert(p.contains("Window"), p)
+    // the window exchange must be keyed (hashpartitioning on shard), never
+    // SinglePartition — that is the global-row_number anti-pattern
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
