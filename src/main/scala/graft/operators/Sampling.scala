@@ -36,6 +36,26 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Per-stratum reservoir sample: exactly min(k, |stratum|) rows per
+    * stratum, selected and ordered by (hash(id:salt), id) — the balanced-
+    * sampling step for mixing sources/domains/languages at fixed quotas.
+    * Deterministic and repartition-stable (membership is a pure function
+    * of id and salt, unlike rand()-reservoirs). The window partitions by
+    * the stratum key, so parallelism = #strata and each task ranks one
+    * stratum; at scale a heavily skewed stratum can pre-filter with
+    * `pctBucket` before ranking to bound the sort input.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    val key = graft_hash64(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    df.withColumn("smp_key", key)
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol)).orderBy(col("smp_key"), col(idCol))))
+      .where(col("sample_rank") <= k)
+      .drop("smp_key")
+  }
+
   /** Deterministic epoch shuffle + shard assignment for training readers:
     * shard = hash(id:salt) mod numShards — reshuffled per epoch by
     * changing the salt — and a reading position WITHIN the shard ordered

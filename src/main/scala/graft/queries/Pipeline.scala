@@ -687,6 +687,51 @@ object Pipeline {
       .orderBy("shard", "pos_in_shard")
   }
 
+  /** Int8 embedding quantization (q71): per-vector scale, saturation
+    * bound, and left-to-right reconstruction-error fold — every step a
+    * single IEEE op, so the doubles hash-match bit-for-bit.
+    */
+  val q71 = Q(
+    "q71_quantize_int8",
+    """WITH sc AS (SELECT vec_id, embedding AS e,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  CASE WHEN scale = 0 THEN 0
+      |    ELSE list_max(list_transform(range(1, 65),
+      |      k -> CAST(abs(floor(CAST(e[k] AS DOUBLE) / scale + 0.5)) AS BIGINT)))
+      |  END AS max_abs_code,
+      |  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+      |      k -> abs(CAST(e[k] AS DOUBLE)
+      |             - floor(CAST(e[k] AS DOUBLE) / scale + 0.5) * scale))),
+      |      (u, v) -> u + v)
+      |  END AS recon_err
+      |FROM sc ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize.int8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"), col("max_abs_code"), col("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-stratum reservoir sample (q72): fixed quota of 20 docs per
+    * source, membership a pure function of (doc_id, salt).
+    */
+  val q72 = Q(
+    "q72_stratified_sample",
+    s"""WITH h AS (SELECT source, doc_id,
+       |  ${hashSql("CAST(doc_id AS VARCHAR) || ':graft'")} AS k FROM documents),
+       |r AS (SELECT source, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS INT)
+       |    AS sample_rank FROM h)
+       |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 20
+       |ORDER BY source, sample_rank""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents").select(col("source"), col("doc_id")),
+      "doc_id", "source", k = 20)
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
   /** Skew-handling operators inside the gate: the salted join must produce
     * EXACTLY the plain join's rows (salt only redistributes them across
     * tasks), and two-phase salted aggregation must produce exactly the
@@ -932,5 +977,5 @@ object Pipeline {
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70)
+    q69, q70, q71, q72)
 }

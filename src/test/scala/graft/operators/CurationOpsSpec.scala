@@ -71,4 +71,35 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getAs[Long]("shard"), r.getAs[Int]("pos_in_shard"))).toMap
     assert(m1 == e1b)
   }
+
+  test("int8 quantize: codes bounded, zero vector safe, round-trip error small") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Quantize.int8(emb, "vec_id", "embedding").orderBy("vec_id").collect()
+    val r1 = q(0)
+    assert(r1.getDouble(1) == 1.0 / 127) // scale = max|x|/127
+    val codes = r1.getSeq[Long](2)
+    assert(codes == Seq(127L, -63L, 32L, 0L))
+    assert(r1.getLong(3) == 127L)
+    assert(r1.getDouble(4) < 4 * (1.0 / 127) / 2 + 1e-12) // per-dim err <= scale/2
+    val r2 = q(1)
+    assert(r2.getDouble(1) == 0.0 && r2.getSeq[Long](2).forall(_ == 0L) && r2.getDouble(4) == 0.0)
+  }
+
+  test("stratifiedSample: exact quota per stratum, deterministic, disjoint ranks") {
+    val docs = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "source")
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "source", k = 10)
+    val rows = s1.collect()
+    val byS = rows.groupBy(_.getString(1))
+    assert(byS("a").length == 10 && byS("b").length == 10)
+    byS.values.foreach(g =>
+      assert(g.map(_.getAs[Int]("sample_rank")).sorted.sameElements(1 to 10)))
+    // small stratum: quota clamps to stratum size
+    val tiny = Sampling.stratifiedSample(
+      (1L to 5L).map(i => (i, "x")).toDF("doc_id", "source"), "doc_id", "source", k = 10)
+    assert(tiny.count() == 5)
+    // determinism
+    assert(s1.collect().map(_.toString).sorted.sameElements(rows.map(_.toString).sorted))
+  }
 }
