@@ -94,6 +94,47 @@ object Multimodal {
     else None
   }
 
+  /** Parse real RIFF/WAVE audio headers: (channels, sample_rate,
+    * bits_per_sample, n_samples). Walks the chunk list (RIFF spec: 4-byte
+    * id, le32 size, word-aligned) for `fmt ` (PCM fields, little-endian)
+    * and `data` (payload size → sample count via block align). Returns
+    * None for anything not structurally a WAV — so text-as-binary columns
+    * can never take this path, mirroring decodeImageHeader.
+    */
+  def decodeWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+    if (bytes == null || bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+      var dataBytes = -1L
+      while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= bytes.length) {
+          val audioFormat = le16(i + 8)
+          val ch = le16(i + 10)
+          val rate = le32(i + 12)
+          val blockAlign = le16(i + 20)
+          val bits = le16(i + 22)
+          // PCM (1) or IEEE float (3) with sane fields only
+          if ((audioFormat == 1 || audioFormat == 3) && ch >= 1 && rate >= 1 &&
+            rate <= Int.MaxValue && bits >= 1 && blockAlign >= 1)
+            fmt = Some((ch, rate.toInt, bits, blockAlign))
+        } else if (tag(i, "data")) dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        if (size < 0 || size > Int.MaxValue) return None
+      }
+      fmt.collect { case (ch, rate, bits, ba) if dataBytes >= 0 =>
+        (ch, rate, bits, dataBytes / ba)
+      }
+    }
+  }
+
   /** STUB decoder — deterministic fake standing in for a real codec
     * (e.g. JPEG decode + CNN feature head). Replace the body, keep the
     * signature.
@@ -121,6 +162,31 @@ object Multimodal {
       taken += 1
     }
     (fmt, 1 + n % 64, 1 + (n * 7) % 64, 1 + n % 8, featSum)
+  }
+
+  /** Batch audio-metadata extraction over a binary column — the same
+    * mapPartitions batch shape as extractFeatures, for RIFF/WAVE payloads;
+    * non-WAV rows yield nulls in the metadata fields (total function, no
+    * task failure on mixed-media columns).
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          decodeWavHeader(bytes) match {
+            case Some((ch, rate, bits, n)) =>
+              (id, bytes.length, "wav", Some(ch), Some(rate), Some(bits), Some(n))
+            case None =>
+              (id, bytes.length, "unknown", None, None, None, None)
+          }
+        }
+      }
+      .toDF("id", "byte_len", "fmt", "channels", "sample_rate",
+        "bits_per_sample", "n_samples")
   }
 
   /** Batch feature extraction over a binary column. */
