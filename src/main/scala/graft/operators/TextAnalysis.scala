@@ -44,6 +44,32 @@ object TextAnalysis {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** Concat-and-split sequence packing — the standard LLM training-data
+    * layout: within a shard, documents are concatenated in a deterministic
+    * order and the token stream is cut into fixed `contextLen` windows;
+    * each document therefore occupies [start_offset, start_offset+n) of
+    * its shard's stream and spans bins first_bin..last_bin. One running-sum
+    * window per shard (parallelism = #shards, same scaling argument as
+    * epochShuffle), all integer arithmetic. Empty documents are excluded
+    * (they occupy no span).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, contextLen: Int): DataFrame = {
+    require(contextLen > 0)
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // empty text must contribute no span: split("") is [""] (1 "token"),
+    // so the guard is on text length, mirrored in the oracle
+    df.where(length(col(textCol)) > 0)
+      .select(col(shardCol), col(idCol),
+        size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        ((col("cum") - col("n_tokens")) / contextLen).cast("long").as("first_bin"),
+        ((col("cum") - 1) / contextLen).cast("long").as("last_bin"))
+  }
+
   /** Corpus-frequency quality signals: per document, the mean corpus
     * frequency of its tokens and the fraction of rare tokens (corpus count
     * < minCount) — the integer-arithmetic core of unigram-LM scoring

@@ -732,6 +732,26 @@ object Pipeline {
       .orderBy("source", "sample_rank")
   }
 
+  /** Concat-and-split sequence packing (q73): contextLen=512, sharded by
+    * source. Windowed SUM is CAST to BIGINT in the oracle (DuckDB windowed
+    * SUM(BIGINT) yields HUGEINT).
+    */
+  val q73 = Q(
+    "q73_sequence_packing",
+    """WITH tk AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n
+      |            FROM documents WHERE length(text) > 0),
+      |c AS (SELECT source, doc_id, n,
+      |        CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM tk)
+      |SELECT source, doc_id, n AS n_tokens, cum - n AS start_offset,
+      |  (cum - n) // 512 AS first_bin, (cum - 1) // 512 AS last_bin
+      |FROM c ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      "source", contextLen = 512)
+      .orderBy("source", "doc_id")
+  }
+
   /** Skew-handling operators inside the gate: the salted join must produce
     * EXACTLY the plain join's rows (salt only redistributes them across
     * tasks), and two-phase salted aggregation must produce exactly the
@@ -977,5 +997,5 @@ object Pipeline {
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72)
+    q69, q70, q71, q72, q73)
 }

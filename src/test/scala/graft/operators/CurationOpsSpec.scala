@@ -102,4 +102,22 @@ class CurationOpsSpec extends AnyFunSuite {
     // determinism
     assert(s1.collect().map(_.toString).sorted.sameElements(rows.map(_.toString).sorted))
   }
+
+  test("packSequences: contiguous spans per shard, bin spans cover token stream") {
+    val docs = Seq(
+      (1L, "a", ("w " * 300).trim), // 300 tokens: bins 0..0 (offsets 0-299)
+      (2L, "a", ("w " * 300).trim), // offsets 300-599: bins 0..1
+      (3L, "a", ""),                // empty: excluded
+      (4L, "a", ("w " * 600).trim), // offsets 600-1199: bins 1..2
+      (5L, "b", ("w " * 10).trim))  // own shard: offsets 0-9, bin 0
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.packSequences(docs, "doc_id", "text", "source", contextLen = 512)
+      .orderBy("source", "doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, 300L, 0L, 0L, 0L),
+      (2L, 300L, 300L, 0L, 1L),
+      (4L, 600L, 600L, 1L, 2L),
+      (5L, 10L, 0L, 0L, 0L)))
+  }
 }
