@@ -231,10 +231,15 @@ object Dedup {
     * appearing in `edges`, where cluster_id is the component-minimum id —
     * deterministic regardless of iteration order, so it hash-compares
     * against a transitive-closure oracle.
+    *
+    * Size-adaptive: at or below `driverThreshold` canonical edges the
+    * labels come from a driver union-find over the (bounded, collected)
+    * edge list instead — identical output, none of the per-round fixed
+    * cost. Pass 0 to force the distributed path.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverThreshold: Long = 1L << 20): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.where(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"),
@@ -247,8 +252,50 @@ object Dedup {
     val nodes = sym(raw).select(col("u").as("doc_id")).distinct()
 
     var e = canon(raw).localCheckpoint()
-    var converged = e.isEmpty
+    val nEdges = e.count()
+
+    // Size-adaptive: a near-dup edge set is orders of magnitude smaller
+    // than the corpus that produced it, and each distributed round costs
+    // ~6 shuffle stages plus two convergence jobs — pure fixed overhead
+    // when the graph fits in one task. Below the threshold (default 2^20
+    // edges ≈ 16 MB — the same driver-memory class as IvfIndex's
+    // sample-bounded fit) resolve with a driver union-find; the output is
+    // identical (component-minimum labels) and the distributed path stays
+    // the default above it. Long-id graphs only — other id types always
+    // take the distributed path.
+    val isLongId = e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (nEdges <= driverThreshold && isLongId) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      e.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val sess = edges.sparkSession
+      import sess.implicits._
+      val labels = nodes.collect().map(r => r.getLong(0)).sorted
+        .map(n => n -> find(n))
+      return sess.createDataset(labels.toIndexedSeq)
+        .toDF("doc_id", "cluster_id")
+    }
+
+    var converged = nEdges == 0
     var iter = 0
+    // size the iteration shuffles to the edge count, not the session-wide
+    // default: near-dup edge sets are orders of magnitude smaller than the
+    // corpus that produced them, and each round is ~6 shuffle stages whose
+    // fixed per-partition cost dominates when partitions are near-empty.
+    // ~1M edges per partition; large graphs keep wide shuffles. Restored
+    // after the loop (the driver runs queries sequentially).
+    val sess = edges.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
+    try {
     while (!converged && iter < maxIter) {
       // large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u})
       val s1 = sym(e)
@@ -268,6 +315,7 @@ object Dedup {
       e = next
       iter += 1
     }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     // fixed point is a star forest: every edge is (root=u, child=v) with
     // root the component minimum; roots label themselves
     nodes

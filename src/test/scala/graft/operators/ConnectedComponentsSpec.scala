@@ -11,9 +11,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  /** Both paths must agree: driver union-find (default threshold) and the
+    * distributed large-star/small-star iteration (threshold 0).
+    */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    def run(thr: Long) =
+      Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", driverThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = run(1L << 20)
+    val distributed = run(0L)
+    assert(driver == distributed, "driver and distributed CC paths disagree")
+    driver
+  }
 
   /** Reference union-find with path compression. */
   private def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
