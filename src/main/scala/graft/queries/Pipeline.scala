@@ -470,6 +470,45 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Approximate percentile with an exact anchor (q74): the discrete
+    * median (element at rank ⌈n/2⌉ — no interpolation, so the double is an
+    * actual parquet value and hash-compares bit-for-bit) plus a budget
+    * boolean for percentile_approx: GK rank error ≤ 1/accuracy keeps the
+    * sketch's median inside the exact [p45, p55] element bounds. Same
+    * oracle shape as q49's HLL budget (exact values + TRUE literals).
+    * The exact ranks need a per-key sort — that is the oracle anchor; the
+    * sketch (one partial-aggregable buffer per key, no sort) is what runs
+    * at corpus scale.
+    */
+  val q74 = Q(
+    "q74_approx_percentile",
+    """WITH r AS (SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type,
+      |  MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_disc,
+      |  TRUE AS approx_ok
+      |FROM r GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").where(col("value").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val exact = ranked.groupBy(col("event_type")).agg(
+      min(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("value"))).as("median_disc"),
+      min(when(col("rn") === ceil(col("n") * 0.45).cast("long"), col("value"))).as("v45"),
+      min(when(col("rn") === ceil(col("n") * 0.55).cast("long"), col("value"))).as("v55"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap"))
+    exact.join(approx, exact("event_type") <=> approx("event_type"))
+      .select(exact("event_type").as("event_type"), col("median_disc"),
+        (col("ap") >= col("v45") && col("ap") <= col("v55")).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
   /** As-of join: each click event picks up the latest prior (<=) signup of
     * the same user — the union+ordered-window pattern (one shuffle, no
     * range-join explosion). Oracle mirrors the same algorithm with
@@ -997,5 +1036,5 @@ object Pipeline {
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73)
+    q69, q70, q71, q72, q73, q74)
 }
