@@ -35,6 +35,43 @@ object Similarity {
       .select(col("qid"), col("nid"), col("label"), col("cos"), col("rn"))
   }
 
+  /** Two-tier quantized search: int8 codes (Quantize.int8) score the whole
+    * corpus with INTEGER dot products — exact, overflow-free (≤ 64·127²
+    * per pair), and a quarter of the float bytes through the scan — then
+    * only the top `kCand` candidates per query are re-ranked with the
+    * full-precision cosine. This is the memory/bandwidth layout that holds
+    * at billions of vectors (codes live hot, floats stay in parquet for
+    * the re-rank join); the candidate window is per-query, so parallelism
+    * = |queries| and the re-rank join touches kCand·|queries| rows only.
+    * Deterministic end-to-end: integer tier-1 scores, nid tie-breaks in
+    * both windows.
+    */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+      kCand: Int, k: Int): DataFrame = {
+    val qc = broadcast(Quantize.int8(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("scale").as("qs"), col("codes").as("qcodes")))
+    val cc = Quantize.int8(corpus, "vec_id", "embedding")
+      .select(col("vec_id").as("nid"), col("scale").as("cs"), col("codes").as("ccodes"))
+    val idot = aggregate(
+      zip_with(col("qcodes"), col("ccodes"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val approx = cc.crossJoin(qc)
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        ((idot.cast("double") * col("qs")) * col("cs")).as("ascore"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("nid"))
+    val cand = approx.withColumn("crn", row_number().over(wA))
+      .where(col("crn") <= kCand)
+      .select(col("qid"), col("nid"))
+    val full = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+    val qfull = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cand.join(full, Seq("nid")).join(qfull, Seq("qid"))
+      .select(col("qid"), col("nid"), cosine_sim(col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(wE))
+      .where(col("rn") <= k)
+  }
+
   /** Sign-bucket LSH: bucket id = sign bits of dimensions
     * offset+1 .. offset+signBits (axis-aligned hyperplanes — SQL-expressible
     * in any engine, which keeps the oracle exact). Bucketed ANN top-k:

@@ -509,6 +509,42 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Two-tier quantized ANN (q75): int8 integer-dot candidate generation
+    * (kCand=50) + full-precision cosine re-rank (k=5). The oracle rebuilds
+    * the codes from the same floor(x/scale + ½) formula, so the candidate
+    * sets — and therefore the exact re-ranked results — match exactly.
+    * Zero-scale guards mirror Quantize.int8 (codes 0 ⇒ score 0).
+    */
+  val q75 = Q(
+    "q75_quantized_rerank",
+    s"""WITH qq AS (SELECT vec_id qid, embedding qe,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS qs
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |cq AS (SELECT vec_id nid, embedding ce,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS cs
+       |  FROM embeddings),
+       |ap AS (SELECT qid, nid, ce, qe,
+       |  CASE WHEN qs = 0 OR cs = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65),
+       |        k -> CAST(floor(CAST(qe[k] AS DOUBLE) / qs + 0.5) AS BIGINT)
+       |           * CAST(floor(CAST(ce[k] AS DOUBLE) / cs + 0.5) AS BIGINT))),
+       |      (a, x) -> a + x) AS DOUBLE) * qs) * cs END AS ascore
+       |  FROM cq CROSS JOIN qq WHERE nid <> qid),
+       |cand AS (SELECT qid, nid, ce, qe FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ascore DESC, nid) crn
+       |    FROM ap) WHERE crn <= 50),
+       |sc AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS cos FROM cand)
+       |SELECT qid, nid, cos, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM sc)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedRerankTopK(emb, emb.where(col("vec_id") % 100 === 0),
+      kCand = 50, k = 5)
+      .orderBy("qid", "rn")
+  }
+
   /** As-of join: each click event picks up the latest prior (<=) signup of
     * the same user — the union+ordered-window pattern (one shuffle, no
     * range-join explosion). Oracle mirrors the same algorithm with
@@ -1036,5 +1072,5 @@ object Pipeline {
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74)
+    q69, q70, q71, q72, q73, q74, q75)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -119,5 +120,25 @@ class CurationOpsSpec extends AnyFunSuite {
       (2L, 300L, 300L, 0L, 1L),
       (4L, 600L, 600L, 1L, 2L),
       (5L, 10L, 0L, 0L, 0L)))
+  }
+
+  test("quantizedRerankTopK: with full candidate budget it equals exact top-k") {
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 60L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" <= 3)
+    // kCand = corpus size: tier 1 cannot lose the true neighbors, so the
+    // re-ranked result must equal the exact brute-force top-k
+    val got = Similarity.quantizedRerankTopK(emb, queries, kCand = 60, k = 5)
+      .select("qid", "nid", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.cosineTopK(emb.withColumn("label", lit(0)), queries, k = 5)
+      .select("qid", "nid", "rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact)
+    // with a tight candidate budget, recall of the exact top-5 stays high
+    // (int8 on 64 dims: rank error from quantization is small)
+    val tight = Similarity.quantizedRerankTopK(emb, queries, kCand = 10, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, n, _) => (q, n) }
+    assert(tight.intersect(exactPairs).size >= (exactPairs.size * 0.8).toInt)
   }
 }
