@@ -634,7 +634,78 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** FULL OUTER join (q76): reconciliation of two aggregates whose key
+    * sets are guaranteed to mismatch (mod-7 vs mod-11 buckets), so both
+    * null sides are exercised. At scale a full-outer is a single sort-merge
+    * shuffle on the key — the shape to prefer over two anti-joins + union.
+    */
+  val q76 = Q(
+    "q76_full_outer_join",
+    """SELECT COALESCE(a.b, o.b) AS bucket, a.n_cust, o.n_ord
+      |FROM (SELECT c_custkey % 7 AS b, COUNT(*) AS n_cust
+      |      FROM customer GROUP BY c_custkey % 7) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey % 11 AS b, COUNT(*) AS n_ord
+      |      FROM orders GROUP BY o_custkey % 11) o
+      |ON a.b = o.b
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+      .groupBy((col("c_custkey") % 7).as("b")).agg(count(lit(1)).as("n_cust"))
+    val ord = t(s, dir, "orders")
+      .groupBy((col("o_custkey") % 11).as("b")).agg(count(lit(1)).as("n_ord"))
+    cust.join(ord, cust("b") === ord("b"), "full_outer")
+      .select(coalesce(cust("b"), ord("b")).as("bucket"), col("n_cust"), col("n_ord"))
+      .orderBy("bucket")
+  }
+
+  /** Time-range window frame (q77): per-user sliding 1-hour event count.
+    * The frame is expressed in integer epoch microseconds in BOTH engines
+    * (RANGE over a monotone BIGINT — interval-typed frames differ subtly
+    * across engines; epoch-µs math is the determinism rule). Peers (equal
+    * timestamps) are counted together by RANGE semantics, so the result is
+    * order-deterministic without a tiebreak.
+    */
+  val q77 = Q(
+    "q77_range_window",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS n_last_hour
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"))
+      .orderBy("event_id")
+  }
+
+  /** UNPIVOT / melt (q78): wide per-type aggregates to (metric, val) long
+    * form — Spark's unpivot operator (Expand under the hood, no shuffle
+    * beyond the aggregation); the oracle is the engine-neutral UNION ALL
+    * formulation. Values share one DOUBLE type (unpivot requires it; sums
+    * go through DECIMAL first per the determinism rules).
+    */
+  val q78 = Q(
+    "q78_unpivot",
+    """WITH a AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, metric, val FROM (
+      |  SELECT event_type, 'n' AS metric, n AS val FROM a
+      |  UNION ALL
+      |  SELECT event_type, 'sum_value' AS metric, sum_value AS val FROM a)
+      |ORDER BY event_type NULLS FIRST, metric""".stripMargin) { (s, dir) =>
+    val wide = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+    wide.unpivot(Array(col("event_type")), Array(col("n"), col("sum_value")),
+        "metric", "val")
+      .orderBy(col("event_type").asc_nulls_first, col("metric"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29)
+    q25, q26, q27, q28, q29, q76, q77, q78)
 }
