@@ -53,6 +53,30 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
 
+  /** Watermarked stream-stream interval join — the canonical streaming
+    * enrichment: each left event joins right events for the same key whose
+    * event time falls in [left.ts − lookback, left.ts]. Both sides carry
+    * watermarks and the time-range predicate bounds the join state the
+    * engine must keep (right rows older than the watermark + lookback are
+    * evicted); without the range condition a stream-stream join would need
+    * unbounded state. Inner join ⇒ append-mode output as matches finalize.
+    *
+    * Inputs share the events schema; the right side's columns are suffixed
+    * `_r`. At scale the join is hash-partitioned on user_id with state on
+    * both sides bounded by (watermark delay + lookback).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      delay: String = "30 minutes", lookback: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+    val r = right
+      .select(right.columns.map(c => col(c).as(c + "_r")).toIndexedSeq: _*)
+      .withWatermark("ts_r", delay)
+    l.join(r,
+      col("user_id") === col("user_id_r") &&
+        col("ts_r") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("ts_r") <= col("ts"))
+  }
+
   /** Exactly-once-style dedup bounded by the watermark: duplicates of
     * (user_id, event_type) arriving within the watermark horizon are
     * dropped; state for old keys is evicted as the watermark advances.

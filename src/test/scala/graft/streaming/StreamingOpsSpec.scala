@@ -189,4 +189,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq ==
       Seq("win_start", "win_end", "event_type", "n", "sum_value"))
   }
+
+  test("intervalJoin: matches only within the lookback range, state-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDS().toDF(), views.toDS().toDF(),
+      delay = "10 minutes", lookback = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      // view at 09:30 and 07:00; click at 10:00 → only the 09:30 view is
+      // within [09:00, 10:00]
+      views.addData(
+        Ev(1L, ts("2024-01-01 09:30:00"), "view"),
+        Ev(1L, ts("2024-01-01 07:00:00"), "view"),
+        Ev(2L, ts("2024-01-01 09:45:00"), "view")) // other user
+      clicks.addData(Ev(1L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // advance both watermarks so the match finalizes in append mode
+      views.addData(Ev(9L, ts("2024-01-01 12:00:00"), "view"))
+      clicks.addData(Ev(9L, ts("2024-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("ij").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type_r"),
+          r.getAs[java.sql.Timestamp]("ts_r").toString))
+      assert(rows.count(_._1 == 1L) == 1)
+      assert(rows.filter(_._1 == 1L).head._3.startsWith("2024-01-01 09:30"))
+      assert(!rows.exists(_._1 == 2L)) // other user's view never matches user 1
+    } finally q.stop()
+  }
 }
