@@ -1069,8 +1069,28 @@ object Pipeline {
     TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Bloom-pruned semi join (q79): lineitem rows whose part is in a
+    * selective dimension subset. The bloom filter drops non-matching rows
+    * at the scan, before any exchange; the surviving rows still pass a real
+    * semi join, so the oracle is the plain IN-subquery formulation — the
+    * bloom pass is invisible in the result by construction.
+    */
+  val q79 = Q(
+    "q79_bloom_pruned_join",
+    """SELECT l_orderkey, l_linenumber, l_partkey
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    graft.operators.BloomPrune.prunedSemiJoin(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+      t(s, dir, "part").where(col("p_size") >= 40),
+      "l_partkey", "p_partkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75)
+    q69, q70, q71, q72, q73, q74, q75, q79)
 }
