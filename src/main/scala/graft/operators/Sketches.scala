@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+  * typed UDAF — the frequency-sketch counterpart to Spark's built-in HLL
+  * (`approx_count_distinct`).
+  *
+  * At 100 TB a global token-frequency table is a full shuffle of the corpus
+  * vocabulary; the sketch replaces it with one depth×width long matrix per
+  * partition, merged by elementwise sum (commutative + associative → Spark
+  * runs partial/map-side aggregation, and the shuffle carries one fixed-size
+  * buffer per partition, independent of vocabulary size). With fixed seeded
+  * hash rows the sketch value is bit-deterministic for a given input
+  * multiset regardless of partitioning or merge order — which is what lets
+  * q80 pin it under the DuckDB oracle via error-budget booleans (the q49
+  * HLL pattern).
+  */
+object Cms {
+
+  /** Row-d bucket for a token hash: affine map over the Mersenne prime
+    * 2^31-1 with fixed constants → deterministic everywhere. tokenHash is
+    * < 1e9+7 < 2^30 and the seeds are < 2^31, so a·h + b stays within a
+    * 64-bit long — no overflow, no BigInt in the per-token path.
+    */
+  def bucket(h: Long, d: Int, width: Int): Int = {
+    val p = 2147483647L // 2^31 - 1
+    val v = (SeedsA(d) * h + SeedsB(d)) % p
+    (v % width).toInt
+  }
+
+  private val SeedsA = Array(976369L, 1299709L, 15485863L, 32452843L, 49979687L, 67867967L)
+  private val SeedsB = Array(86028121L, 104395301L, 122949823L, 141650939L, 160481183L, 179424673L)
+
+  /** Polynomial code-point hash — same kernel as graft_hash64 so the token
+    * hash itself is oracle-reproducible.
+    */
+  def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Point estimate: min over rows of the row's bucket counter. Never
+    * underestimates (every occurrence lands in each row's bucket); expected
+    * per-row overestimate is N/width for total count N.
+    */
+  def estimate(sketch: Seq[Long], token: String, depth: Int, width: Int): Long = {
+    val h = tokenHash(token)
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch(d * width + bucket(h, d, width))
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+
+  final class CmsAggregator(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(depth > 0 && depth <= 6 && width > 0)
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], tok: String): Array[Long] = {
+      if (tok != null) {
+        val h = tokenHash(tok)
+        var d = 0
+        while (d < depth) { b(d * width + bucket(h, d, width)) += 1; d += 1 }
+      }
+      b
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column aggregate: CMS of a string column. */
+  def cmsAgg(c: Column, depth: Int = 4, width: Int = 4096): Column =
+    udaf(new CmsAggregator(depth, width)).apply(c)
+
+  /** Heavy-hitter audit: exact top-k tokens (count desc, token asc) of
+    * `tokenCol` in `df`, each annotated with whether the CMS point estimate
+    * respects its one-sided guarantees: `no_underestimate` (always true by
+    * construction) and `within_budget` (estimate ≤ exact + budgetMul·N/width,
+    * true for every row/SF we pin — the expected one-row excess is N/width,
+    * so budgetMul=8 leaves ~(1/8)^depth slack per token).
+    *
+    * The sketch is a single 1-row aggregate broadcast to the k audited
+    * tokens — no driver collect, no vocabulary-sized shuffle.
+    */
+  def heavyHitterAudit(df: DataFrame, tokenCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 4096, budgetMul: Int = 8): DataFrame = {
+    val toks = df.select(col(tokenCol).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(k)
+    val sketch = toks.agg(
+      cmsAgg(col("tok"), depth, width).as("sketch"),
+      count(lit(1)).as("total"))
+    val est = udf((s: Seq[Long], t: String) => estimate(s, t, depth, width))
+    top.join(broadcast(sketch))
+      .withColumn("est", est(col("sketch"), col("tok")))
+      .select(col("tok"), col("n"),
+        (col("est") >= col("n")).as("no_underestimate"),
+        (col("est") <= col("n") + ceil(lit(budgetMul) * col("total") / lit(width)).cast("long"))
+          .as("within_budget"))
+      .orderBy(desc("n"), asc("tok"))
+  }
+}

@@ -316,4 +316,33 @@ object TextAnalysis {
       .withColumn("repetitive",
         col("dup_word_frac") > dupWordMax || col("top_word_frac") > topWordMax)
   }
+
+  /** C4/Gopher-style composite document filter (Raffel et al. 2020;
+    * Rae et al. 2021): one narrow-projection pass computes the per-doc
+    * signals and a boolean per rule, plus the conjunctive `keep` — emitted
+    * as columns (not a WHERE) so downstream curation can audit WHY a doc
+    * was dropped. All signals are integer-ratio doubles: bit-identical
+    * across engines.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, maxDupFrac: Double = 0.5): DataFrame = {
+    val tk = toks(col(textCol))
+    val n = size(tk)
+    df.select(
+      col(idCol),
+      n.as("n_words"),
+      (aggregate(tk, lit(0L), (acc, x) => acc + length(x)) / n).as("mean_word_len"),
+      (size(filter(tk, x => x.rlike("^[a-z]+$"))) / n).as("alpha_frac"),
+      (lit(1) - size(array_distinct(tk)) / n).as("dup_frac"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("r_dup", col("dup_frac") <= maxDupFrac)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") && col("r_dup"))
+  }
 }

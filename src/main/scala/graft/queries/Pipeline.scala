@@ -1089,8 +1089,57 @@ object Pipeline {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Count-min-sketch heavy hitters (q80), pinned with the q49 error-budget
+    * pattern: the oracle computes the exact top-20 token counts and asserts
+    * the sketch guarantees as literal TRUEs; the Spark side computes the
+    * REAL comparisons from a deterministic fixed-seed sketch (merge order
+    * irrelevant: elementwise sums commute), so a sketch that ever
+    * underestimated or blew its ε-budget would hash-mismatch.
+    */
+  val q80 = Q(
+    "q80_cms_heavy_hitters",
+    """WITH tok AS (SELECT lower(unnest(string_split(text, ' '))) AS tok
+      |            FROM documents),
+      |tc AS (SELECT tok, COUNT(*) AS n FROM tok WHERE tok <> ''
+      |       GROUP BY tok)
+      |SELECT tok, n, TRUE AS no_underestimate, TRUE AS within_budget
+      |FROM tc ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, dir) =>
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("raw"))
+      .select(lower(col("raw")).as("tok"))
+      .where(col("tok") =!= "")
+    graft.operators.Cms.heavyHitterAudit(toks, "tok", k = 20)
+  }
+
+  /** C4/Gopher composite quality filter (q85): per-rule booleans + keep
+    * flag as columns — audit-friendly curation, one projection pass, all
+    * ratios integer-division doubles.
+    */
+  val q85 = Q(
+    "q85_gopher_filter",
+    """WITH m AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sig AS (SELECT doc_id, len(t) AS n_words,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(t, x -> CAST(length(x) AS BIGINT))),
+      |    (a, b) -> a + b) AS DOUBLE) / len(t) AS mean_word_len,
+      |  len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) / len(t)
+      |    AS alpha_frac,
+      |  1 - len(list_distinct(t)) / len(t) AS dup_frac
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, alpha_frac, dup_frac,
+      |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+      |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+      |  alpha_frac >= 0.8 AS r_alpha,
+      |  dup_frac <= 0.5 AS r_dup,
+      |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |    AND alpha_frac >= 0.8 AND dup_frac <= 0.5 AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q79)
+    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85)
 }

@@ -705,7 +705,143 @@ object Relational {
       .orderBy(col("event_type").asc_nulls_first, col("metric"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS (q81): customers that placed at least
+    * one high-value order and never had a low-priority one. Catalyst's
+    * RewriteCorrelatedScalarSubquery/RewritePredicateSubquery turn both
+    * into semi/anti joins — exercised via the SQL surface on temp views,
+    * because that subquery rewrite IS the feature under test (the
+    * DataFrame twins are q05/q06).
+    */
+  val q81 = Q(
+    "q81_correlated_exists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '5-LOW')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").createOrReplaceTempView("graft_cust_q81")
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_q81")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_cust_q81 c
+        |WHERE EXISTS (SELECT 1 FROM graft_ord_q81 o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_ord_q81 o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** posexplode / UNNEST WITH ORDINALITY (q82): token position is part of
+    * the output contract (chunking, positional n-grams, alignment all need
+    * it). Spark's posexplode is Generate with an ordinal — shuffle-free,
+    * pipelined into the scan.
+    */
+  val q82 = Q(
+    "q82_posexplode",
+    """SELECT doc_id, unnest(range(0, len(a))) AS pos, unnest(a) AS tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS a
+      |      FROM documents WHERE doc_id % 100 = 0)
+      |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Time-series resample + gap-fill (q83): hourly per-type event counts on
+    * a dense hour spine (sequence/explode — generated, not scanned), missing
+    * hours as 0, last observed hourly sum carried forward via
+    * last(ignoreNulls) — the standard feature-engineering shape for training
+    * data. Hours travel as integer epoch-µs (the determinism rule).
+    */
+  val q83 = Q(
+    "q83_gap_fill",
+    """WITH hh AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sv
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |spine AS (SELECT event_type,
+      |    unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT event_type, min(h) AS hmin, max(h) AS hmax
+      |        FROM hh GROUP BY event_type)),
+      |j AS (SELECT spine.event_type, spine.h, COALESCE(hh.n, 0) AS n, hh.sv
+      |      FROM spine LEFT JOIN hh USING (event_type, h))
+      |SELECT event_type, epoch_us(h) AS h_us, n,
+      |  last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h)
+      |    AS sv_ff
+      |FROM j ORDER BY event_type, h_us""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,3)")).cast("double").as("sv"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(col("event_type"),
+        explode(sequence(col("hmin"), col("hmax"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_micros(col("h")).as("h_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sv"), ignoreNulls = true).over(w).as("sv_ff"))
+      .orderBy("event_type", "h_us")
+  }
+
+  /** Higher-order array-function breadth (q84): zip_with + ordered
+    * aggregate fold, array_max, lambda filter — all whole-stage-codegen'd,
+    * no UDF. The fold seeds 0.0 and the oracle prepends the same 0.0 so
+    * both engines accumulate in identical IEEE order.
+    */
+  val q84 = Q(
+    "q84_array_funcs",
+    """SELECT vec_id,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, 65),
+      |      k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[65-k] AS DOUBLE))),
+      |    (u, v) -> u + v) AS DOUBLE) AS rev_dot,
+      |  CAST(list_max(embedding) AS DOUBLE) AS mx,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = col("embedding")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(e, reverse(e), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("rev_dot"),
+        array_max(e).cast("double").as("mx"),
+        size(filter(e, x => x > 0)).as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  /** Ordered string aggregation (q86): DuckDB's string_agg(… ORDER BY) vs
+    * Spark's sort_array(collect_list(…)) + array_join — collect_list alone
+    * is partition-order-nondeterministic, so the deterministic form is the
+    * sorted-array one; sorting numerically BEFORE casting to string keeps
+    * both engines on numeric order.
+    */
+  val q86 = Q(
+    "q86_ordered_string_agg",
+    """SELECT lang, COUNT(*) AS n,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+      |FROM documents WHERE doc_id < 200
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("ids"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q76, q77, q78)
+    q25, q26, q27, q28, q29, q76, q77, q78, q81, q82, q83, q84, q86)
 }
