@@ -189,6 +189,101 @@ object Multimodal {
         "bits_per_sample", "n_samples")
   }
 
+  /** ISO BMFF / MP4 container header decode: walks the top-level box
+    * sequence for `ftyp` (major brand) and `moov`, then the moov children
+    * for `mvhd` (movie timescale + duration, both version 0 and 1 layouts,
+    * 64-bit `largesize` boxes included). Returns (brand, timescale,
+    * duration_ticks); duration seconds = ticks / timescale. None for
+    * anything not structurally BMFF — text-as-binary can never take this
+    * path (same contract as decodeImageHeader / decodeWavHeader). The
+    * frame-decode step behind this header stays a stub: codec libs are
+    * out of scope; the Spark-side plumbing is the deliverable.
+    */
+  def decodeMp4Header(bytes: Array[Byte]): Option[(String, Long, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String =
+      new String(Array(bytes(i), bytes(i + 1), bytes(i + 2), bytes(i + 3)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes == null || bytes.length < 16) return None
+    // first box must be ftyp (ISO 14496-12 §4.3: "shall be placed as early
+    // as possible"; in practice first)
+    if (fourcc(4) != "ftyp") return None
+    var brand: Option[String] = None
+    var mvhd: Option[(Long, Long)] = None
+    var i = 0
+    while (i + 8 <= bytes.length && (brand.isEmpty || mvhd.isEmpty)) {
+      val size32 = be32(i)
+      val typ = fourcc(i + 4)
+      val (size, hdr) =
+        if (size32 == 1 && i + 16 <= bytes.length) (be64(i + 8), 16)
+        else (size32, 8)
+      if (size < hdr || i + size > bytes.length) return brandResult(brand, mvhd)
+      if (typ == "ftyp" && size >= hdr + 4) brand = Some(fourcc(i + hdr))
+      else if (typ == "moov") {
+        // walk moov children for mvhd
+        var j = i + hdr
+        val end = i + size.toInt
+        while (j + 8 <= end && mvhd.isEmpty) {
+          val csize = be32(j)
+          if (csize < 8 || j + csize > end) return brandResult(brand, mvhd)
+          if (fourcc(j + 4) == "mvhd" && csize >= 8 + 4) {
+            val version = u8(j + 8)
+            // v0: ctime/mtime 4+4, timescale 4, duration 4 at offset +20
+            // v1: ctime/mtime 8+8, timescale 4, duration 8 at offset +28
+            if (version == 0 && j + 8 + 24 <= end)
+              mvhd = Some((be32(j + 20), be32(j + 24)))
+            else if (version == 1 && j + 8 + 36 <= end)
+              mvhd = Some((be32(j + 28), be64(j + 32)))
+          }
+          j += csize.toInt
+        }
+      }
+      i += size.toInt
+    }
+    brandResult(brand, mvhd)
+  }
+
+  private def brandResult(brand: Option[String],
+      mvhd: Option[(Long, Long)]): Option[(String, Long, Long)] =
+    for { b <- brand; (ts, dur) <- mvhd if ts > 0 } yield (b, ts, dur)
+
+  /** Batch video-metadata extraction + deterministic frame sampling over a
+    * binary column: same mapPartitions batch shape as extractFeatures.
+    * For BMFF payloads, emits container metadata and the timestamps (in
+    * ticks) of `fps`-spaced sample points — the frame-sample schedule a
+    * real decoder would seek to; non-video rows yield nulls (total
+    * function, mixed-media safe).
+    */
+  def extractVideoFeatures(df: DataFrame, idCol: String, binCol: String,
+      sampleEveryNSec: Int = 10, maxSamples: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          decodeMp4Header(bytes) match {
+            case Some((brand, ts, dur)) =>
+              val durSec = dur.toDouble / ts
+              val stamps = (0L to math.min(
+                (durSec / sampleEveryNSec).toLong, (maxSamples - 1).toLong))
+                .map(k => k * sampleEveryNSec * ts)
+                .filter(_ <= dur)
+              (id, bytes.length, "mp4", Some(brand), Some(ts), Some(dur),
+                Some(durSec), Some(stamps))
+            case None =>
+              (id, bytes.length, "unknown", None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("id", "byte_len", "fmt", "brand", "timescale", "duration_ticks",
+        "duration_sec", "sample_ticks")
+  }
+
   /** Batch feature extraction over a binary column. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
