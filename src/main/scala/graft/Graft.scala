@@ -34,6 +34,10 @@ object Graft {
     "cosine_sim" -> (exprs => {
       val e = arity("cosine_sim", 2)(exprs)
       graft.expr.CosineSimilarity(e(0), e(1))
+    }),
+    "explode_ngrams" -> (exprs => {
+      val e = arity("explode_ngrams", 2)(exprs)
+      graft.expr.ExplodeNgrams(e(0), e(1))
     }))
 
   def register(spark: SparkSession): Unit =

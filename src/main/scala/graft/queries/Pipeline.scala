@@ -1138,8 +1138,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Custom Catalyst Generator (q87): explode_ngrams as ONE Generate
+    * operator — the native UDTF extension point, vs the reference's
+    * array-UDF + explode two-step. Position comes out of the generator
+    * itself, so no posexplode/array materialization.
+    */
+  val q87 = Q(
+    "q87_explode_ngrams_udtf",
+    """SELECT doc_id,
+      |  unnest(range(0, greatest(len(t) - 2, 0))) AS pos,
+      |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS ngram
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |      FROM documents WHERE doc_id % 100 = 0)
+      |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    t(s, dir, "documents").where(col("doc_id") % 100 === 0)
+      .createOrReplaceTempView("graft_docs_q87")
+    s.sql(
+      """SELECT doc_id, explode_ngrams(text, 3) FROM graft_docs_q87
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85)
+    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87)
 }
