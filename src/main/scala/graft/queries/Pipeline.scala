@@ -1160,8 +1160,88 @@ object Pipeline {
         |ORDER BY doc_id, pos""".stripMargin)
   }
 
+  /** Collocation mining by lift (q88): PMI without the log — the score is
+    * the exact rational c_xy·N/(c_x·c_y) evaluated in ONE double multiply
+    * and divide in both engines (log's libm last-ulp differences would
+    * break the hash compare; the ranking is log-invariant anyway since log
+    * is monotone). Bigrams come from the q87 Generator; unigram counts
+    * join back on the bigram's two halves.
+    */
+  val q88 = Q(
+    "q88_collocations_lift",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+      |         i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bigram
+      |       FROM tk WHERE len(t) >= 2),
+      |bc AS (SELECT bigram, COUNT(*) AS c_xy FROM bg GROUP BY bigram),
+      |uc AS (SELECT unnest(t) AS tok FROM tk),
+      |u AS (SELECT tok, COUNT(*) AS c FROM uc GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS total FROM bg)
+      |SELECT bigram, c_xy,
+      |  (CAST(c_xy AS DOUBLE) * total) / (CAST(ux.c AS DOUBLE) * uy.c) AS lift
+      |FROM bc, n,
+      |  u ux, u uy
+      |WHERE ux.tok = string_split(bigram, ' ')[1]
+      |  AND uy.tok = string_split(bigram, ' ')[2]
+      |  AND c_xy >= 5
+      |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_docs_q88")
+    s.sql(
+      """WITH bg AS (SELECT ngram AS bigram FROM (
+        |    SELECT explode_ngrams(text, 2) FROM graft_docs_q88)),
+        |bc AS (SELECT bigram, COUNT(*) AS c_xy FROM bg GROUP BY bigram),
+        |u AS (SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT explode(split(text, ' ')) AS tok FROM graft_docs_q88)
+        |  GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS total FROM bg)
+        |SELECT bigram, c_xy,
+        |  (CAST(c_xy AS DOUBLE) * total) / (CAST(ux.c AS DOUBLE) * uy.c) AS lift
+        |FROM bc CROSS JOIN n
+        |  JOIN u ux ON ux.tok = split(bigram, ' ')[0]
+        |  JOIN u uy ON uy.tok = split(bigram, ' ')[1]
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin)
+  }
+
+  /** Cross-source vocabulary overlap (q89): pairwise Jaccard between each
+    * source's distinct-token set, computed as a token-keyed co-occurrence
+    * self-join (never materializing per-source sets as arrays) — at 100 TB
+    * this is one distinct pass + one equi-join on token, with the 190
+    * source pairs reduced map-side.
+    */
+  val q89 = Q(
+    "q89_source_vocab_jaccard",
+    """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+      |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+      |          FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |          GROUP BY a.source, b.source)
+      |SELECT sa, sb, i, (za.n + zb.n - i) AS un,
+      |  CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+      |FROM inter JOIN sz za ON za.source = sa JOIN sz zb ON zb.source = sb
+      |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+    val st = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sz = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = st.as("a"); val b = st.as("b")
+    val inter = a.join(b,
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("za"), col("za.source") === col("sa"))
+      .join(sz.as("zb"), col("zb.source") === col("sb"))
+      .select(col("sa"), col("sb"), col("i"),
+        (col("za.n") + col("zb.n") - col("i")).as("un"),
+        (col("i").cast("double") / (col("za.n") + col("zb.n") - col("i"))).as("jaccard"))
+      .orderBy("sa", "sb")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87)
+    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89)
 }
