@@ -841,7 +841,37 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** Correlated LATERAL join with per-row ORDER BY + LIMIT (q90): top-2
+    * orders per customer segment aggregate — the lateral-subquery surface
+    * (DecorrelateInnerQuery path), distinct from the window-function top-k
+    * formulation of q11. Money goes through DECIMAL per the determinism
+    * rules.
+    */
+  val q90 = Q(
+    "q90_lateral_topk",
+    """SELECT c.c_mktsegment, t.o_orderkey,
+      |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+      |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+      |         FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+      |         WHERE c2.c_mktsegment = c.c_mktsegment
+      |         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+      |ORDER BY c.c_mktsegment, price DESC, t.o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").createOrReplaceTempView("graft_cust_q90")
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_q90")
+    s.sql(
+      """SELECT c.c_mktsegment, t.o_orderkey,
+        |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM (SELECT DISTINCT c_mktsegment FROM graft_cust_q90) c,
+        |LATERAL (SELECT o.o_orderkey, o.o_totalprice
+        |         FROM graft_ord_q90 o JOIN graft_cust_q90 c2
+        |           ON o.o_custkey = c2.c_custkey
+        |         WHERE c2.c_mktsegment = c.c_mktsegment
+        |         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        |ORDER BY c.c_mktsegment, price DESC, t.o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q76, q77, q78, q81, q82, q83, q84, q86)
+    q25, q26, q27, q28, q29, q76, q77, q78, q81, q82, q83, q84, q86, q90)
 }
