@@ -72,4 +72,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"), scan)
     assert(scan.contains("ReadSchema: struct<id:bigint,name:string>"), scan)
   }
+
+  test("orc round-trip with predicate pushdown") {
+    val dir = s"${tmp()}/orc"
+    sample.toDF("id", "name", "v", "day").write.orc(dir)
+    val back = spark.read.orc(dir).where($"id" > 1).select("id", "name")
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "beta"), (3L, "gamma")))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters"), scan)
+  }
+
+  test("bucketed tables: equi-join on the bucket key runs with no shuffle exchange") {
+    // bucketing pre-shuffles data at WRITE time — the 100 TB pattern for a
+    // fact table joined repeatedly on the same key: pay the shuffle once,
+    // every later join reads co-located buckets
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    spark.range(0, 1000).select($"id", ($"id" % 7).as("v"))
+      .write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_bkt_a")
+    spark.range(0, 1000).select($"id", ($"id" % 11).as("w"))
+      .write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_bkt_b")
+    val joined = spark.table("graft_bkt_a")
+      .join(spark.table("graft_bkt_b"), "id")
+      .where($"v" === 0)
+    // disable broadcast so the join would otherwise need a shuffle
+    val plan = withNoBroadcast {
+      joined.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not re-shuffle:\n$plan")
+    assert(joined.count() == 143) // 1000/7 → ids 0,7,…,994
+  }
+
+  private def withNoBroadcast[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
