@@ -871,7 +871,83 @@ object Relational {
         |ORDER BY c.c_mktsegment, price DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** Moment statistics via exact decimal sums (q91): built-in stddev/corr
+    * accumulate doubles in partition order — never hash-comparable across
+    * engines — so mean/variance/correlation are derived from DECIMAL
+    * Σx, Σx², Σxy (exact, order-free) with one identical double formula on
+    * top. Same partial+final hash-agg shape as the built-ins, exact map-side
+    * combine; at 100 TB the shuffle carries 5 decimals per group per
+    * partition.
+    */
+  val q91 = Q(
+    "q91_decimal_moments",
+    """WITH s AS (SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,3))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3))) AS sxx,
+      |    SUM(CAST(user_id AS DECIMAL(18,3))) AS sy,
+      |    SUM(CAST(user_id AS DECIMAL(18,3)) * CAST(user_id AS DECIMAL(18,3))) AS syy,
+      |    SUM(CAST(value AS DECIMAL(18,3)) * CAST(user_id AS DECIMAL(18,3))) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(sx AS DOUBLE) / n AS mean_value,
+      |  CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+      |    AS var_value,
+      |  sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |    AS stddev_value,
+      |  (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) /
+      |  (sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) *
+      |   sqrt(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+      |    AS corr_value_user
+      |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val x = col("value").cast("decimal(18,3)")
+    val y = col("user_id").cast("decimal(18,3)")
+    val agg = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = col("n")
+    def d(c: String) = col(c).cast("double")
+    val mx = d("sx") / n
+    val varx = d("sxx") / n - (d("sx") / n) * (d("sx") / n)
+    val vary = d("syy") / n - (d("sy") / n) * (d("sy") / n)
+    agg.select(col("event_type"), n,
+      mx.as("mean_value"),
+      varx.as("var_value"),
+      sqrt(varx).as("stddev_value"),
+      ((d("sxy") / n - (d("sx") / n) * (d("sy") / n)) / (sqrt(varx) * sqrt(vary)))
+        .as("corr_value_user"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic arg-max/arg-min (q92): `max_by` breaks ties arbitrarily
+    * in both engines, so the portable form is max/min over a lexicographic
+    * struct with a unique tiebreak column — same one-pass hash agg, fully
+    * ordered result.
+    */
+  val q92 = Q(
+    "q92_argmax_struct",
+    """SELECT event_type,
+      |  max({'value': value, 'event_id': event_id}).event_id AS max_event,
+      |  CAST(max({'value': value, 'event_id': event_id}).value AS DOUBLE) AS max_value,
+      |  min({'value': value, 'event_id': event_id}).event_id AS min_event,
+      |  CAST(min({'value': value, 'event_id': event_id}).value AS DOUBLE) AS min_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val pair = struct(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(max(pair).as("mx"), min(pair).as("mn"))
+      .select(col("event_type"),
+        col("mx.event_id").as("max_event"),
+        col("mx.value").as("max_value"),
+        col("mn.event_id").as("min_event"),
+        col("mn.value").as("min_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q76, q77, q78, q81, q82, q83, q84, q86, q90)
+    q25, q26, q27, q28, q29, q76, q77, q78, q81, q82, q83, q84, q86, q90,
+    q91, q92)
 }
