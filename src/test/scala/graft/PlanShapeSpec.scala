@@ -89,4 +89,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q83 gap-fill window hash-partitions on event_type, never SinglePartition") {
+    val p = plan("q83_gap_fill")
+    assert(p.contains("hashpartitioning(event_type"), p)
+    // the forward-fill window must run keyed; the only acceptable
+    // SinglePartition exchange is none at all (final sort is range-partitioned)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q89 vocabulary Jaccard joins on token keys, no cartesian pair space") {
+    val p = plan("q89_source_vocab_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q80 CMS is one partial+final aggregate pair, no vocabulary-wide extra shuffle") {
+    val p = plan("q80_cms_heavy_hitters")
+    assert(p.contains("partial_"), p)
+  }
 }

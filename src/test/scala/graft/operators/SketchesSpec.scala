@@ -45,4 +45,25 @@ class SketchesSpec extends AnyFunSuite {
     val plan = toks.agg(Cms.cmsAgg($"tok")).queryExecution.executedPlan.toString
     assert(plan.contains("partial_"), s"expected map-side partial aggregate in:\n$plan")
   }
+
+  test("CMS works as a streaming aggregate: incremental batches equal one batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDS().toDF("tok")
+      .groupBy()
+      .agg(Cms.cmsAgg(col("tok")).as("sketch"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a", "b", "a"); q.processAllAvailable()
+      mem.addData("c", "a"); q.processAllAvailable()
+      val row = spark.table("cms_stream").head()
+      val streamed = row.getSeq[Long](0)
+      val batch = Seq("a", "b", "a", "c", "a").toDF("tok")
+        .agg(Cms.cmsAgg(col("tok"))).as[Seq[Long]].head()
+      assert(streamed == batch)
+      assert(Cms.estimate(streamed, "a", 4, 4096) == 3L)
+    } finally q.stop()
+  }
 }
