@@ -87,8 +87,18 @@ class SourcesSpec extends AnyFunSuite {
     // bucketing pre-shuffles data at WRITE time — the 100 TB pattern for a
     // fact table joined repeatedly on the same key: pay the shuffle once,
     // every later join reads co-located buckets
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    // DROP only clears the in-memory catalog; the warehouse directory
+    // outlives the JVM and saveAsTable refuses to reuse it — remove both
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
     spark.range(0, 1000).select($"id", ($"id" % 7).as("v"))
       .write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_bkt_a")
     spark.range(0, 1000).select($"id", ($"id" % 11).as("w"))
