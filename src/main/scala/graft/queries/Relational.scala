@@ -946,8 +946,84 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Distribution-window breadth (q93): ntile / percent_rank / cume_dist /
+    * lag-with-default in one keyed window — equal-frequency binning and
+    * ECDF features for curation. All four are rank-arithmetic (integer
+    * ratios), so they hash-compare exactly; the window order is total
+    * (value, event_id).
+    */
+  val q93 = Q(
+    "q93_distribution_windows",
+    """SELECT event_id, event_type,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lag(CAST(value AS DOUBLE), 1, 0.0) OVER w AS prev_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag(col("value"), 1, 0.0).over(w).as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** Edit-distance fuzzy matching (q94): the record-linkage primitive —
+    * pairwise levenshtein under a threshold. Both engines run the same
+    * classic DP over the same strings → identical integers. The pair space
+    * here is a bounded self-join; at 100 TB the same operator runs behind
+    * a blocking key (e.g. q32's LSH buckets), never all-pairs.
+    */
+  val q94 = Q(
+    "q94_fuzzy_match",
+    """SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |WHERE a.c_custkey < 40 AND b.c_custkey < 40
+      |  AND levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY ka, kb""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").where(col("c_custkey") < 40)
+      .select(col("c_custkey"), col("c_name"))
+    val a = c.as("a"); val b = c.as("b")
+    a.join(b, col("a.c_custkey") < col("b.c_custkey"))
+      .where(levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+      .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+      .orderBy("ka", "kb")
+  }
+
+  /** Equal-width histogram (q95): two-pass global min/max + one hash agg
+    * on the bin index — the feature-engineering binning shape. The bin
+    * formula is ONE double expression evaluated identically in both
+    * engines; the 1-row extremes broadcast to the scan.
+    */
+  val q95 = Q(
+    "q95_histogram",
+    """WITH mm AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
+      |                   max(CAST(value AS DOUBLE)) AS hi FROM events)
+      |SELECT CAST(least(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 10), 9) AS BIGINT)
+      |    AS bin,
+      |  COUNT(*) AS n
+      |FROM events, mm
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val mm = ev.agg(min(col("value").cast("double")).as("lo"),
+      max(col("value").cast("double")).as("hi"))
+    ev.join(broadcast(mm))
+      .select(least(floor((col("value").cast("double") - col("lo")) /
+        (col("hi") - col("lo")) * 10), lit(9.0)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q76, q77, q78, q81, q82, q83, q84, q86, q90,
-    q91, q92)
+    q91, q92, q93, q94, q95)
 }
