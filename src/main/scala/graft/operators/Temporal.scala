@@ -48,4 +48,29 @@ object Temporal {
       .where(col("__is_left") === 1)
       .select(leftCols.map(col) :+ col("__asof").as(s"asof_$payloadCol"): _*)
   }
+
+  /** Banded range join: `left.v BETWEEN right.lo AND right.hi`. A raw
+    * interval predicate is a nested-loop join (O(n·m) — dead at 100 TB);
+    * bucketing by `floor(x / band)` turns it into an equi-join: each
+    * interval replicates into every bucket it touches (ceil(width/band)+1
+    * rows — pick `band` ≈ the typical interval width so that's ~2), a
+    * point joins only its own bucket, and the exact BETWEEN re-checks the
+    * equi-matched candidates. Result is bit-identical to the nested-loop
+    * form for ANY interval width; `band` tunes replication vs selectivity
+    * only. ONE hash shuffle on the bucket key.
+    */
+  def bandJoin(
+      left: DataFrame, right: DataFrame,
+      vCol: String, loCol: String, hiCol: String,
+      band: Double): DataFrame = {
+    require(band > 0, "band must be positive")
+    val l = left.withColumn("__bucket",
+      floor(col(vCol) / band).cast("long"))
+    val r = right.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / band).cast("long"),
+        floor(col(hiCol) / band).cast("long"))))
+    l.join(r, Seq("__bucket"))
+      .where(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -1240,8 +1240,76 @@ object Pipeline {
       .orderBy("sa", "sb")
   }
 
+  /** Banded range join (q96): value-in-interval enrichment without a
+    * nested loop. The oracle is the plain BETWEEN join; the Spark side
+    * buckets by floor(v/band) and equi-joins — identical rows, one hash
+    * shuffle (PlanShapeSpec pins no BroadcastNestedLoopJoin/Cartesian).
+    * The interval dim is derived from events itself so both engines build
+    * byte-identical inputs; intervals overlap (width 30 > stride 25) so
+    * multi-match rows are exercised.
+    */
+  val q96 = Q(
+    "q96_band_range_join",
+    """WITH dim AS (SELECT DISTINCT (user_id % 20) AS band_id,
+      |    CAST((user_id % 20) * 25 AS DOUBLE) AS lo,
+      |    CAST((user_id % 20) * 25 + 30 AS DOUBLE) AS hi
+      |  FROM events)
+      |SELECT band_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.value BETWEEN d.lo AND d.hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val dim = ev.select((col("user_id") % 20).as("band_id"),
+      ((col("user_id") % 20) * 25).cast("double").as("lo"),
+      ((col("user_id") % 20) * 25 + 30).cast("double").as("hi")).distinct()
+    graft.operators.Temporal.bandJoin(
+      ev.select(col("value"), col("value").cast("decimal(18,3)").as("vdec")),
+      dim, "value", "lo", "hi", band = 32.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vdec")).cast("double").as("sum_value"))
+      .orderBy("band_id")
+  }
+
+  /** Distributed triangle counting (q97): the near-dup graph-quality
+    * diagnostic — triangles = transitively-consistent duplicate triples.
+    * Edge relation (same nation, close balances, bounded key range) is
+    * derived identically in both engines; the count is the canonical
+    * three-way self-join on ordered vertices (a<b<c), each hop an
+    * equi-join on shared endpoints — no pair/triple materialization
+    * beyond the joins themselves.
+    */
+  val q97 = Q(
+    "q97_triangle_count",
+    """WITH e AS (SELECT a.c_nationkey AS nk, a.c_custkey AS u, b.c_custkey AS v
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE a.c_custkey < 300 AND b.c_custkey < 300
+      |    AND abs(a.c_acctbal - b.c_acctbal) < 500)
+      |SELECT e1.nk AS nation, COUNT(*) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.nk = e2.nk
+      |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v AND e3.nk = e1.nk
+      |GROUP BY e1.nk ORDER BY nation""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").where(col("c_custkey") < 300)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val a = c.as("a"); val b = c.as("b")
+    val e = a.join(b,
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+        col("a.c_custkey") < col("b.c_custkey") &&
+        abs(col("a.c_acctbal") - col("b.c_acctbal")) < 500)
+      .select(col("a.c_nationkey").as("nk"),
+        col("a.c_custkey").as("u"), col("b.c_custkey").as("v"))
+    val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+    e1.join(e2, col("e1.v") === col("e2.u") && col("e1.nk") === col("e2.nk"))
+      .join(e3, col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v") &&
+        col("e3.nk") === col("e1.nk"))
+      .groupBy(col("e1.nk").as("nation"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("nation")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89)
+    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96, q97)
 }
