@@ -38,7 +38,34 @@ object Graft {
     "explode_ngrams" -> (exprs => {
       val e = arity("explode_ngrams", 2)(exprs)
       graft.expr.ExplodeNgrams(e(0), e(1))
-    }))
+    }),
+    "simhash64" -> (exprs => {
+      // (text[, bits]) — bits defaults to the Dedup operator's 30; capped
+      // at 63 by the expression (sign-bit safety)
+      require(exprs.nonEmpty && exprs.length <= 2,
+        s"Invalid number of arguments for function simhash64: expected 1 or 2, got ${exprs.length}")
+      val bits = if (exprs.length == 2) exprs(1).eval(null) match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"simhash64 bits must be a constant INT, got $other")
+      } else 30
+      graft.expr.SimHash64(exprs.head, bits)
+    }),
+    "shingle_hashes" -> (exprs => {
+      val e = arity("shingle_hashes", 2)(exprs)
+      val k = e(1) match {
+        case lit if lit.foldable => lit.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes k must be a constant INT, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes k must be a constant INT")
+      }
+      graft.expr.ShingleHashes(e(0), k)
+    }),
+    "l2_normalize" -> (exprs =>
+      graft.expr.L2Normalize(arity("l2_normalize", 1)(exprs).head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

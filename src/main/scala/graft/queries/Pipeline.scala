@@ -1308,8 +1308,41 @@ object Pipeline {
       .orderBy("nation")
   }
 
+  /** Time-window event pairing (q98): the batch twin of the stream-stream
+    * interval join — every (a, b) same-user pair with b inside a's
+    * 30-minute forward window, via the q96 band join on epoch-µs (band =
+    * window width, so each interval spans ≤ 2 buckets). The user-equality
+    * predicate re-checks after the bucket join; at 100 TB the bucket key
+    * would be (user, time-bucket) to prune cross-user candidates before
+    * the shuffle — same operator, composite key.
+    */
+  val q98 = Q(
+    "q98_time_window_pairs",
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+      |SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+      |FROM ev a JOIN ev b
+      |  ON a.user_id = b.user_id
+      | AND b.us BETWEEN a.us AND a.us + 1800000000
+      | AND a.event_id <> b.event_id
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val points = ev.select(col("user_id").as("bu"), col("event_id").as("be"),
+      col("us").cast("double").as("v"))
+    val intervals = ev.select(col("user_id").as("au"), col("event_id").as("ae"),
+      col("us").cast("double").as("lo"),
+      (col("us") + 1800000000L).cast("double").as("hi"))
+    graft.operators.Temporal.bandJoin(points, intervals, "v", "lo", "hi",
+        band = 1.8e9)
+      .where(col("au") === col("bu") && col("ae") =!= col("be"))
+      .groupBy(col("au").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96, q97)
+    q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
+    q97, q98)
 }

@@ -159,4 +159,21 @@ class SparkFunctionsSpec extends AnyFunSuite {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0 && rows.forall(_.getLong(1) > 0))
   }
+
+  test("SQL registry exposes simhash64 / shingle_hashes / l2_normalize") {
+    Graft.register(spark)
+    Seq((1L, "a b c d e f g")).toDF("id", "text").createOrReplaceTempView("fn_sql")
+    val row = spark.sql(
+      """SELECT simhash64(text, 30) AS sh,
+        |       size(shingle_hashes(text, 6)) AS nsh,
+        |       round(aggregate(l2_normalize(array(3.0D, 4.0D)),
+        |                       0.0D, (a, x) -> a + x * x), 9) AS unit
+        |FROM fn_sql""".stripMargin).head()
+    val direct = Seq((1L, "a b c d e f g")).toDF("id", "text")
+      .select(graft.functions.simhash64(org.apache.spark.sql.functions.col("text"), 30))
+      .head().getLong(0)
+    assert(row.getLong(0) == direct)
+    assert(row.getInt(1) == 2) // 7 tokens -> two 6-shingles
+    assert(row.getDouble(2) == 1.0) // unit norm after normalization
+  }
 }
