@@ -129,6 +129,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs (Broder's containment coefficient):
+    * |A∩B| / |A| — the one-sided overlap that catches SUBSET duplicates
+    * (a doc embedded verbatim inside a larger one), which symmetric
+    * Jaccard misses when sizes are skewed (|A∩B|/|A∪B| → small). Same
+    * shingle-hash-keyed shuffle as ngramJaccardPairs; emits the ordered
+    * pair once with both directions' coefficients, keeping rows where
+    * either direction clears the threshold.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sh = stage(hashedShingles(df, idCol, textCol, k))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("id").as("id_a"), col("h"))
+    val b = sh.select(col("id").as("id_b"), col("h"))
+    val shared = a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("containment_a", col("shared") / col("n_a"))
+      .withColumn("containment_b", col("shared") / col("n_b"))
+      .where(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("containment_a"), col("containment_b"))
+  }
+
   /** MinHash signatures: one row per doc, columns m0..m{n-1} where
     * m_i = min over shingles of (a_i·h + b_i) mod P. Computed as n
     * min-aggregates in a single hash aggregation (partial map-side combine

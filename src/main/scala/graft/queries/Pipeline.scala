@@ -1340,9 +1340,70 @@ object Pipeline {
       .orderBy("user_id")
   }
 
+  /** Containment-coefficient near-dup (q99): Broder's one-sided overlap
+    * |A∩B|/|A| — catches a document embedded verbatim in a larger one,
+    * where symmetric Jaccard (q31) stays below threshold because the union
+    * is dominated by the larger doc. Threshold 0.6 on either direction.
+    */
+  val q99 = Q(
+    "q99_containment_neardup",
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared,
+       |  CAST(shared AS DOUBLE) / sa.n AS containment_a,
+       |  CAST(shared AS DOUBLE) / sb.n AS containment_b
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(shared AS DOUBLE) / sa.n >= 0.6
+       |   OR CAST(shared AS DOUBLE) / sb.n >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 6, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Ordered-event funnel (q100): per user, did click → view → purchase
+    * happen in temporal order? Computed as three conditional min/max
+    * aggregates in ONE hash agg pass (no self-joins, no window): the
+    * canonical product-analytics shape — at 100 TB one shuffle keyed by
+    * user, partial aggregation map-side.
+    */
+  val q100 = Q(
+    "q100_event_funnel",
+    """WITH f AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+      |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, first_click, first_view, last_purchase,
+      |  first_click IS NOT NULL AND first_view IS NOT NULL
+      |    AND last_purchase IS NOT NULL
+      |    AND first_click <= first_view AND first_view <= last_purchase
+      |    AS converted
+      |FROM f ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val us = unix_micros(col("ts"))
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "click", us)).as("first_click"),
+        min(when(col("event_type") === "view", us)).as("first_view"),
+        max(when(col("event_type") === "purchase", us)).as("last_purchase"))
+      .select(col("user_id"), col("first_click"), col("first_view"),
+        col("last_purchase"),
+        (col("first_click").isNotNull && col("first_view").isNotNull &&
+          col("last_purchase").isNotNull &&
+          col("first_click") <= col("first_view") &&
+          col("first_view") <= col("last_purchase")).as("converted"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98)
+    q97, q98, q99, q100)
 }
