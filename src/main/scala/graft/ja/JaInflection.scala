@@ -27,19 +27,31 @@ object JaInflection {
     'r' -> ('ら', 'り', 'れ', 'ろ', "っ"),
     'w' -> ('わ', 'い', 'え', 'お', "っ"))
 
+  /** The godan 仮定/命令 form (stem+e-row) carries a distinguishable POS
+    * (`-仮定` suffix → its own lattice connection class). Without it, the
+    * e-row surface collides with a sibling ichidan verb's 未然/連用 stem
+    * under the loader's (surface, pos) dedupe — 届け(→届く 仮定) silently
+    * shadowed 届け(→届ける 連用), so 届けた lemmatized to 届く. With the
+    * distinct POS both readings coexist and the connection matrix decides:
+    * 仮定+ば is cheap, 仮定+た is penalized (ungrammatical 命令+た), so the
+    * ichidan reading wins before た/て and the godan one before ば.
+    */
+  final val CondPos = "動詞-自立-仮定"
+
   def expandVerb(base: String, cls: Char, pos: String = "動詞-自立"): Seq[DictEntry] =
     if (cls == 'i') {
       val stem = base.dropRight(1)
       Seq(
         DictEntry(base, pos, "", Array.empty),
         DictEntry(stem, pos, base, Array.empty), // 未然/連用: 食べ(ない/ます/た)
-        DictEntry(stem + "れ", pos, base, Array.empty), // 仮定: 食べれ(ば)
+        DictEntry(stem + "れ", CondPos, base, Array.empty), // 仮定: 食べれ(ば)
         DictEntry(stem + "よ", pos, base, Array.empty)) // 意向: 食べよ(う)
     } else {
       val (a, i, e, o, onbin) = godan(cls)
       val stem = base.dropRight(1)
-      val forms = (Seq(a.toString, i.toString, e.toString, o.toString) ++
-        (if (onbin.nonEmpty) Seq(onbin) else Nil)).distinct
+      val condForm = e.toString
+      val forms = (Seq(a.toString, i.toString, o.toString) ++
+        (if (onbin.nonEmpty) Seq(onbin) else Nil)).distinct.filterNot(_ == condForm)
       // Potential verb (話す→話せる) as its own dictionary-form lexeme with
       // itself as lemma — ipadic lexicalizes potentials as independent
       // 一段 verbs, and without the entry 話せる degrades to 話+せ+る
@@ -48,8 +60,18 @@ object JaInflection {
       // homograph the compact cost model cannot split (documented
       // divergence); the dictionary form is the high-frequency win.
       (DictEntry(base, pos, "", Array.empty) +:
-        forms.map(f => DictEntry(stem + f, pos, base, Array.empty))) :+
-        DictEntry(stem + e + "る", pos, "", Array.empty)
+        (DictEntry(stem + condForm, CondPos, base, Array.empty) +:
+          forms.map(f => DictEntry(stem + f, pos, base, Array.empty)))) ++
+        Seq(
+          // potential verb as its own 一段 lexeme (話せる) …
+          DictEntry(stem + e + "る", pos, "", Array.empty),
+          // … and its 未然/連用 stem (話せ+ます/ない/た → 話せる). The
+          // surface equals the 仮定 form above but the POS differs, so both
+          // readings survive the loader dedupe and the connection matrix
+          // disambiguates (仮定+ば vs 連用+Aux). For a godan with a true
+          // ichidan sibling (届く/届ける) this entry IS the sibling's 連用
+          // stem — same (surface, pos, base) — so the dedupe keeps one.
+          DictEntry(stem + e, pos, stem + e + "る", Array.empty))
     }
 
   /** い-adjective: 終止/連体 (base), 連用 (〜く), 連用タ接続 (〜かっ),

@@ -36,12 +36,15 @@ private[ja] object JaCosts {
   final val Adv = 11 // adverbs, conjunctions, adnominals, interjections
   final val Unknown = 12
   final val Sahen = 13 // 名詞-サ変接続: attracts する/し (発表した)
-  final val NumClasses = 14
+  final val VerbCond = 14 // godan 仮定/命令 (書け, 届け): precedes ば, never た
+  final val ParticleBa = 15 // the conditional particle ば itself
+  final val NumClasses = 16
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
-    if (pos.startsWith("助詞")) Particle
+    if (pos.startsWith("助詞")) { if (e.surface == "ば") ParticleBa else Particle }
     else if (pos.startsWith("助動詞")) Aux
+    else if (pos == graft.ja.JaInflection.CondPos) VerbCond
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
     else if (pos.startsWith("形容詞")) { if (e.base.nonEmpty) AdjInfl else AdjTerm }
     else if (pos == "名詞-数") Num
@@ -77,6 +80,17 @@ private[ja] object JaCosts {
     set(Sahen, NounSuffix, -400)
     set(Prefix, Sahen, -500)
     set(Sahen, VerbInfl, -700); set(Sahen, VerbTerm, -700)
+    // 仮定/命令 form: ば attaches cheaply; た/て after it is ungrammatical
+    // (命令+た), so penalize hard enough that a sibling ichidan 連用
+    // reading of the same surface (届け→届ける) wins before auxiliaries
+    set(VerbCond, ParticleBa, -600) // 書け+ば — the ONE licensed attachment
+    set(VerbCond, Particle, 400) // ×届け+て — 連用 readings take て
+    set(VerbCond, Aux, 1200) // ×届け+た — the ichidan homograph handles it
+    set(BOS, VerbCond, 400) // commands exist but are rare in corpus prose
+    set(VerbInfl, ParticleBa, 400) // ×連用+ば (使い+ば is ungrammatical)
+    set(AdjInfl, ParticleBa, -500) // 高けれ+ば
+    set(BOS, ParticleBa, 1200)
+    set(Particle, ParticleBa, 700)
     // discourage fragmenting
     set(Num, Num, -150) // numeral chains cohere (三+十+分); was +300, flipped so 三十|分 beats 三|十分
     set(Particle, Particle, 700)
@@ -105,6 +119,7 @@ private[ja] object JaCosts {
     val a = Array.fill(NumClasses)(0)
     a(Prefix) = 1000
     a(VerbInfl) = 400
+    a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
     a
   }
 
