@@ -99,4 +99,30 @@ class TokenizerPropertiesSpec extends AnyFunSuite {
       assert(!c.contains("テスト") && !c.contains("spark"), s"input '$s'")
     }
   }
+
+  test("property: every godan e-row stem + ます lemmatizes to the potential verb") {
+    // 話せます → 話せる, 書けます → 書ける, … for EVERY godan lexeme: the
+    // e-row surface is a (仮定形, potential-連用) homograph and the lattice
+    // must pick the potential before an auxiliary (the dedupe-shadowing
+    // regression class fixed in round 6). Run with empty stop sets so ます
+    // itself can't mask a failure.
+    val tok = new JaTokenizer(stopWords = Set.empty, stopTags = Set.empty)
+    val eRow = Map('k' -> 'け', 'g' -> 'げ', 's' -> 'せ', 't' -> 'て',
+      'n' -> 'ね', 'b' -> 'べ', 'm' -> 'め', 'r' -> 'れ', 'w' -> 'え')
+    val verbs = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/ja/lexemes/verbs.tsv"), "UTF-8")
+      .getLines().map(_.replaceAll("#.*$", "").trim).filter(_.nonEmpty)
+      .map(_.split("\t")).collect { case Array(base, cls) if cls != "i" =>
+        (base.trim, cls.trim.charAt(0))
+      }.toSeq
+    val failures = verbs.flatMap { case (base, cls) =>
+      val potential = base.dropRight(1) + eRow(cls) + "る"
+      val toks = tok.tokenize(base.dropRight(1) + eRow(cls) + "ます")
+      // the potential lemma must be the FIRST token; a compound verb's
+      // internal boundary re-parse would surface here as a different head
+      if (toks.headOption.contains(potential)) None
+      else Some(s"$base($cls): got ${toks.mkString("|")}, want $potential")
+    }
+    assert(failures.isEmpty, failures.take(10).mkString("\n"))
+  }
 }
