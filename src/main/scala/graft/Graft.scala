@@ -44,10 +44,14 @@ object Graft {
       // at 63 by the expression (sign-bit safety)
       require(exprs.nonEmpty && exprs.length <= 2,
         s"Invalid number of arguments for function simhash64: expected 1 or 2, got ${exprs.length}")
-      val bits = if (exprs.length == 2) exprs(1).eval(null) match {
-        case i: Int => i
-        case other => throw new IllegalArgumentException(
-          s"simhash64 bits must be a constant INT, got $other")
+      val bits = if (exprs.length == 2) exprs(1) match {
+        case lit if lit.foldable => lit.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"simhash64 bits must be a constant INT, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "simhash64 bits must be a constant INT")
       } else 30
       graft.expr.SimHash64(exprs.head, bits)
     }),

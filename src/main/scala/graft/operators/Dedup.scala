@@ -252,8 +252,9 @@ object Dedup {
     * materialized in one task (no `collect_list`), so degree skew ends up
     * as AQE-splittable join skew, not an OOM. Each round localCheckpoints
     * to truncate lineage (iterative plans otherwise nest exponentially)
-    * and the convergence probe is a count + an anti-join emptiness check
-    * on the checkpointed frames.
+    * and the convergence probe is a single signed-count aggregation
+    * (empty symmetric difference between consecutive checkpointed edge
+    * sets) — one job per round.
     *
     * Input rows are (srcCol, dstCol) edges, any orientation, self-loops
     * and duplicates tolerated. Returns (doc_id, cluster_id) for every node
@@ -316,35 +317,43 @@ object Dedup {
     var iter = 0
     // size the iteration shuffles to the edge count, not the session-wide
     // default: near-dup edge sets are orders of magnitude smaller than the
-    // corpus that produced them, and each round is ~6 shuffle stages whose
-    // fixed per-partition cost dominates when partitions are near-empty.
-    // ~1M edges per partition; large graphs keep wide shuffles. Restored
-    // after the loop (the driver runs queries sequentially).
+    // corpus that produced them, and each round is several shuffle stages
+    // whose fixed per-partition cost dominates when partitions are
+    // near-empty. ~1M edges per partition; large graphs keep wide shuffles.
+    // Explicit repartition on the iterated frames (NOT a session-wide
+    // spark.sql.shuffle.partitions write, which would race under
+    // concurrent queries sharing the session): groupBy("u") and the
+    // star joins on "u" reuse the hash partitioning, so each star adds
+    // exactly one exchange.
     val sess = edges.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
-    try {
+    val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = math.max(1L, math.min(sessParts.toLong, nEdges / 1000000L + 1)).toInt
     while (!converged && iter < maxIter) {
       // large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u})
-      val s1 = sym(e)
+      val s1 = sym(e).repartition(nParts, col("u"))
       val mL = s1.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = canon(s1.join(mL, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
       // small-star(u): attach u and every neighbor v < u to min(Γ⁻(u) ∪ {u})
-      val s2 = sym(large).where(col("v") < col("u"))
+      val s2 = sym(large).where(col("v") < col("u")).repartition(nParts, col("u"))
       val mS = s2.groupBy("u").agg(min("v").as("m"))
       val small = canon(
         s2.join(mS, "u").select(col("v").as("u"), col("m").as("v"))
           .unionAll(mS.select(col("u"), col("m").as("v"))))
       val next = small.localCheckpoint()
-      converged = next.count() == e.count() &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // Single-job convergence probe: both frames are canonical (distinct)
+      // edge sets, so set equality ⟺ empty symmetric difference — one
+      // signed-count aggregation over the two cached frames, replacing the
+      // previous count() + left_anti.isEmpty pair (two jobs per round).
+      converged = next.select(col("u"), col("v"), lit(1L).as("s"))
+        .unionAll(e.select(col("u"), col("v"), lit(-1L).as("s")))
+        .repartition(nParts, col("u"), col("v"))
+        .groupBy("u", "v").agg(sum("s").as("d"))
+        .where(col("d") =!= 0).isEmpty
       e = next
       iter += 1
     }
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     // fixed point is a star forest: every edge is (root=u, child=v) with
     // root the component minimum; roots label themselves
     nodes

@@ -233,9 +233,12 @@ object Multimodal {
             val version = u8(j + 8)
             // v0: ctime/mtime 4+4, timescale 4, duration 4 at offset +20
             // v1: ctime/mtime 8+8, timescale 4, duration 8 at offset +28
-            if (version == 0 && j + 8 + 24 <= end)
+            // Field reads are bounded by the mvhd box's OWN csize, not just
+            // the moov end: a malformed short mvhd must reject rather than
+            // read timescale/duration bytes from the next sibling box.
+            if (version == 0 && csize >= 8 + 24 && j + 8 + 24 <= end)
               mvhd = Some((be32(j + 20), be32(j + 24)))
-            else if (version == 1 && j + 8 + 36 <= end)
+            else if (version == 1 && csize >= 8 + 36 && j + 8 + 36 <= end)
               mvhd = Some((be32(j + 28), be64(j + 32)))
           }
           j += csize.toInt

@@ -108,7 +108,10 @@ object Cms {
     */
   def heavyHitterAudit(df: DataFrame, tokenCol: String, k: Int = 20,
       depth: Int = 4, width: Int = 4096, budgetMul: Int = 8): DataFrame = {
-    val toks = df.select(col(tokenCol).as("tok"))
+    // Null tokens are excluded from the audit: CmsAggregator.reduce skips
+    // them (a sketch has no null bucket), so an exact null group would call
+    // the estimate UDF with a null token and NPE in tokenHash.
+    val toks = df.select(col(tokenCol).as("tok")).where(col("tok").isNotNull)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("tok")).limit(k)
     val sketch = toks.agg(

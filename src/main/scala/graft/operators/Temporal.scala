@@ -62,13 +62,24 @@ object Temporal {
   def bandJoin(
       left: DataFrame, right: DataFrame,
       vCol: String, loCol: String, hiCol: String,
-      band: Double): DataFrame = {
+      band: Double, maxBuckets: Long = 1L << 20): DataFrame = {
     require(band > 0, "band must be positive")
     val l = left.withColumn("__bucket",
       floor(col(vCol) / band).cast("long"))
+    val bLo = floor(col(loCol) / band).cast("long")
+    val bHi = floor(col(hiCol) / band).cast("long")
+    // Replication guard: one pathological interval with width >> band would
+    // explode into millions of bucket rows, and sequence() hard-errors past
+    // ~Int.MaxValue elements — an opaque failure. Fail with an actionable
+    // message (raise the band, or raise maxBuckets deliberately) instead.
+    val guardedLo = when(bHi - bLo > maxBuckets,
+      raise_error(concat(
+        lit(s"bandJoin: interval spans more than $maxBuckets buckets at band=$band: ["),
+        col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
+        lit("] — increase band or maxBuckets"))).cast("long"))
+      .otherwise(bLo)
     val r = right.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / band).cast("long"),
-        floor(col(hiCol) / band).cast("long"))))
+      explode(sequence(guardedLo, bHi)))
     l.join(r, Seq("__bucket"))
       .where(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("__bucket")
