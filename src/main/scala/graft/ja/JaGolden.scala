@@ -87,6 +87,29 @@ object JaGolden {
     */
   def oracleSql: String = literalTable(corpus.map(g => (g.sid, g.expected)))
 
+  /** Held-out evaluation corpus (VERDICT r6 "Next round" #2): 98 sentences
+    * authored BLIND from topic lists (see the resource header for the
+    * protocol and the post-first-run adjudication record). First-run match
+    * rate was 63/98 (SURVEY.md §7.4); after adjudicating 15 convention
+    * conflicts and fixing the 20 genuine gaps it is pinned at 98/98 and
+    * drives q101 inside the driver gate.
+    */
+  lazy val heldoutCorpus: Seq[(Int, String, Seq[String])] = {
+    val in = getClass.getResourceAsStream("/graft/ja/heldout_corpus.tsv")
+    require(in != null, "missing resource graft/ja/heldout_corpus.tsv")
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (l, i) =>
+        require(!l.contains("'"), "heldout corpus line contains a quote")
+        val f = l.split("\t", -1)
+        require(f.length == 2, s"heldout corpus line ${i + 1}: expected 2 fields, got ${f.length}")
+        (i + 1, f(0), f(1).split("\\|").toSeq)
+      }.toSeq
+  }
+
+  def heldoutOracleSql: String =
+    literalTable(heldoutCorpus.map { case (sid, _, toks) => (sid, toks) })
+
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
     literalTable(searchSubset.map { case (sid, _, toks) => (sid, toks) })

@@ -70,6 +70,7 @@ private[ja] object JaCosts {
     set(Aux, Aux, -300) // でし+た
     set(Noun, Aux, -200) // テスト+です
     set(Noun, NounSuffix, -400) // 研究+者 (kept above 接尾 compound traps)
+    set(NounSuffix, Particle, -300) // 三冊+を / 十分+ほど — suffixed nouns take particles like nouns
     set(Num, NounSuffix, -1200) // 三+回 (deep: 年月日 chains must beat grouped unknown runs)
     set(Prefix, Num, -700) // 第+二
     set(Prefix, Noun, -500) // 新+技術
@@ -140,10 +141,14 @@ private[ja] object JaCosts {
 
   /** Embedded-dictionary word cost: class base minus a length bonus (longer
     * lexicalized entries win over their parts — the NEologd contract),
-    * floored so chains of long entries cannot go cost-negative.
+    * floored so chains of long entries cannot go cost-negative. Function
+    * words (助詞/助動詞) are closed-class: the entity-length rationale does
+    * not apply, and the bonus made って (100) cheaper than て (500), letting
+    * 光|って|いる tie 光っ|て|いる — they pay the flat class base instead.
     */
   def dictCost(e: DictEntry, cpLen: Int): Int =
-    math.max(100, posBase(e) - 400 * (cpLen - 1))
+    if (e.pos.startsWith("助詞") || e.pos.startsWith("助動詞")) posBase(e)
+    else math.max(100, posBase(e) - 400 * (cpLen - 1))
 
   /** User-dictionary entries outrank every embedded/unknown alternative on
     * their span (the Kuromoji user-dict contract).

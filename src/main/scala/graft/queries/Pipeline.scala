@@ -1401,9 +1401,28 @@ object Pipeline {
       .orderBy("user_id")
   }
 
+  /** Held-out conformance inside the driver gate (VERDICT r6 "Next round"
+    * #2): the blind-authored 98-sentence evaluation corpus runs through the
+    * full analyzer chain on executors against its literal-table oracle —
+    * the out-of-sample counterpart to q55's development corpus, mirroring
+    * the reference's arbitrary-news-text robustness tests
+    * (KuromojiNEologdUDFTest.java:202-259). First-run rate before any fix:
+    * 63/98 (protocol + adjudication in the resource header and SURVEY §7.4).
+    */
+  val q101 = Q("q101_tokenize_ja_heldout", graft.ja.JaGolden.heldoutOracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100)
+    q97, q98, q99, q100, q101)
 }

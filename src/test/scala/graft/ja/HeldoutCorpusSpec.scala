@@ -1,0 +1,33 @@
+package graft.ja
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Held-out conformance pin (VERDICT r6 "Next round" #2). The corpus was
+  * authored blind from topic lists and first run against the tokenizer only
+  * after being committed; the first run measured 63/98 (2 of the authored 100 coincided verbatim
+  * with development sentences and were removed as not out-of-sample) (recorded in
+  * SURVEY.md §7.4 and the resource header, with the 15 adjudicated
+  * convention conflicts itemized there). After the round-7 lexeme additions
+  * and the two lattice-cost fixes it is pinned at 98/98 — this spec keeps
+  * it there, and q101 pins the same rows inside the driver's oracle gate.
+  */
+class HeldoutCorpusSpec extends AnyFunSuite {
+
+  test("held-out corpus: 98 blind-authored sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus
+    assert(corpus.size == 98, s"held-out corpus must stay at 98 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus is disjoint from the development golden corpus") {
+    val dev = JaGolden.corpus.map(_.sentence).toSet
+    val overlap = JaGolden.heldoutCorpus.filter { case (_, s, _) => dev.contains(s) }
+    assert(overlap.isEmpty, s"held-out sentences also in golden corpus: ${overlap.map(_._1).mkString(",")}")
+  }
+}
