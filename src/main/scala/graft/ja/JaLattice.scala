@@ -56,10 +56,41 @@ private[ja] object JaCosts {
     else Noun
   }
 
-  /** conn(left, right): cost of `right` following `left`. */
-  val conn: Array[Array[Int]] = {
+  /** Engine-contract cells pinned to engineered values even in the trained
+    * matrix (JaCostTrain): the 仮定/命令-form grammar block exists to rule
+    * out attachments that are UNGRAMMATICAL (×届け+た) — a ~1k-sentence
+    * corpus has zero/near-zero counts there, and smoothing would assign a
+    * far milder penalty than the contract needs (JaCorpusSpec e-row
+    * homograph pins). (Unknown,Unknown) > 0 is a soundness invariant of the
+    * fastSingleClass shortcut (JaFastPathSpec), not a statistic.
+    */
+  val contractCells: Seq[(Int, Int)] = Seq(
+    (VerbCond, ParticleBa), (VerbCond, Particle), (VerbCond, Aux),
+    (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
+    (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown))
+
+  /** eos entries pinned alongside contractCells: a bare 命令形 may end a
+    * region (届け！) and a dangling prefix may not — grammar, not counts.
+    */
+  val contractEos: Seq[Int] = Seq(VerbCond, Prefix)
+
+  /** Hand-assigned prior matrix: the bootstrap cost model, the fallback for
+    * classes unseen in the training corpora, and the source of the
+    * contract-cell values above. `conn`/`eos` below are the trained model
+    * when the generated resource is present (JaCostTrain), else this.
+    */
+  /** Cells explicitly assigned in handConn, recorded at construction: each
+    * is a tuned MARGIN against the word-cost scales (dictCost/unknownCost),
+    * e.g. Num→NounSuffix −1200 so counter chains beat grouped unknown runs.
+    * −log P(r|l) magnitudes at S=350 are systematically milder and flip
+    * those razor-thin pins, so training (JaCostTrain) pins these and learns
+    * only the cells the hand model is silent on (default 0).
+    */
+  var handSetCells: Set[(Int, Int)] = Set.empty
+
+  val handConn: Array[Array[Int]] = {
     val m = Array.fill(NumClasses, NumClasses)(0)
-    def set(a: Int, b: Int, v: Int): Unit = m(a)(b) = v
+    def set(a: Int, b: Int, v: Int): Unit = { m(a)(b) = v; handSetCells += ((a, b)) }
     // sentences/regions rarely open with dependent morphemes
     set(BOS, Particle, 1200); set(BOS, Aux, 1500); set(BOS, NounSuffix, 1200)
     // canonical attachments
@@ -99,6 +130,28 @@ private[ja] object JaCosts {
     m
   }
 
+  private[ja] def handEosValue(l: Int): Int = handEos(l)
+
+  private val handEos: Array[Int] = {
+    val a = Array.fill(NumClasses)(0)
+    a(Prefix) = 1000
+    a(VerbInfl) = 400
+    a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
+    a
+  }
+
+  /** The active connection model: corpus-trained when the generated
+    * resource exists (graft/ja/conn_trained.tsv, written by JaCostTrain
+    * from transition counts over the full-sequence-verified corpora — the
+    * engine's analogue of mecab-ipadic's corpus-trained matrices,
+    * /root/reference/build.sh:161), hand prior otherwise.
+    */
+  val (conn: Array[Array[Int]], eos: Array[Int]) =
+    JaCostModel.loadTrained(NumClasses) match {
+      case Some((c, e)) => (c, e)
+      case None => (handConn, handEos)
+    }
+
   /** conn flattened and transposed for the relaxation inner loop: cost of
     * `right` following `left` at connT(right * NumClasses + left) — the loop
     * fixes the edge class and scans predecessors, so this is the
@@ -115,14 +168,6 @@ private[ja] object JaCosts {
     a
   }
 
-  /** Cost of ending the region after a token of each class. */
-  val eos: Array[Int] = {
-    val a = Array.fill(NumClasses)(0)
-    a(Prefix) = 1000
-    a(VerbInfl) = 400
-    a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
-    a
-  }
 
   private def posBase(e: DictEntry): Int = {
     val pos = e.pos

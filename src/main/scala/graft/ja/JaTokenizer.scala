@@ -154,8 +154,10 @@ final class JaTokenizer(
       i += 1
     }
     val run = line.substring(from, end)
-    if (pathSink != null)
+    if (pathSink != null) {
+      pathSink += (("", null, -1)) // region boundary sentinel
       pathSink += ((run, null, if (cls0 == CharClasses.Digit) JaCosts.Num else JaCosts.Unknown))
+    }
     emitUnknown(run, out)
     true
   }
@@ -312,6 +314,7 @@ final class JaTokenizer(
       cl = bpSrc(idx)
       p = np
     }
+    if (pathSink != null) pathSink += (("", null, -1)) // region boundary sentinel
     var k = path.length - 1
     while (k >= 0) {
       val idx = path(k)
