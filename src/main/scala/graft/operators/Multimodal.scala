@@ -287,6 +287,34 @@ object Multimodal {
         "duration_sec", "sample_ticks")
   }
 
+  /** All three header families decoded in one mapPartitions pass (image /
+    * RIFF-WAVE / ISO-BMFF; at most one decodes per row — container
+    * signatures are disjoint). Shuffle-free: one projection per partition
+    * over the binary column, the q102 oracle-gate shape. Absent families
+    * are null columns.
+    */
+  def decodeAllHeaders(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val img = decodeImageHeader(bytes)
+          val wav = decodeWavHeader(bytes)
+          val mp4 = decodeMp4Header(bytes)
+          (id,
+            img.map(_._1), img.map(_._2), img.map(_._3),
+            wav.map(_._1), wav.map(_._2), wav.map(_._3), wav.map(_._4),
+            mp4.map(_._1), mp4.map(_._2), mp4.map(_._3))
+        }
+      }
+      .toDF("id", "img_fmt", "width", "height",
+        "channels", "sample_rate", "bits", "n_samples",
+        "mp4_brand", "timescale", "duration_ticks")
+  }
+
   /** Batch feature extraction over a binary column. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession

@@ -1420,9 +1420,49 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Real media bytes through the full binary-column path (VERDICT r6
+    * "Next round" #7): MediaFixture's structurally valid PNG/JPEG/GIF/WAV/
+    * MP4 binaries (+ corrupt rows pinning the rejection paths, incl. the
+    * short-mvhd bounds check) roundtrip through a parquet BINARY column —
+    * write then scan, the shape the driver testdata lacks — and decode via
+    * the real header parsers in one mapPartitions pass. The oracle is the
+    * literal table of values determined by the fixture's construction
+    * parameters; DuckDB hash-compares every decoded field.
+    */
+  val q102 = Q("q102_multimodal_binary",
+    """SELECT * FROM (VALUES
+      |  (1, 'png', 1, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (2, 'png', 640, 480, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (3, 'jpg', 3, 2, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (4, 'jpg', 400, 300, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (5, 'gif', 7, 5, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (6, NULL, NULL, NULL, 2, 44100, 16, 1000, NULL, NULL, NULL),
+      |  (7, NULL, NULL, NULL, 1, 16000, 8, 320, NULL, NULL, NULL),
+      |  (8, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'isom', 600, 1200),
+      |  (9, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'mp42', 90000, 450000),
+      |  (10, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (11, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (12, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (13, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (14, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      |  (15, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+      |) AS t(id, img_fmt, width, height, channels, sample_rate, bits,
+      |       n_samples, mp4_brand, timescale, duration_ticks)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val fixture = graft.operators.MediaFixture.rows.toDF("id", "bytes")
+    // binary-column parquet roundtrip: write then scan, so the decode reads
+    // bytes that traveled through a real parquet BINARY column
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q102_media_fixture").getAbsolutePath
+    fixture.coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.operators.Multimodal.decodeAllHeaders(s.read.parquet(tmp), "id", "bytes")
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101)
+    q97, q98, q99, q100, q101, q102)
 }
