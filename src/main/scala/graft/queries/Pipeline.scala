@@ -1460,9 +1460,62 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** Streaming-surface twin inside the oracle gate (VERDICT r6 "Next
+    * round" #8): the EXACT StreamingOps.intervalJoin code — the watermarked
+    * stream-stream interval join — run on batch frames (watermarks are
+    * no-ops in batch; the join predicate and column contract are
+    * identical), so the driver hash-checks the operator definition, not a
+    * re-implementation. Clicks enriched with the purchases of the
+    * preceding hour, per user. Interval math is µs-exact on both sides.
+    */
+  val q103 = Q("q103_stream_interval_join",
+    """SELECT e.user_id, e.event_id, e.ts, r.event_id AS event_id_r, r.ts AS ts_r
+      |FROM events e JOIN events r ON e.user_id = r.user_id
+      |  AND epoch_us(r.ts) >= epoch_us(e.ts) - 3600000000
+      |  AND epoch_us(r.ts) <= epoch_us(e.ts)
+      |WHERE e.event_type = 'click' AND r.event_type = 'purchase'
+      |ORDER BY e.user_id, e.event_id, event_id_r""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    graft.streaming.StreamingOps.intervalJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"),
+      lookback = "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_id_r"), col("ts_r"))
+      .orderBy("user_id", "event_id", "event_id_r")
+  }
+
+  /** Streaming session windows' twin: StreamingOps.sessionCounts (the
+    * built-in session_window + watermark aggregation) on a batch frame,
+    * hash-checked against a DuckDB gaps-and-islands derivation of the same
+    * contract — sess_start = first event, sess_end = last event + gap.
+    * Together with q21 (hand-rolled batch sessionize) this pins that the
+    * engine session_window semantics and the SQL derivation agree.
+    */
+  val q104 = Q("q104_stream_session_window",
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM e)
+      |SELECT MIN(ts) AS sess_start,
+      |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS sess_end,
+      |  user_id, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+    graft.streaming.StreamingOps.sessionCounts(t(s, dir, "events"))
+      .orderBy("user_id", "sess_start")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102)
+    q97, q98, q99, q100, q101, q102, q103, q104)
 }

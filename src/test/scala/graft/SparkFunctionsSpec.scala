@@ -180,31 +180,23 @@ class SparkFunctionsSpec extends AnyFunSuite {
   test("tokenize_ja_neologd generated code compiles under forced codegen (no fallback)") {
     // CODEGEN_ONLY makes a Janino compile failure of doGenCode's output an
     // error instead of a silent interpreted fallback (VERDICT r6 #5).
-    import spark.implicits._
-    withSQLConf(
-      "spark.sql.codegen.wholeStage" -> "true",
-      "spark.sql.codegen.fallback" -> "false",
-      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
-      val out = Seq("\u4eca\u65e5\u306f\u3044\u3044\u5929\u6c17\u3060", "", null.asInstanceOf[String])
-        .toDF("line")
-        .select(graft.functions.tokenize_ja_neologd($"line").as("toks"))
-        .collect()
-      assert(out.length == 3)
-      assert(out(0).getSeq[String](0).nonEmpty)
-      assert(out(1).getSeq[String](0).isEmpty)
-      assert(out(2).isNullAt(0))
-      val version = spark.sql("SELECT tokenize_ja_neologd() AS v").head().getSeq[String](0)
-      assert(version.head == graft.GraftVersion.value)
-    }
-  }
-
-  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
-    val conf = spark.conf
-    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
-    pairs.foreach { case (k, v) => conf.set(k, v) }
-    try f finally olds.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
+    // newSession(): isolated SQLConf over the shared context \u2014 suites run
+    // in parallel against TestSpark.spark, so never mutate its conf.
+    val s = spark.newSession()
+    graft.Graft.register(s)
+    s.conf.set("spark.sql.codegen.wholeStage", "true")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    import s.implicits._
+    val out = Seq("\u4eca\u65e5\u306f\u3044\u3044\u5929\u6c17\u3060", "", null.asInstanceOf[String])
+      .toDF("line")
+      .select(graft.functions.tokenize_ja_neologd($"line").as("toks"))
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getSeq[String](0).nonEmpty)
+    assert(out(1).getSeq[String](0).isEmpty)
+    assert(out(2).isNullAt(0))
+    val version = s.sql("SELECT tokenize_ja_neologd() AS v").head().getSeq[String](0)
+    assert(version.head == graft.GraftVersion.value)
   }
 }
