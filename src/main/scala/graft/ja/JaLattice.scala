@@ -102,6 +102,8 @@ private[ja] object JaCosts {
     set(Noun, Aux, -200) // テスト+です
     set(Noun, NounSuffix, -400) // 研究+者 (kept above 接尾 compound traps)
     set(NounSuffix, Particle, -300) // 三冊+を / 十分+ほど — suffixed nouns take particles like nouns
+    set(Particle, NounSuffix, 300) // ×が+回(助数詞): counters bind numerals, not particles — breaks
+    // the が|回|って tie that NounSuffix→Particle=-300 otherwise creates vs が|回っ|て
     set(Num, NounSuffix, -1200) // 三+回 (deep: 年月日 chains must beat grouped unknown runs)
     set(Prefix, Num, -700) // 第+二
     set(Prefix, Noun, -500) // 新+技術
