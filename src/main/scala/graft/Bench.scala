@@ -29,8 +29,16 @@ object Bench {
     // min of 2 runs per query: this host shows up to 2x run-to-run noise
     // (see PLANS.md); min is the standard estimator for intrinsic cost.
     // A failing query records -1 (visible in the JSON) + a stderr line.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+    // SPARK_GRAFT_BENCH_ONLY=q67,q68 narrows to named queries (prefix
+    // match) for targeted re-measurement without a 104-query run; the
+    // driver never sets it, so the contract run is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -47,7 +55,9 @@ object Bench {
     // The driver's stdout capture truncates long lines (BENCH_r06 kept only
     // q43+), so the full per-query artifact is also persisted in-repo —
     // every query's number survives the round regardless of stdout limits.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A filtered run never overwrites the full artifact by default.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/bench_partial.json" else "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }

@@ -168,7 +168,7 @@ object Dedup {
       k: Int, numHashes: Int): DataFrame =
     minhashFromHashed(hashedShingles(df, idCol, textCol, k), numHashes)
 
-  private def minhashFromHashed(hs: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashFromHashed(hs: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i")
     }
@@ -278,7 +278,15 @@ object Dedup {
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
 
+    // Checkpoint the RAW edge list once, up front: both the canonical edge
+    // set and the node list derive from it, and without this the upstream
+    // pipeline that produced the edges (at corpus scale, the full LSH
+    // candidate+verify pass) re-executes once per derivation — profiled as
+    // a full second pipeline run on q67 (nodes was the un-checkpointed
+    // copy). One materialization of a pairs-sized frame is strictly
+    // cheaper than recomputing its producer.
     val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint()
     val nodes = sym(raw).select(col("u").as("doc_id")).distinct()
 
     var e = canon(raw).localCheckpoint()
