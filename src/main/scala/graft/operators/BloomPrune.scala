@@ -37,7 +37,12 @@ object BloomPrune {
       smallKey: String,
       fpp: Double = 0.01): DataFrame = {
     val spark = large.sparkSession
-    val keys = small.select(col(smallKey))
+    // Checkpoint the key column once: the count, the bloom aggregation, and
+    // the broadcast-semi-join below are three separate consumers, and each
+    // would otherwise re-execute whatever plan produced `small` (the q67
+    // lesson: a frame read by N actions without staging costs N producer
+    // runs). The checkpoint is keys-only, so it is small by construction.
+    val keys = small.select(col(smallKey)).localCheckpoint()
     // expectedItems from a cheap exact count of the small side; stat
     // .bloomFilter aggregates distributed, only the bitset reaches the
     // driver
@@ -48,7 +53,7 @@ object BloomPrune {
       k != null && bcast.value.mightContainLong(k))
     large
       .where(mightContain(col(largeKey)))
-      .join(broadcast(small.select(col(smallKey)).distinct()),
+      .join(broadcast(keys.distinct()),
         col(largeKey) === col(smallKey), "left_semi")
   }
 }
