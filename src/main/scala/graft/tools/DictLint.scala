@@ -68,6 +68,7 @@ object DictLint {
     "高齢者", "編集者", "技術者", "研究者", "科学者", "経営者", "担当者",
     "責任者", "利用者", "消費者", "視聴者", "被害者", "加害者", "候補者",
     "容疑者", "労働者", "管理者", "登録者", "指揮者", "歯医者", "業者",
+    "初心者",
     "国民性", "現実性", "互換性", "生物多様性",
     "遊園地", "目的地", "被災地",
     "商店街", "温泉街",

@@ -30,4 +30,22 @@ class HeldoutCorpusSpec extends AnyFunSuite {
     val overlap = JaGolden.heldoutCorpus.filter { case (_, s, _) => dev.contains(s) }
     assert(overlap.isEmpty, s"held-out sentences also in golden corpus: ${overlap.map(_._1).mkString(",")}")
   }
+
+  test("held-out corpus 2: 60 blind-authored sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus2
+    assert(corpus.size == 60, s"held-out corpus 2 must stay at 60 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-2 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 2 is disjoint from the golden corpus and held-out 1") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++ JaGolden.heldoutCorpus.map(_._2)
+    val overlap = JaGolden.heldoutCorpus2.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-2 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
 }
