@@ -20,7 +20,8 @@ final case class DictEntry(
     surface: String,
     pos: String,
     base: String,
-    segments: Array[DictEntry]) {
+    segments: Array[DictEntry],
+    derived: Boolean = false) {
   def output: String = if (base.nonEmpty) base else surface
 
   // Lattice-relevant properties, computed once at dictionary build instead
@@ -38,7 +39,13 @@ final case class DictEntry(
     }
     ok
   }
-  private[ja] val normalCost: Int = JaCosts.dictCost(this, cpLen)
+  // Derived (auto-generated) entries pay a flat penalty over the class
+  // cost: an EXPLICIT lexeme for the same surface always wins, and a
+  // derived reading only beats the split V1|V2 path when the text really
+  // contains the compound (the split pays two class bases plus an
+  // internal transition, far above one base + 600).
+  private[ja] val normalCost: Int =
+    JaCosts.dictCost(this, cpLen) + (if (derived) 600 else 0)
   private[ja] val searchCost: Int = normalCost + JaCosts.searchPenalty(allKanji, cpLen)
 }
 
@@ -116,8 +123,17 @@ object DictTrie {
       val ks = b.children.keysIterator.toArray.sorted
       new Node(ks, ks.map(c => freeze(b.children(c))), b.entries.toArray)
     }
+    // First-char subtrees are independent — freeze them across cores
+    // (once-per-JVM init; the BASELINE ≤100 ms budget is tight for one
+    // thread at the post-derivation dictionary size).
+    val pool = java.util.concurrent.ForkJoinPool.commonPool()
+    val frozen = broot.children.toSeq.map { case (c, b) =>
+      c -> pool.submit(new java.util.concurrent.Callable[Node] {
+        def call(): Node = freeze(b)
+      })
+    }
     val root = new Array[Node](Char.MaxValue + 1)
-    broot.children.foreach { case (c, b) => root(c) = freeze(b) }
+    frozen.foreach { case (c, f) => root(c) = f.get() }
     new DictTrie(root)
   }
 }
@@ -161,12 +177,15 @@ object JaDictionary {
         sys.error(s"$name: unknown noun marker '$marker' on '$line'")), "", Array.empty)
     }.toSeq
 
-  private def parseVerbs(name: String): Seq[DictEntry] =
-    resource(name).map(_.replaceAll("#.*$", "").trim).filter(_.nonEmpty).flatMap { line =>
+  private def verbSeeds(name: String): Seq[(String, Char)] =
+    resource(name).map(_.replaceAll("#.*$", "").trim).filter(_.nonEmpty).map { line =>
       val f = line.split("\t", -1)
       require(f.length >= 2 && f(1).trim.length == 1, s"$name: bad verb line '$line'")
-      JaInflection.expandVerb(f(0).trim, f(1).trim.charAt(0))
+      (f(0).trim, f(1).trim.charAt(0))
     }.toSeq
+
+  private def parseVerbs(name: String): Seq[DictEntry] =
+    verbSeeds(name).flatMap { case (b, c) => JaInflection.expandVerb(b, c) }
 
   private def parseAdjs(name: String): Seq[DictEntry] =
     resource(name).map(_.replaceAll("#.*$", "").trim).filter(_.nonEmpty)
@@ -180,13 +199,17 @@ object JaDictionary {
     * distinct POS homographs coexist and the lattice disambiguates.
     */
   lazy val embeddedEntries: Seq[DictEntry] = {
+    // Derived compound verbs load LAST: the (surface, pos) dedupe is
+    // first-wins, so every explicit entry shadows its derived homograph
+    // and the derived layer only fills genuine gaps.
     val all = parseTsv(resource("core.tsv")) ++
       parseTsv(resource("lexemes/entities.tsv")) ++
       parseTsv(resource("lexemes/misc.tsv")) ++
       parseVerbs("lexemes/verbs.tsv") ++
       parseAdjs("lexemes/adjectives.txt") ++
       parseNouns("lexemes/nouns.tsv") ++
-      parseNouns("lexemes/katakana.txt")
+      parseNouns("lexemes/katakana.txt") ++
+      JaInflection.expandCompounds(verbSeeds("lexemes/verbs.tsv"))
     val seen = mutable.HashSet.empty[(String, String)]
     all.filter(e => seen.add((e.surface, e.pos)))
   }

@@ -1,0 +1,49 @@
+package graft.ja
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Derived compound-verb layer (round 7). Both held-out evaluations showed
+  * V1連用形+V2 compounds as the dominant out-of-sample gap class, so the
+  * dictionary derives them from every seed verb × the productive auxiliary
+  * set (JaInflection.CompoundAux) instead of enumerating lexemes. These
+  * sentences appear in NO corpus resource — they pin the mechanism itself.
+  */
+class CompoundVerbSpec extends AnyFunSuite {
+
+  private val tok = new JaTokenizer()
+
+  test("novel compounds derive without dedicated lexemes") {
+    val cases = Seq(
+      "子供が急に走り出した。" -> Seq("子供", "急に", "走り出す"),
+      "レポートを最初から書き直した。" -> Seq("レポート", "最初", "書き直す"),
+      "昨夜は飲み過ぎて頭が痛い。" -> Seq("昨夜", "飲み過ぎる", "頭", "痛い"),
+      "長い小説をやっと読み終わった。" -> Seq("長い", "小説", "やっと", "読み終わる"),
+      "彼らは顔を見て笑い合った。" -> Seq("彼ら", "顔", "見る", "笑い合う"))
+    cases.foreach { case (s, expected) =>
+      assert(tok.tokenize(s).toSeq == expected, s"sentence: $s")
+    }
+  }
+
+  test("sahen し+aux compounds derive (する is irregular, seeded explicitly)") {
+    assert(tok.tokenize("先生に質問をし続けた。").toSeq == Seq("先生", "質問", "し続ける"))
+    assert(tok.tokenize("間違えた箇所を計算し直した。").toSeq ==
+      Seq("間違える", "箇所", "計算", "し直す"))
+  }
+
+  test("explicit lexemes shadow their derived homographs") {
+    // 取り出す is an explicit verbs.tsv entry; the derived layer generates
+    // the same surface from 取る+出す. The loader's first-wins dedupe must
+    // keep the explicit (underived, cheaper) entry.
+    val e = JaDictionary.embeddedEntries.filter(x => x.surface == "取り出す")
+    assert(e.nonEmpty && e.forall(!_.derived), s"取り出す entries: $e")
+    // And a surface only the derived layer provides is flagged derived.
+    val d = JaDictionary.embeddedEntries.filter(x => x.surface == "走り出す")
+    assert(d.nonEmpty && d.forall(_.derived), s"走り出す entries: $d")
+  }
+
+  test("derived entries pay the cost penalty over an identical explicit entry") {
+    val explicit = graft.ja.DictEntry("書き込む", "動詞-自立", "", Array.empty)
+    val derived = explicit.copy(derived = true)
+    assert(derived.normalCost == explicit.normalCost + 600)
+  }
+}
