@@ -97,7 +97,9 @@ object JaInflection {
     // first list missed (引き返す, 飲み忘れる, 打ち付ける, 買い足す, 取り寄せる,
     // 乗り継ぐ)
     "返す" -> 's', "忘れる" -> 'i', "付ける" -> 'i', "足す" -> 's',
-    "寄せる" -> 'i', "継ぐ" -> 'g')
+    "寄せる" -> 'i', "継ぐ" -> 'g',
+    // round-7 dev batches: 売り払う/追い払う/取り払う
+    "払う" -> 'w')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class
