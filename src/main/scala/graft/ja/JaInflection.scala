@@ -98,8 +98,9 @@ object JaInflection {
     // 乗り継ぐ)
     "返す" -> 's', "忘れる" -> 'i', "付ける" -> 'i', "足す" -> 's',
     "寄せる" -> 'i', "継ぐ" -> 'g',
-    // round-7 dev batches: 売り払う/追い払う/取り払う; 追い越す/乗り越す/持ち越す
-    "払う" -> 'w', "越す" -> 's')
+    // round-7 dev batches: 売り払う/追い払う/取り払う; 追い越す/乗り越す/持ち越す;
+    // 引き渡す/受け渡す/言い渡す
+    "払う" -> 'w', "越す" -> 's', "渡す" -> 's')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class
