@@ -101,8 +101,8 @@ object JaInflection {
     // round-7 dev batches: 売り払う/追い払う/取り払う; 追い越す/乗り越す/持ち越す;
     // 引き渡す/受け渡す/言い渡す; 追いかける/話しかける/呼びかける
     "払う" -> 'w', "越す" -> 's', "渡す" -> 's', "かける" -> 'i',
-    // 引き取る/聞き取る/読み取る
-    "取る" -> 'r')
+    // 引き取る/聞き取る/読み取る; 走り抜ける/駆け抜ける/すり抜ける
+    "取る" -> 'r', "抜ける" -> 'i')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class
