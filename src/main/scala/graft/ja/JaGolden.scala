@@ -114,6 +114,18 @@ object JaGolden {
   lazy val heldoutCorpus3: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus3.tsv")
 
+  /** Fourth blind held-out set (round 7, after the auxiliary expansion to
+    * 20 and aux-as-V1 composition): authored as 42 sentences over six fresh
+    * registers; 2 coincided verbatim with golden sentences and were dropped
+    * as not out-of-sample (the disjointness pin below caught them), leaving
+    * 40. First-run 19/40 (47.5%) — 7 author-convention conflicts amended,
+    * 14 genuine gaps fixed (17 lexemes + the missing AdjTerm adnominal
+    * attachment cells that let ×強いる|揺れる tie 強い|揺れる). Pinned at
+    * 40/40; drives q107.
+    */
+  lazy val heldoutCorpus4: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus4.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -133,6 +145,8 @@ object JaGolden {
     literalTable(heldoutCorpus2.map { case (sid, _, toks) => (sid, toks) })
   def heldout3OracleSql: String =
     literalTable(heldoutCorpus3.map { case (sid, _, toks) => (sid, toks) })
+  def heldout4OracleSql: String =
+    literalTable(heldoutCorpus4.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -101,6 +101,13 @@ private[ja] object JaCosts {
     set(Aux, Aux, -300) // でし+た
     set(Noun, Aux, -200) // テスト+です
     set(Noun, NounSuffix, -400) // 研究+者 (kept above 接尾 compound traps)
+    set(AdjTerm, Noun, -300) // 強い+揺れ — adnominal 基本形 is canonical; breaks
+    // the otherwise-exact cost tie with the ichidan homograph's 連用形
+    // (強いる→強い), which would read 強い揺れ as ×強いる|揺れる
+    set(AdjTerm, Sahen, -300) // 強い+決意: same pattern onto サ変 nouns
+    set(AdjTerm, VerbInfl, -300) // 強い+揺れ(→揺れる): deverbal-noun use of a
+    // 連用形 is the only productive AdjTerm→連用 attachment, and without the
+    // cell the ×強いる|揺れる tie stands via VerbInfl→VerbInfl = 0
     set(NounSuffix, Particle, -300) // 三冊+を / 十分+ほど — suffixed nouns take particles like nouns
     set(Particle, NounSuffix, 300) // ×が+回(助数詞): counters bind numerals, not particles — breaks
     // the が|回|って tie that NounSuffix→Particle=-300 otherwise creates vs が|回っ|て

@@ -1454,6 +1454,25 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Fourth blind held-out set (round 7): authored after the auxiliary
+    * expansion, over six fresh registers (wedding, conveyor sushi,
+    * disaster drill, hair salon, parcel delivery, stargazing); 2 of the 42
+    * authored sentences duplicated golden sentences and were dropped as not
+    * out-of-sample. First-run 19/40 (47.5%); post-adjudication 40/40
+    * (resource header + SURVEY §7.4 record the split of convention
+    * conflicts vs genuine gaps).
+    */
+  val q107 = Q("q107_tokenize_ja_heldout4", graft.ja.JaGolden.heldout4OracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus4.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   /** Real media bytes through the full binary-column path (VERDICT r6
     * "Next round" #7): MediaFixture's structurally valid PNG/JPEG/GIF/WAV/
     * MP4 binaries (+ corrupt rows pinning the rejection paths, incl. the
@@ -1551,5 +1570,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
 }
