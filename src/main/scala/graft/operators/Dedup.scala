@@ -390,4 +390,59 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"),
         col("n_docs"))
   }
+
+  /** C4-style duplicated-span removal (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once in the data set"): split
+    * each document into consecutive `spanWords`-word spans (the analog of
+    * the three-sentence span for whitespace-delimited text), keep only the
+    * FIRST occurrence of each exact span across the whole corpus — first =
+    * minimum (doc_id, span_idx) — and reassemble each document from its
+    * surviving spans. This removes boilerplate repeated ACROSS documents
+    * (navigation chrome, license headers, quoted reposts) that doc-level
+    * dedup cannot touch, while keeping the documents themselves.
+    *
+    * Output: one row per input document — (doc_id, total_spans, kept_spans,
+    * text_dedup). A document whose every span occurred earlier elsewhere
+    * comes back with kept_spans=0 and empty text (callers filter).
+    *
+    * Scale shape: span explosion is map-side (`posexplode` over a per-row
+    * `transform`); the global first-occurrence pick is ONE shuffle keyed by
+    * span text (window `min(struct(doc_id, span_idx))` — no orderBy, so no
+    * rank sort beyond the partition hash); reassembly is one groupBy on
+    * doc_id whose state is bounded by single-document size, never corpus
+    * size. At 100 TB the span shuffle would key on a 128-bit fingerprint of
+    * the span rather than its text to cut shuffle bytes (the text must ride
+    * along anyway for reassembly, but fingerprint keys keep the sort/compare
+    * narrow); the string key is kept here for oracle parity.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val words = tokens(col(textCol))
+    // integer ceil-div; empty text still yields one (empty) span so every
+    // input document produces an output row
+    val nSpans = greatest(lit(1),
+      floor((size(words) + lit(spanWords - 1)) / lit(spanWords)).cast("int"))
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val exploded = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(spans).as(Seq("span_idx", "span")))
+    val firstOcc = org.apache.spark.sql.expressions.Window.partitionBy("span")
+    val marked = exploded.withColumn("first",
+        min(struct(col("doc_id"), col("span_idx"))).over(firstOcc))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") &&
+          col("first.span_idx") === col("span_idx"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("total_spans"),
+        count(when(col("kept"), 1)).cast("int").as("kept_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("span_idx"), col("span"))))),
+            s => s.getField("span")),
+          " ").as("text_dedup"))
+  }
 }

@@ -1473,6 +1473,35 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** C4-style duplicated-span removal (q108): 10-word spans, first
+    * occurrence by (doc_id, span_idx) wins corpus-wide, documents
+    * reassembled from surviving spans. The oracle mirrors the
+    * first-occurrence rule with a row_number window and rebuilds the text
+    * with an ordered string_agg (NULL-skipping on both engines; COALESCE
+    * for the all-spans-removed document, where Spark's array_join of an
+    * empty array is '').
+    */
+  val q108 = Q(
+    "q108_span_dedup",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sp AS (SELECT doc_id, t,
+      |         unnest(range(0, GREATEST(1, (len(t) + 9) // 10))) AS i
+      |       FROM tk),
+      |spans AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+      |            array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS span
+      |          FROM sp),
+      |rk AS (SELECT doc_id, span_idx, span,
+      |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      |       FROM spans)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS total_spans,
+      |  CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS INT) AS kept_spans,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')
+      |    AS text_dedup
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 10)
+      .orderBy("doc_id")
+  }
+
   /** Real media bytes through the full binary-column path (VERDICT r6
     * "Next round" #7): MediaFixture's structurally valid PNG/JPEG/GIF/WAV/
     * MP4 binaries (+ corrupt rows pinning the rejection paths, incl. the
@@ -1570,5 +1599,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
 }

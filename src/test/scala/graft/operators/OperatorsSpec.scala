@@ -371,4 +371,29 @@ class OperatorsSpec extends AnyFunSuite {
     spark.udf.register("graft_double_it", (x: Long) => x * 2)
     assert(spark.sql("SELECT graft_double_it(21) AS v").head().getLong(0) == 42L)
   }
+
+  test("spanDedup: first occurrence wins corpus-wide, documents reassembled in order") {
+    // spanWords=2 → doc 1: [a b][c d][e f]; doc 2 repeats [c d] and adds its
+    // own; doc 3 is entirely spans seen earlier; doc 4 has an odd tail span
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "a b c d"),
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, "doc_id", "text", spanWords = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3, 3, "a b c d e f"), // everything first-seen here
+      (2L, 2, 1, "x y"),         // [c d] already in doc 1
+      (3L, 2, 0, ""),            // both spans seen earlier → empty survivor
+      (4L, 2, 1, "z")))          // [x y] in doc 2; odd tail [z] survives
+  }
+
+  test("spanDedup: within-document repeats also dedupe to the first span") {
+    val d = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, "doc_id", "text", spanWords = 2).head()
+    assert((r.getInt(1), r.getInt(2), r.getString(3)) == (3, 1, "a b"))
+  }
 }
