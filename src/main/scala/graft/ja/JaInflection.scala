@@ -38,6 +38,17 @@ object JaInflection {
     */
   final val CondPos = "動詞-自立-仮定"
 
+  /** The i-adjective 語幹 (ガル接続 in mecab-ipadic terms) carries its own
+    * POS → lattice class, because it licenses exactly one attachment: the
+    * 様態 auxiliary family (忙し+そう, 恥ずかし+がる). Left as plain AdjInfl
+    * it would float free and tear adjectives anywhere; omitted (the round-7
+    * held-out-batch gap) the stem is an unknown run and 忙しそう degrades
+    * to a bare-kanji fragment. Only stems of length >= 2 are emitted — the
+    * single-kanji stems (強, 高, 早) are the documented homograph-trap
+    * class (SURVEY §7.4 ためる lesson) and collide with real nouns/prefixes.
+    */
+  final val GaruPos = "形容詞-自立-ガル接続"
+
   def expandVerb(base: String, cls: Char, pos: String = "動詞-自立",
       derived: Boolean = false): Seq[DictEntry] =
     if (cls == 'i') {
@@ -150,11 +161,13 @@ object JaInflection {
     */
   def expandAdj(base: String): Seq[DictEntry] = {
     val stem = base.dropRight(1)
-    Seq(
+    val core = Seq(
       DictEntry(base, "形容詞-自立", "", Array.empty),
       DictEntry(stem + "く", "形容詞-自立", base, Array.empty),
       DictEntry(stem + "かっ", "形容詞-自立", base, Array.empty),
       DictEntry(stem + "けれ", "形容詞-自立", base, Array.empty),
       DictEntry(stem + "さ", "名詞-一般", "", Array.empty))
+    if (stem.length >= 2) core :+ DictEntry(stem, GaruPos, base, Array.empty)
+    else core
   }
 }

@@ -38,13 +38,15 @@ private[ja] object JaCosts {
   final val Sahen = 13 // 名詞-サ変接続: attracts する/し (発表した)
   final val VerbCond = 14 // godan 仮定/命令 (書け, 届け): precedes ば, never た
   final val ParticleBa = 15 // the conditional particle ば itself
-  final val NumClasses = 16
+  final val AdjGaru = 16 // i-adjective 語幹 (忙し): licenses 様態 そう only
+  final val NumClasses = 17
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
     if (pos.startsWith("助詞")) { if (e.surface == "ば") ParticleBa else Particle }
     else if (pos.startsWith("助動詞")) Aux
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
+    else if (pos == graft.ja.JaInflection.GaruPos) AdjGaru
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
     else if (pos.startsWith("形容詞")) { if (e.base.nonEmpty) AdjInfl else AdjTerm }
     else if (pos == "名詞-数") Num
@@ -67,12 +69,13 @@ private[ja] object JaCosts {
   val contractCells: Seq[(Int, Int)] = Seq(
     (VerbCond, ParticleBa), (VerbCond, Particle), (VerbCond, Aux),
     (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
-    (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown))
+    (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown)) ++
+    (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
     * region (届け！) and a dangling prefix may not — grammar, not counts.
     */
-  val contractEos: Seq[Int] = Seq(VerbCond, Prefix)
+  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru)
 
   /** Hand-assigned prior matrix: the bootstrap cost model, the fallback for
     * classes unseen in the training corpora, and the source of the
@@ -132,6 +135,13 @@ private[ja] object JaCosts {
     set(AdjInfl, ParticleBa, -500) // 高けれ+ば
     set(BOS, ParticleBa, 1200)
     set(Particle, ParticleBa, 700)
+    // i-adjective 語幹 (ガル接続): そう/がる attachment is the ONE licensed
+    // use (忙し+そう); every other right context — noun, particle, suffix,
+    // another stem — means the stem reading stole the start of the full
+    // adjective or of an unrelated word (つら+ら for つらら), so the whole
+    // row is a closed grammar block like VerbCond, penalized except Aux
+    (0 until NumClasses).foreach(r => set(AdjGaru, r, 1000))
+    set(AdjGaru, Aux, -400) // 忙し+そう(助動詞)
     // discourage fragmenting
     set(Num, Num, -150) // numeral chains cohere (三+十+分); was +300, flipped so 三十|分 beats 三|十分
     set(Particle, Particle, 700)
@@ -146,6 +156,7 @@ private[ja] object JaCosts {
     a(Prefix) = 1000
     a(VerbInfl) = 400
     a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
+    a(AdjGaru) = 1000 // a dangling adjective 語幹 never ends a region
     a
   }
 

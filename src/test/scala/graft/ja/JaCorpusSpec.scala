@@ -79,6 +79,22 @@ class JaCorpusSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"base form missing for: $bad")
   }
 
+  test("adjective 語幹+そう (様態) lemmatizes to the adjective; stems never float") {
+    val tok = new JaTokenizer()
+    // ガル接続 row (JaCosts.AdjGaru): the 語幹 attaches to 助動詞 そう only
+    val somatic = Seq(
+      "店員が忙しそうだった。" -> "忙しい",
+      "楽しそうに笑った。" -> "楽しい",
+      "嬉しそうな顔をした。" -> "嬉しい",
+      "難しそうな問題だった。" -> "難しい")
+    val bad = somatic.filterNot { case (s, base) => tok.tokenize(s).contains(base) }
+    assert(bad.isEmpty, s"様態 lemmatization failed for: $bad")
+    // closed-block check: つらら must NOT tear into つら(語幹)+ら, and the
+    // full adjective still wins its own surface
+    assert(tok.tokenize("軒先のつららが伸びた。").contains("つらら"))
+    assert(tok.tokenize("忙しい毎日を過ごした。").contains("忙しい"))
+  }
+
   test("POS tagging drives stop-tag filtering (hierarchical)") {
     val s = "新しい技術の研究を行った。"
     // default: verbs and adjectives surface alongside nouns
