@@ -169,6 +169,12 @@ object JaDictionary {
     "place" -> "名詞-固有名詞-地域", "person" -> "名詞-固有名詞-人名",
     "org" -> "名詞-固有名詞-組織", "prop" -> "名詞-固有名詞-一般")
 
+  private def naSeeds(name: String): Seq[String] =
+    resource(name).map(_.replaceAll("#.*$", "").trim).filter(_.nonEmpty)
+      .map(_.split("\t", -1)).collect {
+        case f if f.length > 1 && f(1).trim == "na" => f(0).trim
+      }.toSeq
+
   private def parseNouns(name: String): Seq[DictEntry] =
     resource(name).map(_.replaceAll("#.*$", "").trim).filter(_.nonEmpty).map { line =>
       val f = line.split("\t", -1)
@@ -209,7 +215,16 @@ object JaDictionary {
       parseAdjs("lexemes/adjectives.txt") ++
       parseNouns("lexemes/nouns.tsv") ++
       parseNouns("lexemes/katakana.txt") ++
-      JaInflection.expandCompounds(verbSeeds("lexemes/verbs.tsv"))
+      JaInflection.expandCompounds(verbSeeds("lexemes/verbs.tsv")) ++
+      // がる-verbs last, like the compound layer: derived fills gaps only.
+      // Stems: every i-adjective minus its い, plus the na-stems (嫌がる,
+      // 残念がる — 名詞-形容動詞語幹 entries in nouns.tsv).
+      (resource("lexemes/adjectives.txt").map(_.replaceAll("#.*$", "").trim)
+        .filter(_.nonEmpty).map(_.dropRight(1)).toSeq ++
+        naSeeds("lexemes/nouns.tsv") ++
+        parseTsv(resource("lexemes/misc.tsv"))
+          .collect { case e if e.pos == "名詞-形容動詞語幹" => e.surface })
+        .flatMap(JaInflection.expandGaru)
     val seen = mutable.HashSet.empty[(String, String)]
     all.filter(e => seen.add((e.surface, e.pos)))
   }

@@ -159,6 +159,18 @@ object JaInflection {
     * noun lexeme — without it the stem is an unknown run and the さ
     * nominalizer tears (明|るさ).
     */
+  /** がる-verbs derived from adjective stems — i-adjectives (怖い→怖がる,
+    * 欲しい→欲しがる) and na-stems (残念がる, 不思議がる): mecab-ipadic
+    * lexicalizes these as independent godan verbs; we derive the full
+    * r-row paradigm per stem under the derived-cost penalty and
+    * explicit-wins shadowing, exactly like the compound-verb layer. The
+    * bare-stem length guard does not apply here — every emitted surface
+    * carries the がる material, so single-kanji-stem adjectives derive
+    * safely.
+    */
+  def expandGaru(stem: String): Seq[DictEntry] =
+    expandVerb(stem + "がる", 'r', derived = true)
+
   def expandAdj(base: String): Seq[DictEntry] = {
     val stem = base.dropRight(1)
     val core = Seq(

@@ -46,4 +46,18 @@ class CompoundVerbSpec extends AnyFunSuite {
     val derived = explicit.copy(derived = true)
     assert(derived.normalCost == explicit.normalCost + 600)
   }
+
+  test("がる-verbs derive from i-adjective and na stems and lemmatize whole") {
+    val tok = new JaTokenizer()
+    val cases = Seq(
+      "子供が犬を怖がった。" -> "怖がる", // single-kanji i-adj stem
+      "弟が玩具を欲しがった。" -> "欲しがる", // し-stem i-adj
+      "恥ずかしがらずに発表した。" -> "恥ずかしがる", // 未然+ず
+      "残念がる様子だった。" -> "残念がる") // na-stem (misc.tsv 形容動詞語幹)
+    val bad = cases.filterNot { case (s, b) => tok.tokenize(s).contains(b) }
+    assert(bad.isEmpty, s"がる derivation failed for: $bad")
+    // explicit 嫌がる (verbs.tsv) shadows its derived homograph
+    val e = JaDictionary.embeddedEntries.filter(x => x.surface == "嫌がる")
+    assert(e.nonEmpty && e.forall(!_.derived), s"嫌がる entries: $e")
+  }
 }
