@@ -56,6 +56,43 @@ object Sampling {
       .drop("smp_key")
   }
 
+  /** Source-weighted mixture materialization — the "epochs per source"
+    * step of an LLM training mix (GPT-3 Table 2.2-style): weight 2.3 on a
+    * source repeats each of its rows 2 times plus a deterministic 30%
+    * chance of a third copy; weight 0.4 keeps a 40% hash-sample; weight 0
+    * drops the source. Fractions are resolved in basis points against the
+    * row's id hash, so membership of the fractional copy is a pure
+    * function of (id, salt) — reproducible, repartition-stable, and
+    * engine-independent (the DuckDB oracle reproduces it exactly).
+    *
+    * Scale shape: one codegen'd projection + a map-side explode of a tiny
+    * int sequence — no shuffle, no driver state; output partitioning
+    * inherits the input's. `copy` (1..n) lets a downstream epoch shuffle
+    * spread repeats across shards.
+    */
+  def mixtureWeights(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "mixture weights must be in [0, 100]")
+    def parts(w: Double): (Int, Int) = {
+      val base = math.floor(w).toInt
+      (base, math.round((w - base) * 10000).toInt)
+    }
+    val h = graft_hash64(concat(col(idCol).cast("string"), lit(":"), lit(salt))) % 10000
+    val (db, dbp) = parts(defaultWeight)
+    val (base, bp) = weights.foldLeft((lit(db), lit(dbp))) {
+      case ((b, f), (k, v)) =>
+        val (kb, kf) = parts(v)
+        (when(col(sourceCol) === k, kb).otherwise(b),
+          when(col(sourceCol) === k, kf).otherwise(f))
+    }
+    df.withColumn("n_copies", base + when(h < bp, 1).otherwise(0))
+      .where(col("n_copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies").cast("long"))))
+      .drop("n_copies")
+  }
+
   /** Deterministic epoch shuffle + shard assignment for training readers:
     * shard = hash(id:salt) mod numShards — reshuffled per epoch by
     * changing the salt — and a reading position WITHIN the shard ordered

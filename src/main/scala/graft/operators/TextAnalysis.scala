@@ -345,4 +345,112 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_word_count") && col("r_mean_len") && col("r_alpha") && col("r_dup"))
   }
+
+  /** Script/style blocks (content included), then comments, then bare tags.
+    * Tags are quote-aware — a `>` inside a quoted attribute value
+    * (`data-x="1 > 0"`) does not end the tag. Non-greedy `.*?`, `(?s)`,
+    * and non-capturing groups behave identically in Java regex and RE2,
+    * so the DuckDB oracle runs the same patterns verbatim.
+    */
+  val HtmlAttrs = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+  val HtmlBlockRe =
+    s"(?s)<script\\b$HtmlAttrs>.*?</script>|(?s)<style\\b$HtmlAttrs>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlTagRe = s"<$HtmlAttrs>"
+
+  /** HTML boilerplate stripping for web-crawl curation: drop script/style
+    * blocks (with their contents), comments, and tags; decode the common
+    * character entities; collapse whitespace runs. `n_tags` counts markup
+    * elements on the raw input as a boilerplate-density signal (the
+    * text-to-markup ratio filter in jusText/trafilatura-style pipelines).
+    *
+    * Entity decode order is fixed with `&amp;` LAST, the standard order
+    * that keeps `&amp;lt;` decoding to the literal text `&lt;` rather than
+    * `<`. Pure codegen'd regexp projection — per-row, shuffle-free.
+    */
+  def stripHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val raw = col(htmlCol)
+    val noMarkup = regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, HtmlBlockRe, " "),
+        HtmlCommentRe, " "),
+      HtmlTagRe, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noMarkup) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(raw, lit(HtmlTagRe), lit(0))).as("n_tags"),
+      trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")).as("text"))
+  }
+
+  /** Fullwidth ASCII (U+FF01–U+FF5E) → halfwidth, plus curly quotes,
+    * en/em dashes, NBSP, and the ideographic space — the 1:1 character
+    * repairs, applied via a single translate() pass.
+    */
+  val NormFrom: String =
+    (0xFF01 to 0xFF5E).map(_.toChar).mkString +
+      "‘’“”–— 　"
+  val NormTo: String =
+    (0x21 to 0x7E).map(_.toChar).mkString + "''\"\"--  "
+
+  /** Zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) — deleted outright. */
+  val ZeroWidthRe = "[​‌‍﻿]"
+
+  /** C0 controls except \t\n\r (those fold into the whitespace collapse),
+    * plus DEL. `\x` escapes parse identically in Java regex and RE2.
+    */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode hygiene normalization for scraped text (the deterministic
+    * core of an ftfy-style cleanup): fullwidth→halfwidth ASCII, curly
+    * quotes/dashes → ASCII, ellipsis → "...", zero-width chars and C0
+    * controls stripped, whitespace runs collapsed, ends trimmed. Returns
+    * the cleaned text plus a `changed` flag and before/after lengths so a
+    * pipeline can measure how dirty each source is.
+    *
+    * The whitespace collapse uses the explicit class [ \t\n\r] rather than
+    * `\s` because Java and RE2 disagree on `\s` membership (\x0B/\f) —
+    * both are stripped by ControlRe first, making the engines agree.
+    * Single codegen'd projection: per-row, shuffle-free at any scale.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val cleaned = trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            replace(translate(raw, NormFrom, NormTo), lit("…"), lit("...")),
+            ZeroWidthRe, ""),
+          ControlRe, ""),
+        "[ \\t\\n\\r]+", " "))
+    df.select(
+      col(idCol),
+      length(raw).as("n_chars_raw"),
+      cleaned.as("text"),
+      length(cleaned).as("n_chars"),
+      (cleaned =!= raw).as("changed"))
+  }
+
+  /** Per-source corpus health report — the dashboard aggregate a curation
+    * pipeline runs before/after each filtering stage: document and token
+    * volume, exact-duplicate rate (on a content fingerprint, so the
+    * distinct-count shuffles 32-char digests, not documents), and the
+    * short-document fraction. One hash aggregate over the corpus; the
+    * distinct digest count rides Spark's partial-aggregate Expand, so no
+    * row travels with its full text. All ratios are int/int (oracle-exact).
+    */
+  def corpusReport(df: DataFrame, sourceCol: String, textCol: String,
+      shortTokens: Int = 50): DataFrame = {
+    val nTok = size(toks(col(textCol)))
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        countDistinct(md5(col(textCol))).as("n_distinct"),
+        count(when(nTok < shortTokens, 1)).as("n_short"))
+      .withColumn("dup_frac", lit(1) - col("n_distinct") / col("n_docs"))
+      .withColumn("short_frac", col("n_short") / col("n_docs"))
+  }
 }

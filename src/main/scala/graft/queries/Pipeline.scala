@@ -1595,9 +1595,127 @@ object Pipeline {
       .orderBy("user_id", "sess_start")
   }
 
+  /** HTML boilerplate stripping (q109). The driver corpus is plain text,
+    * so both sides wrap each document in the same deterministic HTML
+    * scaffold (script with a bare `<`, style, comment, attributes,
+    * entities) and the oracle re-runs the strip chain verbatim in RE2 —
+    * pinning block-before-tag ordering, entity decode order (&amp; last),
+    * and the whitespace collapse.
+    */
+  val q109 = Q(
+    "q109_html_strip", {
+      def lit1(s0: String) = "'" + s0.replace("'", "''") + "'"
+      raw"""WITH h AS (SELECT doc_id,
+        |  concat('<html><head><title>', source,
+        |         '</title><script type="text/javascript">var x = 1 < 2;</script>',
+        |         '<style>p { color: red; }</style></head><body><!-- nav -->',
+        |         '<h1 class="main">', lang, '</h1><p id="d', doc_id, '">', text,
+        |         '</p><br/>&nbsp;&amp;co &#39;q&#39; &lt;tag&gt;</body></html>') AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(html, ${lit1(TextAnalysis.HtmlTagRe)})) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        ${lit1(TextAnalysis.HtmlBlockRe)}, ' ', 'g'),
+        |        ${lit1(TextAnalysis.HtmlCommentRe)}, ' ', 'g'),
+        |        ${lit1(TextAnalysis.HtmlTagRe)}, ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS text
+        |FROM h ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val wrapped = t(s, dir, "documents").withColumn("html", concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "<style>p { color: red; }</style></head><body><!-- nav -->" +
+        "<h1 class=\"main\">"), col("lang"),
+      lit("</h1><p id=\"d"), col("doc_id").cast("string"), lit("\">"), col("text"),
+      lit("</p><br/>&nbsp;&amp;co &#39;q&#39; &lt;tag&gt;</body></html>")))
+    TextAnalysis.stripHtml(wrapped, "doc_id", "html").orderBy("doc_id")
+  }
+
+  /** q110's dirty garnish, shared verbatim by the Spark side and the
+    * oracle literal: curly quote, fullwidth Test/123/!, NBSP, ideographic
+    * space, en/em dashes, and a ZWSP. Unicode escapes, not raw chars, so
+    * the invisibles are visible in review.
+    */
+  private val DirtyPre =
+    "\u201C\uFF34\uFF45\uFF53\uFF54\u00A0\uFF11\uFF12\uFF13\uFF01\u201D\u3000"
+  private val DirtyMid = "\u2013x\u2014\u200B"
+
+  /** Unicode hygiene normalization (q110): both sides prepend/append the
+    * same dirty garnish (fullwidth ASCII, curly quotes, NBSP, ideographic
+    * space, en/em dashes, ZWSP, ellipsis, a C0 control) to each document,
+    * and the oracle replays translate + replace + the two strips + the
+    * collapse with literals generated from the SAME NormFrom/NormTo
+    * constants — a drifted mapping fails the hash.
+    */
+  val q110 = Q(
+    "q110_normalize_text", {
+      def lit1(s0: String) = "'" + s0.replace("'", "''") + "'"
+      raw"""WITH d AS (SELECT doc_id,
+         |  concat(${lit1(DirtyPre)}, lang, ${lit1(DirtyMid)}, text, '\u2026', chr(7))
+         |    AS dirty FROM documents),
+         |c AS (SELECT doc_id, dirty,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    replace(translate(dirty, ${lit1(TextAnalysis.NormFrom)},
+         |                      ${lit1(TextAnalysis.NormTo)}), '\u2026', '...'),
+         |    '${TextAnalysis.ZeroWidthRe}', '', 'g'),
+         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+         |    '[ \t\n\r]+', ' ', 'g')) AS clean FROM d)
+         |SELECT doc_id, length(dirty) AS n_chars_raw, clean AS text,
+         |  length(clean) AS n_chars, clean <> dirty AS changed
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val dirty = t(s, dir, "documents").withColumn("dirty", concat(
+      lit(DirtyPre), col("lang"), lit(DirtyMid), col("text"),
+      lit("\u2026\u0007")))
+    TextAnalysis.normalizeText(dirty, "doc_id", "dirty").orderBy("doc_id")
+  }
+
+  val q111 = Q(
+    "q111_mixture_weights",
+    s"""WITH h AS (SELECT doc_id, lang,
+       |  ${hashSql("CAST(doc_id AS VARCHAR) || ':mix'")} % 10000 AS hh
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |  (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 WHEN 'de' THEN 0 ELSE 1 END)
+       |  + (CASE WHEN hh < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
+       |                     ELSE 0 END) THEN 1 ELSE 0 END) AS n
+       |  FROM h)
+       |SELECT * FROM (
+       |  SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
+       |  FROM c WHERE n >= 1)
+       |ORDER BY lang, doc_id, copy""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.mixtureWeights(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang",
+      Map("en" -> 2.3, "zh" -> 0.5, "de" -> 0.0))
+      .orderBy("lang", "doc_id", "copy")
+  }
+
+  /** Per-source corpus health report (q112): doc/token volume, exact-dup
+    * rate on md5 fingerprints, short-doc fraction — one hash aggregate.
+    */
+  val q112 = Q(
+    "q112_corpus_report",
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(CASE WHEN len(string_split(text, ' ')) < 50 THEN 1 END) AS BIGINT)
+      |    AS n_short,
+      |  1 - COUNT(DISTINCT md5(text)) / COUNT(*) AS dup_frac,
+      |  COUNT(CASE WHEN len(string_split(text, ' ')) < 50 THEN 1 END) / COUNT(*)
+      |    AS short_frac
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    TextAnalysis.corpusReport(t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** stripHtml / normalizeText / mixtureWeights / corpusReport on
+  * hand-computable inputs (sf-scale behavior is oracle-checked via
+  * q109–q112).
+  */
+class TextHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- stripHtml ----
+
+  private def strip1(html: String): (Int, String) = {
+    val r = TextAnalysis.stripHtml(
+      Seq((1L, html)).toDF("id", "html"), "id", "html").collect()(0)
+    (r.getInt(1), r.getString(2))
+  }
+
+  test("stripHtml: script/style contents removed before bare-tag pass") {
+    val (_, txt) = strip1(
+      "<p>keep</p><script>var x = 1 < 2; drop()</script><style>p{a:b}</style>tail")
+    assert(txt == "keep tail")
+  }
+
+  test("stripHtml: comments and attribute-laden tags removed, entities decoded") {
+    val (nTags, txt) = strip1(
+      """<div class="a" data-x="1 > 0"><!-- note -->A &amp;amp; B &lt;ok&gt;&nbsp;&#39;q&#39;</div>""")
+    // &amp;amp; decodes to the literal text "&amp;" — the &amp;-last rule
+    assert(txt == "A &amp; B <ok> 'q'")
+    assert(nTags > 0)
+  }
+
+  test("stripHtml: n_tags counts markup on the raw input") {
+    val (nTags, _) = strip1("<a><b>x</b></a>")
+    assert(nTags == 4)
+  }
+
+  test("stripHtml: whitespace runs collapse and ends trim") {
+    val (_, txt) = strip1("<p>  a\n\t b </p>")
+    assert(txt == "a b")
+  }
+
+  // ---- normalizeText ----
+
+  private def norm1(s0: String): (String, Boolean) = {
+    val r = TextAnalysis.normalizeText(
+      Seq((1L, s0)).toDF("id", "t"), "id", "t").collect()(0)
+    (r.getString(2), r.getBoolean(4))
+  }
+
+  test("normalizeText: fullwidth ASCII folds to halfwidth") {
+    assert(norm1("Ｈｅｌｌｏ！")._1 == "Hello!")
+  }
+
+  test("normalizeText: curly quotes, dashes, ellipsis to ASCII") {
+    assert(norm1("“q” ‘s’ a–b—c d…")._1 ==
+      "\"q\" 's' a-b-c d...")
+  }
+
+  test("normalizeText: NBSP and ideographic space become plain; zero-width and controls vanish") {
+    val (txt, changed) = norm1("a\u00A0b\u3000c\u200Bd\u0007e")
+    assert(txt == "a b cde")
+    assert(changed)
+  }
+
+  test("normalizeText: clean text is unchanged") {
+    val (txt, changed) = norm1("already clean")
+    assert(txt == "already clean" && !changed)
+  }
+
+  // ---- mixtureWeights ----
+
+  test("mixtureWeights: integer weights repeat exactly, zero drops, copies indexed") {
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b")).toDF("id", "src")
+    val r = Sampling.mixtureWeights(df, "id", "src", Map("a" -> 2.0, "b" -> 0.0))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.count(_._2 == "b") == 0)
+    assert(r.count(_._2 == "a") == 20)
+    assert(r.filter(_._1 == 3L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mixtureWeights: fractional weight selects a deterministic id subset") {
+    val df = (1L to 1000L).map(i => (i, "s")).toDF("id", "src")
+    val r1 = Sampling.mixtureWeights(df, "id", "src", Map("s" -> 0.3))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val r2 = Sampling.mixtureWeights(df.repartition(7), "id", "src", Map("s" -> 0.3))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(r1 == r2) // repartition-stable
+    assert(math.abs(r1.size - 300) < 60) // ~30% within hash tolerance
+  }
+
+  test("mixtureWeights: default weight applies to unlisted sources") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "src")
+    val r = Sampling.mixtureWeights(df, "id", "src", Map("x" -> 3.0))
+      .collect().map(x => (x.getString(1), x.getLong(2)))
+    assert(r.count(_._1 == "x") == 3 && r.count(_._1 == "y") == 1)
+  }
+
+  test("mixtureWeights: rejects weights outside [0, 100]") {
+    val df = Seq((1L, "x")).toDF("id", "src")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(df, "id", "src", Map("x" -> -0.1))
+    }
+  }
+
+  // ---- corpusReport ----
+
+  test("corpusReport: volumes, exact-dup rate, short fraction per source") {
+    val docs = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w w"), (3L, "a", "long " * 60),
+      (4L, "b", "unique doc")).toDF("doc_id", "src", "text")
+    val r = TextAnalysis.corpusReport(docs, "src", "text", shortTokens = 50)
+      .orderBy("src").collect()
+    val a = r(0)
+    assert(a.getLong(1) == 3) // n_docs
+    assert(a.getLong(3) == 2) // n_distinct (two identical "w w w")
+    assert(math.abs(a.getDouble(5) - (1.0 - 2.0 / 3)) < 1e-12) // dup_frac
+    assert(a.getLong(4) == 2 && math.abs(a.getDouble(6) - 2.0 / 3) < 1e-12)
+    val b = r(1)
+    assert(b.getLong(1) == 1 && b.getDouble(5) == 0.0)
+  }
+}
