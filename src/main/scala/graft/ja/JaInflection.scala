@@ -113,7 +113,10 @@ object JaInflection {
     // 引き渡す/受け渡す/言い渡す; 追いかける/話しかける/呼びかける
     "払う" -> 'w', "越す" -> 's', "渡す" -> 's', "かける" -> 'i',
     // 引き取る/聞き取る/読み取る; 走り抜ける/駆け抜ける/すり抜ける
-    "取る" -> 'r', "抜ける" -> 'i')
+    "取る" -> 'r', "抜ける" -> 'i',
+    // round-7 held-out set 5: 組み立てる split as noun 組み立て+た (sid 17)
+    // — 立てる is productive (組み立てる, 打ち立てる, 積み立てる, 引き立てる)
+    "立てる" -> 'i')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class

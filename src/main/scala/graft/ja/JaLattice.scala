@@ -39,12 +39,13 @@ private[ja] object JaCosts {
   final val VerbCond = 14 // godan 仮定/命令 (書け, 届け): precedes ば, never た
   final val ParticleBa = 15 // the conditional particle ば itself
   final val AdjGaru = 16 // i-adjective 語幹 (忙し): licenses 様態 そう only
-  final val NumClasses = 17
+  final val AuxTa = 17 // the past auxiliary た: 連用形-only, never bare-noun
+  final val NumClasses = 18
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
     if (pos.startsWith("助詞")) { if (e.surface == "ば") ParticleBa else Particle }
-    else if (pos.startsWith("助動詞")) Aux
+    else if (pos.startsWith("助動詞")) { if (e.surface == "た") AuxTa else Aux }
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
     else if (pos == graft.ja.JaInflection.GaruPos) AdjGaru
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
@@ -68,6 +69,7 @@ private[ja] object JaCosts {
     */
   val contractCells: Seq[(Int, Int)] = Seq(
     (VerbCond, ParticleBa), (VerbCond, Particle), (VerbCond, Aux),
+    (VerbCond, AuxTa), (Noun, AuxTa), (Sahen, AuxTa),
     (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
     (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown)) ++
     (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
@@ -130,6 +132,20 @@ private[ja] object JaCosts {
     set(VerbCond, ParticleBa, -600) // 書け+ば — the ONE licensed attachment
     set(VerbCond, Particle, 400) // ×届け+て — 連用 readings take て
     set(VerbCond, Aux, 1200) // ×届け+た — the ichidan homograph handles it
+    // the past auxiliary た is 連用形-only: it mirrors the generic Aux
+    // attachments after verb/adjective/aux hosts, but a BARE noun before
+    // た is ungrammatical (×組み立て+た must lose to the derived compound
+    // verb reading 組み立てた→組み立てる, held-out-5 sid 17). です/だっ keep
+    // the generic Noun→Aux −200; only た itself is fenced.
+    set(VerbInfl, AuxTa, -800) // 使っ+た
+    set(AdjInfl, AuxTa, -500) // 高かっ+た
+    set(Aux, AuxTa, -300) // でし+た, だっ+た
+    set(Noun, AuxTa, 800) // ×組み立て+た
+    set(Sahen, AuxTa, 800) // ×発表+た (発表+し+た is the licensed path)
+    set(NounSuffix, AuxTa, 800)
+    set(Num, AuxTa, 800)
+    set(BOS, AuxTa, 1500)
+    set(VerbCond, AuxTa, 1200) // ×届け+た (contract cell, as with Aux)
     set(BOS, VerbCond, 400) // commands exist but are rare in corpus prose
     set(VerbInfl, ParticleBa, 400) // ×連用+ば (使い+ば is ungrammatical)
     set(AdjInfl, ParticleBa, -500) // 高けれ+ば

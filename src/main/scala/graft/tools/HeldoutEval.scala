@@ -20,9 +20,9 @@ object HeldoutEval {
 
   final case class Case(sid: Int, sentence: String, expected: Seq[String])
 
-  def load(): Seq[Case] = {
-    val in = getClass.getResourceAsStream("/graft/ja/heldout_corpus.tsv")
-    require(in != null, "missing resource graft/ja/heldout_corpus.tsv")
+  def load(resource: String = "/graft/ja/heldout_corpus.tsv"): Seq[Case] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing resource $resource")
     val src = Source.fromInputStream(in, "UTF-8")
     try {
       src.getLines().filterNot(l => l.startsWith("#") || l.trim.isEmpty).zipWithIndex.map {
@@ -34,9 +34,9 @@ object HeldoutEval {
     } finally src.close()
   }
 
-  def evaluate(): (Int, Int, Seq[(Case, Seq[String])]) = {
+  def evaluate(resource: String = "/graft/ja/heldout_corpus.tsv"): (Int, Int, Seq[(Case, Seq[String])]) = {
     val tok = new JaTokenizer(JaMode.Normal)
-    val cases = load()
+    val cases = load(resource)
     val diffs = cases.flatMap { c =>
       val got = tok.tokenize(c.sentence).toSeq
       if (got == c.expected) None else Some((c, got))
@@ -45,7 +45,8 @@ object HeldoutEval {
   }
 
   def main(args: Array[String]): Unit = {
-    val (ok, total, diffs) = evaluate()
+    val res = args.headOption.getOrElse("/graft/ja/heldout_corpus.tsv")
+    val (ok, total, diffs) = evaluate(res)
     val report = new StringBuilder
     report ++= f"heldout full-sequence match: $ok/$total (${100.0 * ok / total}%.1f%%)%n"
     diffs.foreach { case (c, got) =>

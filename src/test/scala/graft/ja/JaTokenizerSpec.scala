@@ -188,4 +188,14 @@ class JaTokenizerSpec extends AnyFunSuite {
   test("URL fetch: missing file → error; size cap enforced") {
     intercept[Exception](UserDict.fetch("file:///nonexistent/userdict.txt"))
   }
+
+  test("AuxTa fence: past た never attaches to a bare noun, copula still does") {
+    val t = new JaTokenizer()
+    // ×組み立て(noun)+た must lose to the derived verb 組み立てる
+    assert(t.tokenize("棚を組み立てた。").toSeq == Seq("棚", "組み立てる"))
+    // verb 正す must beat the adjective-stem reading of 正し before て
+    assert(t.tokenize("姿勢を正した。").toSeq == Seq("姿勢", "正す"))
+    // the copula chain 半額+だっ+た keeps the generic Noun→Aux cell
+    assert(t.tokenize("半額だった。").toSeq == Seq("半額"))
+  }
 }
