@@ -116,7 +116,9 @@ object JaInflection {
     "取る" -> 'r', "抜ける" -> 'i',
     // round-7 held-out set 5: 組み立てる split as noun 組み立て+た (sid 17)
     // — 立てる is productive (組み立てる, 打ち立てる, 積み立てる, 引き立てる)
-    "立てる" -> 'i')
+    "立てる" -> 'i',
+    // round-7 dev batch (photography): 飛び立つ; also 旅立つ, 思い立つ
+    "立つ" -> 't')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class
