@@ -433,6 +433,66 @@ object TextAnalysis {
       (cleaned =!= raw).as("changed"))
   }
 
+  /** Full curation pipeline in one pass — the standard pre-training chain
+    * (normalize → quality-gate → exact-dedup-first-wins) composed from the
+    * engine's own stages, returning one row per input document with every
+    * gate's verdict and the final keep decision. The per-row stages
+    * (normalize, token/alpha/repetition gates) fuse into a single
+    * whole-stage-codegen projection; the only shuffle is the dedup window
+    * keyed by the 128-bit content fingerprint of the NORMALIZED text
+    * (dedup after normalization is the order that catches
+    * formatting-variant duplicates). At 100 TB: one exchange, digest-keyed.
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 100000,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val cleaned = normalizeText(df, idCol, textCol)
+      .select(col(idCol), col("text").as("clean"))
+    val tk = toks(col("clean"))
+    val n = size(tk)
+    val gated = cleaned.select(
+      col(idCol),
+      col("clean"),
+      n.as("n_tokens"),
+      (n >= minWords && n <= maxWords).as("pass_length"),
+      ((lit(1) - size(array_distinct(tk)) / n) <= maxDupFrac).as("pass_dup"))
+    gated
+      .withColumn("copy_rank", row_number().over(
+        Window.partitionBy(md5(col("clean"))).orderBy(col(idCol))))
+      .withColumn("pass_unique", col("copy_rank") === 1)
+      .withColumn("keep",
+        col("pass_length") && col("pass_dup") && col("pass_unique"))
+      .drop("clean")
+  }
+
+  /** Inverted index (posting lists) over a tokenized corpus — the search/
+    * retrieval primitive of a training-data pipeline (contamination lookup,
+    * corpus exploration): one row per term with document frequency and the
+    * ordered postings [(doc_id, positions)], low-DF terms prunable via
+    * `minDf`. Scale shape: ONE shuffle keyed by term; positions are
+    * gathered per (term, doc) by a map-side-combinable collect_list whose
+    * state is bounded by a single document's occurrences of one term, then
+    * postings per term bounded by document frequency — for web-scale DF
+    * skew (stopword terms), shard hot terms by a doc_id prefix before the
+    * final gather.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1): DataFrame = {
+    val posed = df.select(col(idCol).as("doc_id"),
+      posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+    posed
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        sort_array(collect_list(struct(col("doc_id"), col("positions"))))
+          .as("postings"))
+      .where(col("df") >= minDf)
+  }
+
   /** Per-source corpus health report — the dashboard aggregate a curation
     * pipeline runs before/after each filtering stage: document and token
     * volume, exact-duplicate rate (on a content fingerprint, so the

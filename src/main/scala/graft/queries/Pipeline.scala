@@ -1473,6 +1473,65 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Composed curation pipeline (q114): normalize → length/repetition
+    * gates → exact-dedup-first-wins, one verdict row per document. The
+    * oracle chains the same stages as CTEs; `pass_dup` is an int/int
+    * ratio, the dedup rank partitions by md5 of the NORMALIZED text.
+    */
+  val q114 = Q(
+    "q114_curation_pipeline", {
+      def lit1(s0: String) = "'" + s0.replace("'", "''") + "'"
+      raw"""WITH c AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(
+         |    replace(translate(text, ${lit1(TextAnalysis.NormFrom)},
+         |                      ${lit1(TextAnalysis.NormTo)}), '…', '...'),
+         |    '${TextAnalysis.ZeroWidthRe}', '', 'g'),
+         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+         |    '[ \t\n\r]+', ' ', 'g')) AS clean FROM documents),
+         |g AS (SELECT doc_id, clean,
+         |  len(string_split(clean, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(clean, ' '))) AS n_distinct FROM c),
+         |r AS (SELECT doc_id, clean, n_tokens,
+         |  n_tokens >= 10 AND n_tokens <= 100000 AS pass_length,
+         |  (1 - n_distinct / n_tokens) <= 0.5 AS pass_dup,
+         |  CAST(row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id)
+         |       AS INT) AS copy_rank FROM g)
+         |SELECT doc_id, n_tokens, pass_length, pass_dup, copy_rank,
+         |  copy_rank = 1 AS pass_unique,
+         |  pass_length AND pass_dup AND copy_rank = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    TextAnalysis.curate(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Inverted index (q115): posting lists per term with df/cf, minDf=2
+    * pruning; the query flattens the nested postings for the hash compare
+    * (one row per (term, doc), positions comma-joined).
+    */
+  val q115 = Q(
+    "q115_inverted_index",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |p AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i + 1] AS term
+      |      FROM tk, unnest(range(0, len(t))) AS u(i)),
+      |td AS (SELECT term, doc_id, list_sort(list(pos)) AS plist
+      |       FROM p GROUP BY 1, 2),
+      |t2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |         CAST(sum(len(plist)) AS BIGINT) AS cf FROM td GROUP BY 1)
+      |SELECT td.term, t2.df, t2.cf, td.doc_id,
+      |  array_to_string(td.plist, ',') AS positions
+      |FROM td JOIN t2 USING (term) WHERE t2.df >= 2
+      |ORDER BY td.term, td.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+      minDf = 2)
+      .select(col("term"), col("df"), col("cf"),
+        explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("cf"),
+        col("p.doc_id").as("doc_id"),
+        array_join(col("p.positions"), ",").as("positions"))
+      .orderBy("term", "doc_id")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -1728,5 +1787,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
 }

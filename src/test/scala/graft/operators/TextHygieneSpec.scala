@@ -107,6 +107,54 @@ class TextHygieneSpec extends AnyFunSuite {
     }
   }
 
+  // ---- curate ----
+
+  test("curate: length gate, repetition gate, first-wins dedup compose into keep") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today fine"),
+      (2L, "the quick brown fox jumps over the lazy dog today fine"), // dup of 1
+      (3L, "short doc"), // fails length
+      (4L, "spam spam spam spam spam spam spam spam spam spam ok")) // repetitive
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.curate(docs, "doc_id", "text", minWords = 10)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(2), x.getBoolean(3), x.getBoolean(5), x.getBoolean(6)))
+    assert(r(0) == (1L, true, true, true, true))
+    assert(r(1) == (2L, true, true, false, false)) // duplicate: copy_rank 2
+    assert(r(2)._2 == false && r(2)._5 == false) // too short
+    assert(r(3)._3 == false && r(3)._5 == false) // dup_frac too high
+  }
+
+  test("curate: dedup keys on NORMALIZED text (formatting variants collapse)") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one  two three four five six seven eight nine ten")) // double space
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.curate(docs, "doc_id", "text", minWords = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getBoolean(5) && !r(1).getBoolean(5)) // doc 2 is the copy
+  }
+
+  // ---- invertedIndex ----
+
+  test("invertedIndex: postings ordered, positions exact, minDf prunes") {
+    val docs = Seq(
+      (10L, "a b a c"),
+      (20L, "b a"),
+      (30L, "c")).toDF("doc_id", "text")
+    val r = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .orderBy("term").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getSeq[org.apache.spark.sql.Row](3)
+          .map(p => (p.getLong(0), p.getSeq[Int](1).toList)).toList))
+    assert(r.toSeq == Seq(
+      ("a", 2L, 3L, List((10L, List(0, 2)), (20L, List(1)))),
+      ("b", 2L, 2L, List((10L, List(1)), (20L, List(0)))),
+      ("c", 2L, 2L, List((10L, List(3)), (30L, List(0))))))
+    val pruned = TextAnalysis.invertedIndex(docs, "doc_id", "text", minDf = 3)
+    assert(pruned.count() == 0)
+  }
+
   // ---- corpusReport ----
 
   test("corpusReport: volumes, exact-dup rate, short fraction per source") {
