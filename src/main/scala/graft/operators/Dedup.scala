@@ -445,4 +445,52 @@ object Dedup {
             s => s.getField("span")),
           " ").as("text_dedup"))
   }
+
+  /** Token-level content-defined chunking (the CDC idea of LBFS/rsync,
+    * re-expressed on token streams): a chunk boundary falls AFTER any
+    * token whose hash ≡ 0 (mod `modulus`), so boundaries are a pure
+    * function of local content — insert or delete a sentence and every
+    * chunk outside the edit region keeps its identity, which fixed-stride
+    * spans (spanDedup) cannot do. Expected chunk length ≈ `modulus`
+    * tokens. Returns one row per chunk with its fingerprint and a
+    * `shared` flag (fingerprint occurs in more than one document) — the
+    * shift-robust near-dup evidence.
+    *
+    * Scale shape: boundary flags and chunk indices are per-document
+    * windows (ONE shuffle keyed by doc), the chunk gather reuses the same
+    * doc-keyed partitioning, and the cross-corpus `shared` count is ONE
+    * exchange keyed by the 8-byte chunk fingerprint — no text travels on
+    * it beyond the row itself. All hashes are graft_hash64, so the DuckDB
+    * oracle reproduces every boundary and fingerprint bit-for-bit.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 8): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    import graft.functions.graft_hash64
+    val byDocPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    // chunk index = number of boundary tokens STRICTLY BEFORE this one:
+    // a boundary token closes its own chunk
+    val chunked = toks
+      .withColumn("boundary", graft_hash64(col("tok")) % modulus === 0)
+      .withColumn("chunk_idx",
+        (sum(when(col("boundary"), 1L).otherwise(0L)).over(byDocPos) -
+          when(col("boundary"), 1L).otherwise(0L)).cast("int"))
+    val chunks = chunked.groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk"))
+      .withColumn("chunk_hash", graft_hash64(col("chunk")))
+    // DISTINCT aggregates aren't available as window functions; min≠max of
+    // doc_id over the fingerprint partition is the same cross-document test
+    val multi = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
+    chunks
+      .withColumn("shared",
+        min(col("doc_id")).over(multi) =!= max(col("doc_id")).over(multi))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_hash"), col("shared"))
+  }
 }

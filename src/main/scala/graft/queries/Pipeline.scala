@@ -1532,6 +1532,36 @@ object Pipeline {
       .orderBy("term", "doc_id")
   }
 
+  /** Content-defined chunking (q116): boundaries where graft_hash64(token)
+    * ≡ 0 (mod 8), chunk fingerprints, cross-document shared flag. The
+    * oracle replays boundary selection, the strictly-before running count,
+    * the ordered reassembly, and the min≠max sharing test.
+    */
+  val q116 = Q(
+    "q116_cdc_chunks",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |p AS (SELECT doc_id, CAST(i AS INT) AS pos, t[i + 1] AS tok
+       |      FROM tk, unnest(range(0, len(t))) AS u(i)),
+       |b AS (SELECT doc_id, pos, tok,
+       |        (${hashSql("tok")} % 8 = 0) AS boundary FROM p),
+       |cx AS (SELECT doc_id, pos, tok,
+       |  CAST(SUM(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+       |         PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |       - CASE WHEN boundary THEN 1 ELSE 0 END AS INT) AS chunk_idx
+       |  FROM b),
+       |ch AS (SELECT doc_id, chunk_idx, CAST(COUNT(*) AS INT) AS n_tokens,
+       |         string_agg(tok, ' ' ORDER BY pos) AS chunk
+       |       FROM cx GROUP BY 1, 2),
+       |h AS (SELECT doc_id, chunk_idx, n_tokens,
+       |        ${hashSql("chunk")} AS chunk_hash FROM ch)
+       |SELECT doc_id, chunk_idx, n_tokens, chunk_hash,
+       |  MIN(doc_id) OVER (PARTITION BY chunk_hash)
+       |    <> MAX(doc_id) OVER (PARTITION BY chunk_hash) AS shared
+       |FROM h ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text", modulus = 8)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -1787,5 +1817,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }
