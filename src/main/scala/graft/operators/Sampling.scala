@@ -112,6 +112,52 @@ object Sampling {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))))
   }
+
+  /** DSIR-style data selection scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", re-expressed with the
+    * engine's determinism rules): hashed unigram+bigram features, per-
+    * bucket target-affinity weights, per-document importance scores. Docs
+    * whose feature mix resembles the target distribution score high; use
+    * the score to select/resample raw data toward a target domain.
+    *
+    * Weights are integer fixed-point, NOT float log-ratios: for bucket b
+    * with target count t_b and corpus count c_b,
+    * `w_b = (t_b * scale) div c_b` ∈ [0, scale] — a monotone proxy of the
+    * target/raw frequency ratio with no floating-point sums anywhere, so
+    * the DuckDB oracle reproduces every score bit-for-bit (float Σ over a
+    * shuffle-ordered feature set would not hash-match across engines).
+    * Per-doc `score = (Σ_b cnt_b·w_b) div n_feats` — the count-weighted
+    * mean bucket weight, in [0, scale].
+    *
+    * Scale shape: ONE exchange keyed by (doc, bucket) builds per-doc
+    * feature counts; bucket totals are a tiny re-aggregation of that frame
+    * (≤ `buckets` rows) and come back as a broadcast hash join; the final
+    * per-doc sum re-shuffles only (doc_id, cnt, w) longs. Documents' text
+    * never travels; at 100 TB the big exchange carries 8-byte keys and two
+    * longs per distinct doc-feature.
+    */
+  def importanceScore(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096,
+      scale: Long = 1000000L): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = Dedup.tokens(col(textCol))
+    val feats = df.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+      explode(concat(toks, Dedup.gramsOf(toks, 2))).as("feat"))
+      .select(col("doc_id"), col("is_target"),
+        (graft_hash64(col("feat")) % buckets).as("bucket"))
+    val perDoc = feats.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        max(col("is_target")).as("is_target"))
+    val wts = perDoc.groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_b"),
+        sum(col("cnt")).as("c_b"))
+      .select(col("bucket"),
+        expr(s"t_b * ${scale}L div c_b").as("w"))
+    perDoc.join(broadcast(wts), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_feats"),
+        expr("sum(cnt * w) div sum(cnt)").as("score"))
+  }
 }
 
 /** Benchmark decontamination: flag/remove training documents whose content

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -1562,6 +1562,64 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** DSIR importance scoring (q117): hashed unigram+bigram features,
+    * integer fixed-point target-affinity weights (target = lang 'en'),
+    * per-doc count-weighted mean bucket weight. The oracle replays
+    * feature hashing, bucket weights (BIGINT `//`), and the final
+    * integer-division score — no float sums anywhere.
+    */
+  val q117 = Q(
+    "q117_dsir_importance",
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |f AS (SELECT doc_id, (lang = 'en') AS is_target,
+       |        unnest(list_concat(t, list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i + 1]))) AS feat
+       |      FROM tk),
+       |bk AS (SELECT doc_id, is_target, ${hashSql("feat")} % 4096 AS bucket FROM f),
+       |pd AS (SELECT doc_id, bucket, COUNT(*) AS cnt, MAX(is_target) AS is_target
+       |       FROM bk GROUP BY 1, 2),
+       |w AS (SELECT bucket,
+       |        CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT)
+       |          * 1000000 // CAST(SUM(cnt) AS BIGINT) AS w
+       |      FROM pd GROUP BY 1)
+       |SELECT pd.doc_id, CAST(SUM(pd.cnt) AS BIGINT) AS n_feats,
+       |  CAST(SUM(pd.cnt * w.w) AS BIGINT) // CAST(SUM(pd.cnt) AS BIGINT) AS score
+       |FROM pd JOIN w USING (bucket)
+       |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin) { (s, dir) =>
+    Sampling.importanceScore(t(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 4096)
+      .orderBy("doc_id")
+  }
+
+  /** Z-order layout key (q118): Morton interleave of quantized
+    * (o_custkey, o_totalprice), 16 bits each — the multi-dimensional
+    * clustering key for stats-pruned layouts. The oracle replays the
+    * min/max quantization (IEEE double ops are exactly rounded in both
+    * engines) and all 32 interleave terms bit-for-bit.
+    */
+  val q118 = Q(
+    "q118_zorder_key", {
+      val interleave = (0 until 16).flatMap(b => Seq(
+        s"(((q1 >> $b) & 1) << ${2 * b})",
+        s"(((q2 >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH s AS (SELECT MIN(o_custkey) mn1, MAX(o_custkey) mx1,
+         |  MIN(o_totalprice) mn2, MAX(o_totalprice) mx2 FROM orders),
+         |q AS (SELECT o_orderkey,
+         |  CASE WHEN mx1 <= mn1 THEN 0 ELSE CAST(FLOOR(
+         |    (CAST(o_custkey AS DOUBLE) - CAST(mn1 AS DOUBLE))
+         |    / (CAST(mx1 AS DOUBLE) - CAST(mn1 AS DOUBLE)) * 65535.0) AS BIGINT) END AS q1,
+         |  CASE WHEN mx2 <= mn2 THEN 0 ELSE CAST(FLOOR(
+         |    (CAST(o_totalprice AS DOUBLE) - CAST(mn2 AS DOUBLE))
+         |    / (CAST(mx2 AS DOUBLE) - CAST(mn2 AS DOUBLE)) * 65535.0) AS BIGINT) END AS q2
+         |  FROM orders, s)
+         |SELECT o_orderkey, $interleave AS zkey
+         |FROM q ORDER BY o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    Layout.withZorderKey(t(s, dir, "orders"), Seq("o_custkey", "o_totalprice"), bits = 16)
+      .select(col("o_orderkey"), col("zkey"))
+      .orderBy("o_orderkey")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -1817,5 +1875,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }
