@@ -129,12 +129,15 @@ object Sampling {
     * Per-doc `score = (Σ_b cnt_b·w_b) div n_feats` — the count-weighted
     * mean bucket weight, in [0, scale].
     *
-    * Scale shape: ONE exchange keyed by (doc, bucket) builds per-doc
-    * feature counts; bucket totals are a tiny re-aggregation of that frame
-    * (≤ `buckets` rows) and come back as a broadcast hash join; the final
-    * per-doc sum re-shuffles only (doc_id, cnt, w) longs. Documents' text
-    * never travels; at 100 TB the big exchange carries 8-byte keys and two
-    * longs per distinct doc-feature.
+    * Scale shape — the canonical DSIR two-pass (fit, then apply). Pass 1
+    * (weights): the feature stream partial-aggregates map-side straight
+    * into `buckets` cells, so its exchange carries ≤ tasks × buckets tiny
+    * rows — no per-doc key anywhere. Pass 2 (scoring): ONE exchange keyed
+    * by (doc, bucket) builds per-doc feature counts, the ≤`buckets`-row
+    * weight table comes back as a broadcast hash join, and the final
+    * per-doc sum re-shuffles only (doc_id, cnt, w) longs. The corpus text
+    * is scanned twice (both passes re-derive features) but never travels
+    * on any exchange.
     */
   def importanceScore(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 4096,
@@ -145,15 +148,14 @@ object Sampling {
       explode(concat(toks, Dedup.gramsOf(toks, 2))).as("feat"))
       .select(col("doc_id"), col("is_target"),
         (graft_hash64(col("feat")) % buckets).as("bucket"))
-    val perDoc = feats.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("cnt"),
-        max(col("is_target")).as("is_target"))
-    val wts = perDoc.groupBy("bucket")
-      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_b"),
-        sum(col("cnt")).as("c_b"))
+    val wts = feats.groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"),
+        count(lit(1)).as("c_b"))
       .select(col("bucket"),
         expr(s"t_b * ${scale}L div c_b").as("w"))
-    perDoc.join(broadcast(wts), Seq("bucket"))
+    feats.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wts), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_feats"),
         expr("sum(cnt * w) div sum(cnt)").as("score"))
