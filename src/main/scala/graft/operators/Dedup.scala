@@ -493,4 +493,66 @@ object Dedup {
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
         col("chunk_hash"), col("shared"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS,
+    * SIGMOD'03): every complete window of `w` consecutive k-gram hashes
+    * selects its minimum (rightmost position on hash ties — the classic
+    * robust-winnowing tie-break), and the fingerprint set is the distinct
+    * selected (position, hash) pairs. Guarantees: at least one fingerprint
+    * per window (consecutive selections ≤ w apart), density ~2/(w+1), and
+    * any shared substring of ≥ w+k-1 tokens shares at least one
+    * fingerprint regardless of where it sits in either document — the
+    * matching guarantee MinHash cannot give per-substring. Documents with
+    * fewer than w+k-1 tokens have no complete window and yield no rows
+    * (route short docs through exact/near-dup instead).
+    *
+    * The per-window argmin is ONE integer aggregate: hashes (< 2^30) pack
+    * as `h·2^31 + (2^31-1-pos)`, so MIN picks the smallest hash and breaks
+    * ties toward the LARGEST position; both engines replay the packing
+    * bit-for-bit. Scale shape: map-side codegen gram hashing, ONE exchange
+    * keyed by doc for the leading window, and the de-dup of per-window
+    * selections is a groupBy on (doc, pos) that reuses the window's doc
+    * partitioning — no second exchange; only (doc_id, pos, 8-byte key)
+    * rows travel.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    import graft.functions.graft_hash64
+    val half = 1L << 31
+    val grams = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(gramsOf(tokens(col(textCol)), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (graft_hash64(col("gram")) * half + (lit(half - 1) - col("pos"))).as("key"))
+    val leading = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("winkey", min(col("key")).over(leading))
+      .withColumn("n_in_win", count(lit(1)).over(leading))
+      .where(col("n_in_win") === w)
+      .select(col("doc_id"),
+        (lit(half - 1) - col("winkey").bitwiseAND(lit(half - 1))).cast("int").as("pos"),
+        shiftright(col("winkey"), 31).as("fp"))
+      .groupBy("doc_id", "pos").agg(first(col("fp")).as("fp"))
+  }
+
+  /** Corpus snapshot diff: classify every doc id across two snapshots as
+    * added / removed / changed / unchanged by content digest — the daily
+    * crawl-refresh bookkeeping step. ONE full-outer sort-merge join keyed
+    * by id; only (id, 32-char md5) rows shuffle, never text.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_md5"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_md5"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed"))
+      .select(col("id"), col("status"))
+  }
 }

@@ -1620,6 +1620,63 @@ object Pipeline {
       .orderBy("o_orderkey")
   }
 
+  /** Winnowing fingerprints (q120): 4-gram hashes, trailing-8 window
+    * minima selection. The oracle replays gram construction, hashing, the
+    * trailing window MIN, and the equality selection.
+    */
+  val q120 = Q(
+    "q120_winnow_fingerprints",
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |        array_to_string(t[i:i + 3], ' ') AS gram
+       |      FROM tk, unnest(range(1, len(t) - 2)) AS u(i)),
+       |h AS (SELECT doc_id, pos,
+       |        ${hashSql("gram")} * 2147483648 + (2147483647 - pos) AS key
+       |      FROM g),
+       |m AS (SELECT doc_id,
+       |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS winkey,
+       |        COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_in_win
+       |      FROM h)
+       |SELECT DISTINCT doc_id,
+       |  CAST(2147483647 - (winkey % 2147483648) AS INT) AS pos,
+       |  winkey // 2147483648 AS fp
+       |FROM m WHERE n_in_win = 8
+       |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+      k = 4, w = 8)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Snapshot diff (q121): old = docs with id%5!=0 (text uppercased where
+    * id%7=0 to synthesize edits), new = docs with id%11!=0 — so all four
+    * statuses occur. Both sides replay the same synthetic snapshots.
+    */
+  val q121 = Q(
+    "q121_snapshot_diff",
+    """WITH o AS (SELECT doc_id AS id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS old_md5
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |n AS (SELECT doc_id AS id, md5(text) AS new_md5
+      |  FROM documents WHERE doc_id % 11 <> 0)
+      |SELECT COALESCE(o.id, n.id) AS id,
+      |  CASE WHEN o.old_md5 IS NULL THEN 'added'
+      |       WHEN n.new_md5 IS NULL THEN 'removed'
+      |       WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.id = n.id
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val newSnap = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy("id")
+  }
+
   val q119 = Q("q119_tokenize_ja_heldout6", graft.ja.JaGolden.heldout6OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus6.map { case (sid, sentence, _) => (sid, sentence) })
@@ -1886,5 +1943,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

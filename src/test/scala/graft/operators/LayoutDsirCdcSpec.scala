@@ -134,4 +134,49 @@ class LayoutDsirCdcSpec extends AnyFunSuite {
       Dedup.cdcChunks(docs, "doc_id", "text", modulus = 1)
     }
   }
+
+  // ---- winnowing fingerprints ----
+
+  test("winnowFingerprints: every complete window selects, gaps never exceed w") {
+    val docs = Seq((1L, (1 to 50).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val pos = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 8)
+      .orderBy("pos").collect().map(_.getInt(1))
+    // 50 tokens -> 47 grams (pos 0..46), complete windows start at 0..39:
+    // window 0 selects within [0,7], window 39 within [39,46], and two
+    // consecutive selections can never be more than w apart (the classic
+    // winnowing guarantee).
+    assert(pos.head <= 7)
+    pos.sliding(2).foreach { case Array(a, b) => assert(b - a <= 8) case _ => }
+    assert(pos.last >= 39)
+  }
+
+  test("winnowFingerprints: a shared run yields identical fingerprints despite shift") {
+    val shared = (1 to 40).map("s" + _).mkString(" ")
+    val docs = Seq((1L, shared), (2L, "x1 x2 x3 " + shared)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 8)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    // every doc-1 window [s, s+7] reappears in doc 2 as [s+3, s+10] with
+    // identical gram hashes and the same rightmost-tie argmin, so doc 1's
+    // fingerprint set must be a subset of doc 2's
+    assert(fps(1L).subsetOf(fps(2L)),
+      s"shift broke fingerprints: missing ${fps(1L) -- fps(2L)}")
+    assert(fps(1L).nonEmpty)
+  }
+
+  test("winnowFingerprints: short documents yield no complete window") {
+    val docs = Seq((1L, (1 to 10).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    // 10 tokens -> 7 grams < w=8 -> no complete window
+    assert(Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 8).count() == 0)
+  }
+
+  // ---- snapshot diff ----
+
+  test("snapshotDiff: classifies added/removed/changed/unchanged") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val r = Dedup.snapshotDiff(oldS, newS, "doc_id", "text")
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
 }
