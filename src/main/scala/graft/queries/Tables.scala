@@ -21,19 +21,31 @@ object Q {
 object Tables {
   /** All driver tables are single parquet files under the sf dir.
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read natively: read it as a long and truncate to microseconds — exactly
-    * what DuckDB does when it reads the same file, so oracle comparisons see
-    * identical values. Integer `div` (not `/`) because epoch-nanos ≈ 1.7e18
-    * exceeds double's 53-bit mantissa.
+    * `events.ts` has shipped as both INT64 TIMESTAMP(NANOS) and native
+    * `timestamp[us]` across testdata generations, so the read is
+    * schema-adaptive:
+    *   - LongType (nanos read under `nanosAsLong`): truncate to micros —
+    *     exactly what DuckDB does reading the same file. Integer `div`
+    *     (not `/`) because epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
+    *     mantissa.
+    *   - TIMESTAMP_NTZ (unadjusted `timestamp[us]`): cast to the session-TZ
+    *     timestamp; all entrypoints pin `spark.sql.session.timeZone=UTC`,
+    *     so the cast is epoch-identical and downstream window/watermark
+    *     code sees the one timestamp type it has always seen.
+    *   - TimestampType: pass through.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     } else spark.read.parquet(path)
   }
 

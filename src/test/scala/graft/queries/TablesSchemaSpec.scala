@@ -1,0 +1,55 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins `Tables.t`'s schema-adaptive events read against BOTH `ts`
+  * encodings the driver's testdata has shipped (VERDICT r8 "Next round" #2):
+  * INT64 TIMESTAMP(NANOS) (rounds 1-7) and native `timestamp[us]` (round 8+).
+  * The two fixtures under test resources hold the same three instants; both
+  * must load to TimestampType with identical microsecond values, so the next
+  * testdata regeneration cannot silently break a sixth of the oracle gate.
+  */
+class TablesSchemaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Stage a fixture as `<tmpdir>/events.parquet` so Tables.t's name-keyed
+    * branch applies, and return the loaded frame's (ts-type, epoch-micros).
+    */
+  private def load(fixture: String): (org.apache.spark.sql.types.DataType, Seq[Long]) = {
+    val src = Paths.get(getClass.getResource(s"/graft/fixtures/$fixture").toURI)
+    val dir = Files.createTempDirectory("graft_events_schema")
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val df = Tables.t(spark, dir.toString, "events")
+    val micros = df.selectExpr("unix_micros(ts) AS us").orderBy("us")
+      .collect().map(_.getLong(0)).toSeq
+    (df.schema("ts").dataType, micros)
+  }
+
+  test("events ts loads identically from TIMESTAMP(NANOS) and timestamp[us] parquet") {
+    val (usType, usMicros) = load("events_ts_us.parquet")
+    val (nsType, nsMicros) = load("events_ts_ns.parquet")
+    assert(usType == TimestampType, "native micros must surface as session-TZ timestamp")
+    assert(nsType == TimestampType, "nanos-workaround path must surface as session-TZ timestamp")
+    assert(usMicros == nsMicros, "both encodings must decode to the same instants")
+    // the instants themselves (UTC session TZ pinned in TestSpark):
+    // 2024-01-01T10:00:00.123456Z / 2024-01-02T11:30:00.654321Z / 2024-01-03T23:59:59.999999Z
+    assert(usMicros == Seq(1704103200123456L, 1704195000654321L, 1704326399999999L))
+  }
+
+  test("all six event columns survive both encodings with the same schema") {
+    for (f <- Seq("events_ts_us.parquet", "events_ts_ns.parquet")) {
+      val src = Paths.get(getClass.getResource(s"/graft/fixtures/$f").toURI)
+      val dir = Files.createTempDirectory("graft_events_cols")
+      Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val df = Tables.t(spark, dir.toString, "events")
+      assert(df.columns.toSeq ==
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      assert(df.count() == 3)
+    }
+  }
+}

@@ -139,13 +139,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    // same NANOS workaround as graft.queries.Tables.t, streaming flavor
+    // same schema-adaptive ts handling as graft.queries.Tables.t, streaming
+    // flavor: readStream needs an explicit schema, so take it from a batch
+    // read of the same file and normalize ts to session-TZ TimestampType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val fileSchema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     // complete mode: every window (no watermark finalization needed to compare)
     val q = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
