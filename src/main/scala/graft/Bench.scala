@@ -24,8 +24,20 @@ object Bench {
     // real work. noop executes every expression and discards rows.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // JVM/codegen/parquet-footer warmup — not part of any measurement
-    run(SparkEntry.queries("q01_pricing_summary"))
+    // JVM/codegen/parquet-footer warmup — a dedicated query OUTSIDE the
+    // timed suite (VERDICT r8 #7: warming up with q01 double-JITs it and
+    // flatters its own number). Touches the three big tables so footer
+    // reads, codegen, and the shuffle machinery are all hot.
+    run((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = graft.queries.Tables.t(s, dir, "lineitem")
+        .groupBy("l_linestatus").agg(sum("l_quantity").as("wq"))
+      val ev = graft.queries.Tables.t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("wn"))
+      val dc = graft.queries.Tables.t(s, dir, "documents")
+        .select(length(col("text")).as("wl")).agg(sum("wl").as("wt"))
+      li.crossJoin(ev.limit(1)).crossJoin(dc)
+    })
     // min of 2 runs per query: this host shows up to 2x run-to-run noise
     // (see PLANS.md); min is the standard estimator for intrinsic cost.
     // A failing query records -1 (visible in the JSON) + a stderr line.
@@ -37,6 +49,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    val spreads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -46,7 +59,19 @@ object Bench {
           None
         }
       }
+      // max/min spread per query: on an idle host this sits near 1; a
+      // contended sandbox (the r8 artifact) shows 5-40x swings. Printing it
+      // makes a contaminated run self-evident (VERDICT r8 #3).
+      if (times.length >= 2 && times.min > 0) spreads += name -> (times.max / times.min)
       name -> (if (times.isEmpty) -1.0 else times.min)
+    }
+    if (spreads.nonEmpty) {
+      val worst = spreads.sortBy(-_._2).take(5)
+        .map { case (n, r) => f"$n=${r}%.1fx" }.mkString(", ")
+      val median = spreads.map(_._2).sorted.apply(spreads.length / 2)
+      System.err.println(
+        f"[bench] rep spread: median=${median}%.2fx worst: $worst" +
+        (if (median > 2.0) "  ** CONTENDED RUN — do not snapshot **" else ""))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
