@@ -147,6 +147,19 @@ object JaGolden {
   lazy val heldoutCorpus6: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus6.tsv")
 
+  /** Seventh blind held-out set (pre-registered round 9, commit b97f4e9;
+    * wired round 10): 40 sentences over six fresh registers (coin laundry,
+    * bicycle repair, art museum, moving house, vegetable market, library).
+    * Round 9 applied the adjudication lexemes but never recorded the
+    * first-run rate; round 10 reconstructed it exactly by re-running the
+    * pre-adjudication dictionary (commit e40e288 — the tokenizer is
+    * deterministic, so this reproduces the first run bit-for-bit): see the
+    * resource header and SURVEY.md §7.4 for the measured rate and the
+    * itemized adjudication. Pinned at 40/40 post-fix; drives q122.
+    */
+  lazy val heldoutCorpus7: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus7.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -172,6 +185,8 @@ object JaGolden {
     literalTable(heldoutCorpus5.map { case (sid, _, toks) => (sid, toks) })
   def heldout6OracleSql: String =
     literalTable(heldoutCorpus6.map { case (sid, _, toks) => (sid, toks) })
+  def heldout7OracleSql: String =
+    literalTable(heldoutCorpus7.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
