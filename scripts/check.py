@@ -60,8 +60,12 @@ def main(sf_dir, out_dir):
             continue
         bad = [(g, e) for g, e in zip(got, exp) if g != e]
         if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(got)} rows differ; first: "
-                  f"spark={bad[0][0]} duck={bad[0][1]}")
+            # name the diverging rows (VERDICT r9 #8): corpus-pinned queries
+            # carry a sid column, so printing the rows localizes a stale pin
+            # without a separate DictLint run
+            print(f"FAIL {name}: {len(bad)}/{len(got)} rows differ; first {min(5, len(bad))}:")
+            for g, e in bad[:5]:
+                print(f"  spark={g}\n  duck ={e}")
             n_bad += 1
         else:
             print(f"ok   {name} ({len(got)} rows)")

@@ -65,17 +65,25 @@ object Bench {
       if (times.length >= 2 && times.min > 0) spreads += name -> (times.max / times.min)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    // Run-quality metrics live in the JSON artifact itself (ADVICE r9): a
+    // contended snapshot is identifiable after the fact without the stderr
+    // log. median_rep_spread near 1 = idle host; >2 = contended, don't trust.
+    val medianSpread =
+      if (spreads.isEmpty) -1.0 else spreads.map(_._2).sorted.apply(spreads.length / 2)
     if (spreads.nonEmpty) {
       val worst = spreads.sortBy(-_._2).take(5)
         .map { case (n, r) => f"$n=${r}%.1fx" }.mkString(", ")
-      val median = spreads.map(_._2).sorted.apply(spreads.length / 2)
       System.err.println(
-        f"[bench] rep spread: median=${median}%.2fx worst: $worst" +
-        (if (median > 2.0) "  ** CONTENDED RUN — do not snapshot **" else ""))
+        f"[bench] rep spread: median=${medianSpread}%.2fx worst: $worst" +
+        (if (medianSpread > 2.0) "  ** CONTENDED RUN — do not snapshot **" else ""))
     }
+    val spreadMap = spreads.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _) =>
+      "\"" + k + "\":" + f"${spreadMap.getOrElse(k, -1.0)}%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""median_rep_spread":$medianSpread%.3f,"rep_spread":$sp,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture truncates long lines (BENCH_r06 kept only
     // q43+), so the full per-query artifact is also persisted in-repo —

@@ -44,7 +44,14 @@ object Tables {
       df.schema("ts").dataType match {
         case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case _                => df
+        case TimestampType    => df
+        case other            =>
+          // Fail at the read, not in a downstream window/watermark: any
+          // other type means a testdata regeneration changed the encoding
+          // and this dispatch needs a new arm (ADVICE r9).
+          throw new IllegalStateException(
+            s"events.ts read as unsupported type $other from $path — " +
+            "expected INT64-NANOS (LongType under nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
       }
     } else spark.read.parquet(path)
   }

@@ -1,8 +1,9 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.types.TimestampType
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -14,15 +15,31 @@ import graft.TestSpark
   * must load to TimestampType with identical microsecond values, so the next
   * testdata regeneration cannot silently break a sixth of the oracle gate.
   */
-class TablesSchemaSpec extends AnyFunSuite {
+class TablesSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+
+  // Temp dirs are removed in afterAll so repeated test runs don't
+  // accumulate parquet copies (ADVICE r9).
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private def tempDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    tmpDirs += d
+    d
+  }
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    super.afterAll()
+  }
 
   /** Stage a fixture as `<tmpdir>/events.parquet` so Tables.t's name-keyed
     * branch applies, and return the loaded frame's (ts-type, epoch-micros).
     */
   private def load(fixture: String): (org.apache.spark.sql.types.DataType, Seq[Long]) = {
     val src = Paths.get(getClass.getResource(s"/graft/fixtures/$fixture").toURI)
-    val dir = Files.createTempDirectory("graft_events_schema")
+    val dir = tempDir("graft_events_schema")
     Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val df = Tables.t(spark, dir.toString, "events")
     val micros = df.selectExpr("unix_micros(ts) AS us").orderBy("us")
@@ -44,12 +61,23 @@ class TablesSchemaSpec extends AnyFunSuite {
   test("all six event columns survive both encodings with the same schema") {
     for (f <- Seq("events_ts_us.parquet", "events_ts_ns.parquet")) {
       val src = Paths.get(getClass.getResource(s"/graft/fixtures/$f").toURI)
-      val dir = Files.createTempDirectory("graft_events_cols")
+      val dir = tempDir("graft_events_cols")
       Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val df = Tables.t(spark, dir.toString, "events")
       assert(df.columns.toSeq ==
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
       assert(df.count() == 3)
     }
+  }
+
+  test("an unsupported ts encoding fails loudly at the read, not downstream") {
+    val dir = tempDir("graft_events_bad")
+    import spark.implicits._
+    Seq(("e1", "2024-01-01 10:00:00")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val ex = intercept[IllegalStateException] {
+      Tables.t(spark, dir.toString, "events").collect()
+    }
+    assert(ex.getMessage.contains("unsupported type"), ex.getMessage)
   }
 }

@@ -166,7 +166,13 @@ class StreamingOpsSpec extends AnyFunSuite {
       val streamed = spark.table("t_replay").collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       assert(streamed == batch.map { case (t, e, n) => (t, e, n) })
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // remove the staged copy so repeated runs don't accumulate temp
+      // parquet files (ADVICE r9)
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 
   test("stateless curation ops (redactPii, repetition) run unchanged on streams") {
