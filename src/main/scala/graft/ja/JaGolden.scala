@@ -160,6 +160,16 @@ object JaGolden {
   lazy val heldoutCorpus7: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus7.tsv")
 
+  /** Eighth blind held-out set (round 10): 40 sentences over six fresh
+    * registers (bowling, ice skating, game arcade, factory tour,
+    * home-improvement store, knitting). First-run 30/40 (75.0%); 1
+    * author-convention amendment, 7 lexeme-level gaps, and 2 measured
+    * lattice fixes (voiced-音便 VOnbin class; Particle→Particle 700→900)
+    * — itemized in the resource header. Pinned at 40/40; drives q123.
+    */
+  lazy val heldoutCorpus8: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus8.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -187,6 +197,8 @@ object JaGolden {
     literalTable(heldoutCorpus6.map { case (sid, _, toks) => (sid, toks) })
   def heldout7OracleSql: String =
     literalTable(heldoutCorpus7.map { case (sid, _, toks) => (sid, toks) })
+  def heldout8OracleSql: String =
+    literalTable(heldoutCorpus8.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

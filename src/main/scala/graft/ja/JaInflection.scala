@@ -49,6 +49,19 @@ object JaInflection {
     */
   final val GaruPos = "形容詞-自立-ガル接続"
 
+  /** 音便 stems of the VOICED-past godan rows (g/n/b/m: 泳い/死ん/遊ん/読ん)
+    * carry their own POS → lattice class, because their 連用タ接続 is the
+    * voiced だ/で, never the plain た: ×泳いた, ×読んた. Left as plain
+    * VerbInfl the stem connects to た at −800 and steals spans from
+    * particle+verb readings — held-out-8 sid 13 parsed 人もいた as
+    * 人|もい(→もぐ)|た instead of 人|も|いた(→いる). The unvoiced rows
+    * (k/t/r/w: 書い/使っ) keep plain VerbInfl and た.
+    */
+  final val VOnbinPos = "動詞-自立-濁音便"
+
+  /** Rows whose 音便 past is voiced (〜だ): ガ行 and the ン音便 rows. */
+  private val voicedOnbinRows: Set[Char] = Set('g', 'n', 'b', 'm')
+
   def expandVerb(base: String, cls: Char, pos: String = "動詞-自立",
       derived: Boolean = false): Seq[DictEntry] =
     if (cls == 'i') {
@@ -62,8 +75,15 @@ object JaInflection {
       val (a, i, e, o, onbin) = godan(cls)
       val stem = base.dropRight(1)
       val condForm = e.toString
+      // voiced-past rows emit the 音便 stem under VOnbinPos (own lattice
+      // class — precedes だ/で, never た); unvoiced rows keep it in the
+      // generic VerbInfl form set
+      val voicedOnbin = onbin.nonEmpty && voicedOnbinRows(cls)
       val forms = (Seq(a.toString, i.toString, o.toString) ++
-        (if (onbin.nonEmpty) Seq(onbin) else Nil)).distinct.filterNot(_ == condForm)
+        (if (onbin.nonEmpty && !voicedOnbin) Seq(onbin) else Nil)).distinct.filterNot(_ == condForm)
+      val onbinEntry =
+        if (voicedOnbin) Seq(DictEntry(stem + onbin, VOnbinPos, base, Array.empty, derived))
+        else Nil
       // Potential verb (話す→話せる) as its own dictionary-form lexeme with
       // itself as lemma — ipadic lexicalizes potentials as independent
       // 一段 verbs, and without the entry 話せる degrades to 話+せ+る
@@ -73,7 +93,8 @@ object JaInflection {
       // divergence); the dictionary form is the high-frequency win.
       (DictEntry(base, pos, "", Array.empty, derived) +:
         (DictEntry(stem + condForm, CondPos, base, Array.empty, derived) +:
-          forms.map(f => DictEntry(stem + f, pos, base, Array.empty, derived)))) ++
+          (forms.map(f => DictEntry(stem + f, pos, base, Array.empty, derived)) ++
+            onbinEntry))) ++
         Seq(
           // potential verb as its own 一段 lexeme (話せる) …
           DictEntry(stem + e + "る", pos, "", Array.empty, derived),

@@ -40,7 +40,8 @@ private[ja] object JaCosts {
   final val ParticleBa = 15 // the conditional particle ば itself
   final val AdjGaru = 16 // i-adjective 語幹 (忙し): licenses 様態 そう only
   final val AuxTa = 17 // the past auxiliary た: 連用形-only, never bare-noun
-  final val NumClasses = 18
+  final val VOnbin = 18 // voiced-past 音便 stem (泳い/読ん): precedes だ/で, never た
+  final val NumClasses = 19
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
@@ -48,6 +49,7 @@ private[ja] object JaCosts {
     else if (pos.startsWith("助動詞")) { if (e.surface == "た") AuxTa else Aux }
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
     else if (pos == graft.ja.JaInflection.GaruPos) AdjGaru
+    else if (pos == graft.ja.JaInflection.VOnbinPos) VOnbin
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
     else if (pos.startsWith("形容詞")) { if (e.base.nonEmpty) AdjInfl else AdjTerm }
     else if (pos == "名詞-数") Num
@@ -71,7 +73,8 @@ private[ja] object JaCosts {
     (VerbCond, ParticleBa), (VerbCond, Particle), (VerbCond, Aux),
     (VerbCond, AuxTa), (Noun, AuxTa), (Sahen, AuxTa),
     (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
-    (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown)) ++
+    (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown),
+    (VOnbin, AuxTa)) ++
     (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
@@ -147,6 +150,15 @@ private[ja] object JaCosts {
     set(BOS, AuxTa, 1500)
     set(VerbCond, AuxTa, 1200) // ×届け+た (contract cell, as with Aux)
     set(BOS, VerbCond, 400) // commands exist but are rare in corpus prose
+    // voiced-past 音便 stem (泳い/死ん/遊ん/読ん): だ/で attach like the
+    // generic VerbInfl auxiliaries, but the UNVOICED た is ungrammatical
+    // (×泳いた, ×もいた) — the fence that keeps 人もいた = 人|も|いた(→いる)
+    // from being stolen by the g-row stem reading 人|もい(→もぐ)|た
+    // (held-out-8 sid 13)
+    set(VOnbin, Aux, -800) // 泳い+だ, 読ん+だ
+    set(VOnbin, Particle, -300) // 泳い+で, 読ん+で
+    set(VOnbin, AuxTa, 800) // ×読ん+た
+    set(VOnbin, ParticleBa, 400) // mirrors VerbInfl (×連用+ば)
     set(VerbInfl, ParticleBa, 400) // ×連用+ば (使い+ば is ungrammatical)
     set(AdjInfl, ParticleBa, -500) // 高けれ+ば
     set(BOS, ParticleBa, 1200)
@@ -160,7 +172,10 @@ private[ja] object JaCosts {
     set(AdjGaru, Aux, -400) // 忙し+そう(助動詞)
     // discourage fragmenting
     set(Num, Num, -150) // numeral chains cohere (三+十+分); was +300, flipped so 三十|分 beats 三|十分
-    set(Particle, Particle, 700)
+    set(Particle, Particle, 900) // was 700: や|って (2 particles, 2400) beat
+    // やっ(→やる)|て (2600) in held-out-8 sid 4 — 900 flips it to 2800 while
+    // legitimate double-particle chains (には/からも) have no dictionary
+    // competitor on their span and are unaffected (golden replay green)
     set(Unknown, Unknown, 400)
     m
   }
@@ -173,6 +188,7 @@ private[ja] object JaCosts {
     a(VerbInfl) = 400
     a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
     a(AdjGaru) = 1000 // a dangling adjective 語幹 never ends a region
+    a(VOnbin) = 400 // dangling voiced 音便 stem: same as VerbInfl
     a
   }
 

@@ -198,4 +198,22 @@ class JaTokenizerSpec extends AnyFunSuite {
     // the copula chain 半額+だっ+た keeps the generic Noun→Aux cell
     assert(t.tokenize("半額だった。").toSeq == Seq("半額"))
   }
+
+  test("VOnbin fence: voiced-past 音便 stems take だ/で, never the unvoiced た (held-out-8 sid 13)") {
+    val t = new JaTokenizer()
+    // voiced pasts keep lemmatizing through the stem + だ path
+    assert(t.tokenize("川で泳いだ。").toSeq == Seq("川", "泳ぐ"))
+    assert(t.tokenize("本を読んだ。").toSeq == Seq("本", "読む"))
+    assert(t.tokenize("新聞を読んで驚いた。").toSeq == Seq("新聞", "読む", "驚く"))
+    // ×もい(→もぐ)+た may not steal 人|も|いた(→いる): いる is a stop word,
+    // so the only surviving token is 人 — no spurious もぐ
+    assert(t.tokenize("人もいた。").toSeq == Seq("人"))
+  }
+
+  test("particle pair や+って no longer beats the verb reading やっ(→やる)+て (held-out-8 sid 4)") {
+    val t = new JaTokenizer()
+    assert(t.tokenize("機械がやってくれる。").toSeq == Seq("機械", "やる", "くれる"))
+    // double-particle chains with no dictionary competitor are unaffected
+    assert(t.tokenize("駅には売店がある。").toSeq == Seq("駅", "売店"))
+  }
 }
