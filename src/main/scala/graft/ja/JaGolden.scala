@@ -170,6 +170,18 @@ object JaGolden {
   lazy val heldoutCorpus8: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus8.tsv")
 
+  /** Ninth blind held-out set (round 11): 40 sentences over six fresh
+    * registers (golf range, botanical garden, overnight bus, convenience
+    * store, go lessons, autumn-leaf viewing). First-run 28/40 (70.0%); 10
+    * lexeme-level gaps, 0 lattice bugs, 1 author-convention amendment
+    * (kanji 来たい lemmatizes to 来る, not くる), 5 stale golden pins
+    * updated to the atomic-compound convention, and one documented
+    * authoring slip (sid 38 duplicates golden sid 1236) — itemized in the
+    * resource header. Pinned at 40/40; drives q124.
+    */
+  lazy val heldoutCorpus9: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus9.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -199,6 +211,8 @@ object JaGolden {
     literalTable(heldoutCorpus7.map { case (sid, _, toks) => (sid, toks) })
   def heldout8OracleSql: String =
     literalTable(heldoutCorpus8.map { case (sid, _, toks) => (sid, toks) })
+  def heldout9OracleSql: String =
+    literalTable(heldoutCorpus9.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -171,4 +171,30 @@ class HeldoutCorpusSpec extends AnyFunSuite {
     val overlap = JaGolden.heldoutCorpus8.filter { case (_, s, _) => seen.contains(s) }
     assert(overlap.isEmpty, s"held-out-8 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
   }
+
+  test("held-out corpus 9: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus9
+    assert(corpus.size == 40, s"held-out corpus 9 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-9 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 9 is disjoint from all earlier corpora (one documented slip)") {
+    // sid 38 duplicates golden sid 1236 — a blind-authoring slip documented
+    // in the resource header; it is the ONLY allowed overlap.
+    val allowed = Set("落ち葉を踏む音が心地よかった。")
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2)
+    val overlap = JaGolden.heldoutCorpus9
+      .filter { case (_, s, _) => seen.contains(s) && !allowed.contains(s) }
+    assert(overlap.isEmpty, s"held-out-9 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
 }
