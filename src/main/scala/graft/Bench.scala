@@ -78,13 +78,24 @@ object Bench {
         (if (medianSpread > 2.0) "  ** CONTENDED RUN — do not snapshot **" else ""))
     }
     val spreadMap = spreads.toMap
+    // %f through the f-interpolator is locale-sensitive (comma decimals under
+    // de_DE would corrupt the JSON); route all fixed-point formatting through
+    // Locale.ROOT (ADVICE r10).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val sp = results.map { case (k, _) =>
-      "\"" + k + "\":" + f"${spreadMap.getOrElse(k, -1.0)}%.3f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt(spreadMap.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val fails = results.count(_._2 < 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      f""""median_rep_spread":$medianSpread%.3f,"rep_spread":$sp,"sf":"$sfDir"}"""
+      s""""median_rep_spread":${fmt(medianSpread)},"rep_spread":$sp,"sf":"$sfDir"}"""
     println(line)
+    // Compact summary as the LAST stdout line: the full artifact line above
+    // is ~9 KB and the driver's tail capture truncates it mid-object
+    // (BENCH_r04..r10 all parsed null). This one is <200 bytes and carries
+    // the headline numbers the driver needs (VERDICT r10 #3).
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""fails":$fails,"median_rep_spread":${fmt(medianSpread)},"sf":"$sfDir"}""")
     // The driver's stdout capture truncates long lines (BENCH_r06 kept only
     // q43+), so the full per-query artifact is also persisted in-repo —
     // every query's number survives the round regardless of stdout limits.

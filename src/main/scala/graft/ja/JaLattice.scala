@@ -74,13 +74,17 @@ private[ja] object JaCosts {
     (VerbCond, AuxTa), (Noun, AuxTa), (Sahen, AuxTa),
     (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
     (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown),
-    (VOnbin, AuxTa)) ++
+    // The whole VOnbin attachment contract is grammar, not counts: the
+    // voiced 音便 stem licenses だ/で and nothing else — a ~1k-sentence
+    // corpus has near-zero counts in these cells and smoothing would
+    // replace the engineered margins with mild ones (ADVICE r10).
+    (VOnbin, AuxTa), (VOnbin, ParticleBa), (VOnbin, Aux), (VOnbin, Particle)) ++
     (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
     * region (届け！) and a dangling prefix may not — grammar, not counts.
     */
-  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru)
+  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru, VOnbin)
 
   /** Hand-assigned prior matrix: the bootstrap cost model, the fallback for
     * classes unseen in the training corpora, and the source of the

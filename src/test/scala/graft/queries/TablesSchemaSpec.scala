@@ -27,9 +27,15 @@ class TablesSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     d
   }
   override def afterAll(): Unit = {
+    // Close each Files.walk stream and isolate per-dir failures so one
+    // undeletable dir doesn't leak handles or abort the rest (ADVICE r10).
     tmpDirs.foreach { d =>
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      try {
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case e: Throwable => info(s"cleanup of $d failed: ${e.getMessage}") }
     }
     super.afterAll()
   }
