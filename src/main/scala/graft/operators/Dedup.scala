@@ -555,4 +555,40 @@ object Dedup {
           .otherwise("changed"))
       .select(col("id"), col("status"))
   }
+
+  /** Blocked fuzzy match: the production shape of q94's record-linkage
+    * primitive (edit-distance pairs). Candidate pairs come from the UNION
+    * of two blocking passes — a prefix block and a suffix block over the
+    * match column — each a plain hash EQUI-join on its computed blocking
+    * key, then exact levenshtein verification over candidates only. No
+    * theta join / BNLJ appears in the plan at any scale, and the pair
+    * space is the union of within-block pairs, never all-pairs; cost is
+    * sum of block-size² over blocks, bounded by key selectivity. Contract
+    * (standard record-linkage blocking): a pair whose edits hit BOTH the
+    * prefix and the suffix region is not a candidate — recall is tuned by
+    * adding blocking passes, not by widening joins. The reference
+    * delegates all relational work to Hive (README.md:22-29); this is the
+    * Spark-native analogue of the blocked fuzzy self-join a Hive user
+    * writes by hand with a blocking-key equi-join.
+    */
+  def fuzzyMatchBlocked(
+      df: DataFrame, keyCol: String, strCol: String,
+      blockLen: Int, maxDist: Int): DataFrame = {
+    // staged: both join sides and both passes read this subtree; without
+    // the persist the scan+projection would run four times (same rationale
+    // as the LSH signature stage above).
+    val base = stage(df.select(col(keyCol).as("fm_k"), col(strCol).as("fm_s"),
+      substring(col(strCol), 1, blockLen).as("fm_pre"),
+      substring(col(strCol), -blockLen, blockLen).as("fm_suf")))
+    def pass(key: String): DataFrame =
+      base.as("a").join(base.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col("a.fm_k") < col("b.fm_k"))
+        .select(col("a.fm_k").as("ka"), col("b.fm_k").as("kb"),
+          col("a.fm_s").as("sa"), col("b.fm_s").as("sb"))
+    pass("fm_pre").unionByName(pass("fm_suf"))
+      .distinct() // a pair can be found by both passes; (ka, kb) dedupe
+      .where(levenshtein(col("sa"), col("sb")) <= maxDist)
+      .select(col("ka"), col("kb"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+  }
 }

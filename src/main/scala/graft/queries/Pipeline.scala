@@ -1721,6 +1721,29 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** q125: the blocked fuzzy-match scale path (VERDICT r10 #6). q94 keeps
+    * the exact bounded theta self-join as the semantics twin; this runs the
+    * SAME record-linkage primitive behind prefix/suffix blocking equi-joins
+    * over document heads — the shape that survives 100x (PLANS.md pin: no
+    * BNLJ in the physical plan). The oracle mirrors the two blocking passes
+    * as one OR-join (DuckDB efficiency is irrelevant; row sets identical).
+    */
+  val q125 = Q(
+    "q125_fuzzy_match_blocked",
+    """WITH heads AS (SELECT doc_id, substr(text, 1, 30) AS head FROM documents)
+      |SELECT a.doc_id AS ka, b.doc_id AS kb,
+      |  levenshtein(a.head, b.head) AS dist
+      |FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+      | AND (substr(a.head, 1, 4) = substr(b.head, 1, 4)
+      |   OR substr(a.head, length(a.head) - 3, 4) = substr(b.head, length(b.head) - 3, 4))
+      |WHERE levenshtein(a.head, b.head) <= 6
+      |ORDER BY ka, kb""".stripMargin) { (s, dir) =>
+    val heads = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("head"))
+    Dedup.fuzzyMatchBlocked(heads, "doc_id", "head", blockLen = 4, maxDist = 6)
+      .orderBy("ka", "kb")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -1976,5 +1999,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

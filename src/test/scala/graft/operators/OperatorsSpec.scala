@@ -396,4 +396,23 @@ class OperatorsSpec extends AnyFunSuite {
     val r = Dedup.spanDedup(d, "doc_id", "text", spanWords = 2).head()
     assert((r.getInt(1), r.getInt(2), r.getString(3)) == (3, 1, "a b"))
   }
+
+  test("fuzzyMatchBlocked: prefix OR suffix block candidates, exact verify, no double-count") {
+    val recs = Seq(
+      (1L, "jonathan smith"),
+      (2L, "jonathon smith"),  // 1 sub; prefix4 AND suffix4 both match 1 → single pair row
+      (3L, "jonathan smyth"),  // 1 sub vs 1 (prefix block); 2 vs 2
+      (4L, "smith jonathan"),  // word swap: lev>4 from all, never a result
+      (5L, "xqzwv aaaaa"))     // shares no block with anyone
+      .toDF("id", "name")
+    val r = Dedup.fuzzyMatchBlocked(recs, "id", "name", blockLen = 4, maxDist = 4)
+      .orderBy("ka", "kb").collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+  }
+
+  test("fuzzyMatchBlocked contract: edits hitting both block regions exclude the pair") {
+    val recs = Seq((1L, "abcdefgh"), (2L, "Xbcdefgi")).toDF("id", "name") // lev=2 but
+    // first edit breaks the prefix-4 block, second breaks the suffix-4 block
+    assert(Dedup.fuzzyMatchBlocked(recs, "id", "name", blockLen = 4, maxDist = 4).count() == 0)
+  }
 }
