@@ -1,0 +1,143 @@
+package graft.ja
+
+/** Homograph-tie ledger (VERDICT r10 "Next round" #7): the documented
+  * homograph divergences of the compact class-level cost model, kept
+  * explicit and MEASURED so a future corpus or dictionary batch cannot
+  * silently re-pin one side. The round-7 calibration experiment
+  * (PLANS.md "Known divergences") showed the residual exposure is
+  * sub-100-point ties on ambiguous surfaces; this ledger records each
+  * known case with (a) a carrier sentence whose reviewed reading DictLint
+  * replays — a flip fails the lint — and (b) the current cost margin
+  * between the two readings, computed by scoring both forced segmentation
+  * paths under the live cost model, so margin drift is visible round over
+  * round instead of only at the moment a pin breaks.
+  *
+  * Two ledger kinds:
+  *  - SCORED: both readings exist in the dictionary; margin =
+  *    score(rejected) − score(pinned), positive when the pin is safe.
+  *  - SHADOWED: the rejected reading's entry is removed by the loader's
+  *    first-wins (surface, pos) dedupe — a load-order decision, margin
+  *    undefined (reported as such). The corpus convention for these is to
+  *    avoid ambiguous carriers entirely (SURVEY round-9: ModeDump review
+  *    swapped the 行った homograph out per documented practice).
+  *
+  * The reference has no analogue — it inherits mecab-ipadic-NEologd's
+  * corpus-trained full-context costs (/root/reference/build.sh:161); this
+  * ledger is the honest bookkeeping for a hand-margin model.
+  */
+object JaHomographs {
+
+  /** One forced-path element: a dictionary surface + POS prefix, plus an
+    * optional base-form disambiguator for same-(surface, pos) homographs.
+    * posPrefix "UNK" scores the surface as an unknown run.
+    */
+  final case class Tok(surface: String, posPrefix: String, base: String = "")
+
+  final case class Ledger(
+      name: String,
+      carrier: String,
+      pinnedTokens: Seq[String],
+      pinned: Seq[Tok],
+      rejected: Seq[Tok],
+      note: String)
+
+  val entries: Seq[Ledger] = Seq(
+    Ledger(
+      name = "よく: 形容詞よい-連用 vs 副詞",
+      carrier = "富士山がよく見える。",
+      pinnedTokens = Seq("富士山", "よい", "見える"),
+      pinned = Seq(Tok("富士山", "名詞-固有名詞"), Tok("が", "助詞"),
+        Tok("よく", "形容詞", base = "よい"), Tok("見える", "動詞")),
+      rejected = Seq(Tok("富士山", "名詞-固有名詞"), Tok("が", "助詞"),
+        Tok("よく", "副詞"), Tok("見える", "動詞")),
+      note = "the round-7 calibration's 8-point-class tie; reviewed pins " +
+        "(golden 212/563/946) take the adjective lemma よい"),
+    Ledger(
+      name = "行った: 行く vs 行う",
+      carrier = "病院に行った。",
+      pinnedTokens = Seq("病院", "行く"),
+      pinned = Seq(Tok("病院", "名詞"), Tok("に", "助詞"),
+        Tok("行っ", "動詞", base = "行く"), Tok("た", "助動詞")),
+      rejected = Seq(Tok("病院", "名詞"), Tok("に", "助詞"),
+        Tok("行っ", "動詞", base = "行う"), Tok("た", "助動詞")),
+      note = "true zero-information homograph: 行う's derived 音便 stem is " +
+        "shadowed by core.tsv's 行っ→行く under first-wins (surface, pos) " +
+        "dedupe; corpus practice avoids bare 行った carriers"),
+    Ledger(
+      name = "もいた: も+いる vs 音便もぐ+た",
+      carrier = "猫もいた。",
+      pinnedTokens = Seq("猫"), // いる is a default stop word; も/た stop-POS
+      pinned = Seq(Tok("猫", "名詞"), Tok("も", "助詞"),
+        Tok("い", "動詞", base = "いる"), Tok("た", "助動詞")),
+      rejected = Seq(Tok("猫", "名詞"),
+        Tok("もい", JaInflection.VOnbinPos, base = "もぐ"), Tok("た", "助動詞")),
+      note = "the held-out-8 lattice fix: voiced 音便 stems live in their " +
+        "own VOnbin class whose た-attachment is an engineered grammar " +
+        "fence (contract cell, +800)"),
+    Ledger(
+      name = "光って: 光っ+て vs 光+って",
+      carrier = "光っていた。",
+      pinnedTokens = Seq("光る"), // て/た stop-POS, いる stop word
+      pinned = Seq(Tok("光っ", "動詞", base = "光る"), Tok("て", "助詞"),
+        Tok("い", "動詞", base = "いる"), Tok("た", "助動詞")),
+      rejected = Seq(Tok("光", "UNK"), Tok("って", "助詞"),
+        Tok("い", "動詞", base = "いる"), Tok("た", "助動詞")),
+      note = "the dictCost flat-function-word rule exists for this tie: a " +
+        "length bonus on って made 光|って beat 光っ|て (dictCost doc)"))
+
+  private lazy val bySurface: Map[String, Seq[DictEntry]] =
+    JaDictionary.embeddedEntries.groupBy(_.surface)
+
+  /** Resolve a path element to its dictionary entry; None when the reading
+    * does not exist in the loaded dictionary (a SHADOWED ledger case).
+    */
+  private def resolve(t: Tok): Option[DictEntry] =
+    bySurface.getOrElse(t.surface, Nil)
+      .find(e => e.pos.startsWith(t.posPrefix) &&
+        (t.base.isEmpty || e.base == t.base))
+
+  /** Score a forced segmentation path under the live cost model: BOS →
+    * connection+word costs → eos, exactly the quantities the Viterbi
+    * relaxation sums (JaLattice). Unknown elements pay unknownCost with
+    * class Unknown. None when any dictionary reading is missing.
+    */
+  def score(path: Seq[Tok]): Option[Int] = {
+    var c = 0
+    var prev = JaCosts.BOS
+    val it = path.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      val cpLen = t.surface.codePointCount(0, t.surface.length)
+      if (t.posPrefix == "UNK") {
+        val cls = CharClasses.classOfCp(t.surface.codePointAt(0))
+        c += JaCosts.conn(prev)(JaCosts.Unknown) + JaCosts.unknownCost(cls, cpLen)
+        prev = JaCosts.Unknown
+      } else resolve(t) match {
+        case Some(e) =>
+          val k = JaCosts.classOf(e)
+          c += JaCosts.conn(prev)(k) + JaCosts.dictCost(e, cpLen)
+          prev = k
+        case None => return None
+      }
+    }
+    Some(c + JaCosts.eos(prev))
+  }
+
+  final case class Report(
+      name: String, margin: Option[Int], pinnedWins: Boolean,
+      got: Seq[String], note: String)
+
+  /** Evaluate every ledger entry against the live dictionary + cost model.
+    * `pinnedWins` replays the carrier through the real tokenizer (default
+    * NORMAL config — the reviewed-pin contract); `margin` is
+    * score(rejected) − score(pinned), None for shadowed readings.
+    */
+  def report(): Seq[Report] = {
+    val tok = new JaTokenizer()
+    entries.map { l =>
+      val got = tok.tokenize(l.carrier).toSeq
+      val m = for { p <- score(l.pinned); r <- score(l.rejected) } yield r - p
+      Report(l.name, m, got == l.pinnedTokens, got, l.note)
+    }
+  }
+}

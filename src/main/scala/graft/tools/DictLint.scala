@@ -46,8 +46,21 @@ object DictLint {
       .foreach(w => issues += Issue(w, "stopword resource line not lower-cased"))
     issues ++= suffixPolicy(entries)
     issues ++= replayGoldens()
+    issues ++= homographLedger()
     issues.result()
   }
+
+  /** Replay the homograph-tie ledger (JaHomographs, VERDICT r10 #7): each
+    * documented divergence's carrier sentence must still produce the
+    * reviewed reading. The measured margins are printed as a report
+    * section by main() — drift is visible, a flip is a lint failure.
+    */
+  def homographLedger(): Seq[Issue] =
+    graft.ja.JaHomographs.report().collect {
+      case r if !r.pinnedWins =>
+        Issue(r.name, s"homograph ledger flip: carrier now tokenizes as " +
+          s"${r.got.mkString("|")} (${r.note})")
+    }
 
   /** Productive suffixes under the NORMAL-mode decomposition policy
     * (golden_corpus.tsv header, VERDICT r2 "Next round" #5): an all-kanji
@@ -118,9 +131,18 @@ object DictLint {
   def main(args: Array[String]): Unit = {
     val issues = lint()
     issues.foreach(i => System.err.println(s"[dictlint] '${i.surface}': ${i.problem}"))
+    // homograph-tie ledger report: margin in cost points (positive = the
+    // reviewed pin is safe by that much), SHADOWED = the rejected reading
+    // is removed by first-wins (surface, pos) dedupe at load
+    val ledger = graft.ja.JaHomographs.report()
+    ledger.foreach { r =>
+      val m = r.margin.map(v => f"margin +$v%d").getOrElse("SHADOWED")
+      println(s"[dictlint] homograph ledger: ${r.name} — $m, pin ${if (r.pinnedWins) "holds" else "FLIPPED"}")
+    }
     println(s"[dictlint] ${JaDictionary.embeddedEntries.size} entries, " +
       s"${JaDictionary.defaultStopWords.size} stopwords, " +
-      s"${JaDictionary.defaultStopTags.size} stoptags, ${issues.size} issues")
+      s"${JaDictionary.defaultStopTags.size} stoptags, " +
+      s"${ledger.size} ledger homographs, ${issues.size} issues")
     if (issues.nonEmpty) sys.exit(1)
   }
 }
