@@ -182,6 +182,18 @@ object JaGolden {
   lazy val heldoutCorpus9: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus9.tsv")
 
+  /** Tenth blind held-out set (round 11, authored AFTER the gap-class
+    * growth batch): 40 sentences over six fresh registers (barber shop,
+    * pottery class, moving day, municipal pool, vet clinic, festival
+    * stalls). First-run 31/40 (77.5%); 9 lexeme gaps, 0 lattice bugs, 2
+    * author amendments where reviewed pins already recorded the opposite
+    * judgment (予防接種 atomic, 夏|祭り split), one documented authoring
+    * slip (sid 35 duplicates golden sid 1044) — itemized in the resource
+    * header. Pinned at 40/40; drives q126.
+    */
+  lazy val heldoutCorpus10: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus10.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -213,6 +225,8 @@ object JaGolden {
     literalTable(heldoutCorpus8.map { case (sid, _, toks) => (sid, toks) })
   def heldout9OracleSql: String =
     literalTable(heldoutCorpus9.map { case (sid, _, toks) => (sid, toks) })
+  def heldout10OracleSql: String =
+    literalTable(heldoutCorpus10.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -197,4 +197,31 @@ class HeldoutCorpusSpec extends AnyFunSuite {
       .filter { case (_, s, _) => seen.contains(s) && !allowed.contains(s) }
     assert(overlap.isEmpty, s"held-out-9 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
   }
+
+  test("held-out corpus 10: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus10
+    assert(corpus.size == 40, s"held-out corpus 10 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-10 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 10 is disjoint from all earlier corpora (one documented slip)") {
+    // sid 35 duplicates golden sid 1044 — a blind-authoring slip documented
+    // in the resource header; it is the ONLY allowed overlap.
+    val allowed = Set("夏祭りの屋台で焼きそばを買った。")
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2)
+    val overlap = JaGolden.heldoutCorpus10
+      .filter { case (_, s, _) => seen.contains(s) && !allowed.contains(s) }
+    assert(overlap.isEmpty, s"held-out-10 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
 }
