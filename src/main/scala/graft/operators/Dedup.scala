@@ -580,15 +580,22 @@ object Dedup {
     val base = stage(df.select(col(keyCol).as("fm_k"), col(strCol).as("fm_s"),
       substring(col(strCol), 1, blockLen).as("fm_pre"),
       substring(col(strCol), -blockLen, blockLen).as("fm_suf")))
+    // The probe side is explicitly repartitioned on the blocking key: the
+    // verify cost lives in the JOIN OUTPUT (|candidates| levenshtein DPs),
+    // which AQE's size-based coalescing cannot see — with a small persisted
+    // base the broadcast-join probe side collapses to ~1 partition and all
+    // ~456k DPs ran on one core (q125 at 6.8 s). The explicit key
+    // repartition is also exactly the 100x-scale plan: a shuffle equi-join
+    // on the blocking key. The distance filter runs map-side right after
+    // the join, so the union + distinct carries only matching pairs.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     def pass(key: String): DataFrame =
-      base.as("a").join(base.as("b"),
+      base.repartition(parts, col(key)).as("a").join(base.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.fm_k") < col("b.fm_k"))
         .select(col("a.fm_k").as("ka"), col("b.fm_k").as("kb"),
-          col("a.fm_s").as("sa"), col("b.fm_s").as("sb"))
+          levenshtein(col("a.fm_s"), col("b.fm_s")).as("dist"))
+        .where(col("dist") <= maxDist)
     pass("fm_pre").unionByName(pass("fm_suf"))
-      .distinct() // a pair can be found by both passes; (ka, kb) dedupe
-      .where(levenshtein(col("sa"), col("sb")) <= maxDist)
-      .select(col("ka"), col("kb"),
-        levenshtein(col("sa"), col("sb")).as("dist"))
+      .distinct() // a pair found by both passes dedupes on (ka, kb, dist)
   }
 }
