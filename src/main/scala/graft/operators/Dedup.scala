@@ -573,7 +573,8 @@ object Dedup {
     */
   def fuzzyMatchBlocked(
       df: DataFrame, keyCol: String, strCol: String,
-      blockLen: Int, maxDist: Int): DataFrame = {
+      blockLen: Int, maxDist: Int,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
     // staged: both join sides and both passes read this subtree; without
     // the persist the scan+projection would run four times (same rationale
     // as the LSH signature stage above).
@@ -589,12 +590,27 @@ object Dedup {
     // on the blocking key. The distance filter runs map-side right after
     // the join, so the union + distinct carries only matching pairs.
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    def pass(key: String): DataFrame =
-      base.repartition(parts, col(key)).as("a").join(base.as("b"),
+    // maxBlockSize is the degenerate-block density control at corpus scale
+    // (same trade as ngramJaccardPairs' maxShingleDocFreq, q31): a
+    // boilerplate prefix shared by millions of records makes one block
+    // quadratic; blocks over the cap are DROPPED from that pass (the hot
+    // set is small by definition → broadcast anti-join, main side stays
+    // shuffle-free), recall for their members rides on the other pass.
+    def prune(key: String): DataFrame =
+      if (maxBlockSize == Int.MaxValue) base
+      else {
+        val hot = base.groupBy(col(key)).agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBlockSize).select(col(key))
+        base.join(broadcast(hot), Seq(key), "left_anti")
+      }
+    def pass(key: String): DataFrame = {
+      val side = prune(key)
+      side.repartition(parts, col(key)).as("a").join(side.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.fm_k") < col("b.fm_k"))
         .select(col("a.fm_k").as("ka"), col("b.fm_k").as("kb"),
           levenshtein(col("a.fm_s"), col("b.fm_s")).as("dist"))
         .where(col("dist") <= maxDist)
+    }
     pass("fm_pre").unionByName(pass("fm_suf"))
       .distinct() // a pair found by both passes dedupes on (ka, kb, dist)
   }

@@ -415,4 +415,24 @@ class OperatorsSpec extends AnyFunSuite {
     // first edit breaks the prefix-4 block, second breaks the suffix-4 block
     assert(Dedup.fuzzyMatchBlocked(recs, "id", "name", blockLen = 4, maxDist = 4).count() == 0)
   }
+
+  test("fuzzyMatchBlocked: maxBlockSize drops a degenerate block; other pass still matches") {
+    // all five share the boilerplate prefix "form" (a 5-member prefix
+    // block, over the cap of 4 → the whole prefix pass is pruned); only
+    // 1-2 share a suffix block and survive via the suffix pass
+    val recs = Seq(
+      (1L, "form aaaa zz11"), (2L, "form aaab zz11"), (3L, "form bbbb yy22"),
+      (4L, "form cccc xx33"), (5L, "form dddd ww44"))
+      .toDF("id", "name")
+    val capped = Dedup.fuzzyMatchBlocked(recs, "id", "name",
+      blockLen = 4, maxDist = 2, maxBlockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 2L)), s"got ${capped.mkString(",")}")
+    // uncapped, the degenerate prefix block yields the same verified pair
+    // plus nothing else here (lev gate), proving the cap only prunes
+    val uncapped = Dedup.fuzzyMatchBlocked(recs, "id", "name",
+      blockLen = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.toSeq == Seq((1L, 2L)))
+  }
 }
