@@ -15,7 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop subset: SPARK_GRAFT_ONLY=q127_x,q128_y dumps just those
+    // queries and restricts oracle_sql.json to match, so check.py compares
+    // exactly the subset. Unset in driver runs — full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ns) => SparkEntry.queries.view.filterKeys(ns).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // remove any stale dump FIRST: a query failing before its write must
       // not leave a previous run's output to false-pass the compare
       val target = new java.io.File(s"$outDir/$name")
@@ -42,7 +51,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(ns) => SparkEntry.oracleSql.view.filterKeys(ns).toMap
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -614,4 +614,40 @@ object Dedup {
     pass("fm_pre").unionByName(pass("fm_suf"))
       .distinct() // a pair found by both passes dedupes on (ka, kb, dist)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): coarse
+    * k-means clustering bounds the pairwise search, then inside each
+    * cluster every vector with a near-identical neighbor (cosine ≥
+    * `threshold`) of smaller id is marked a duplicate of the smallest such
+    * neighbor. The keep set is iteration-order-free: a vector survives iff
+    * NO same-cluster smaller-id vector is within the threshold.
+    *
+    * Scale shape: cluster assignment is the shuffle-free per-row argmax of
+    * `IvfIndex.assign` (plan-embedded centroids, codegen); candidate pairs
+    * meet on the cid equi-key carrying IDS ONLY — the wide embeddings
+    * rejoin by id afterwards (the embeddingNearDupPairs layout), so
+    * vectors never ride the quadratic shuffle. Within-cluster cost is
+    * Σ|cluster|², bounded by fitting nlist ∝ N/targetClusterSize — the
+    * paper's own knob (50k clusters for LAION-440M).
+    *
+    * Output: vec_id, cid, dup_of (null ⇔ keep), keep.
+    */
+  def semanticDedup(corpus: DataFrame, model: IvfIndex.Model,
+      threshold: Double): DataFrame = {
+    val asg = stage(IvfIndex.assign(corpus, model)
+      .select(col("vec_id"), col("cid")))
+    val cand = asg.as("a").join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val dups = cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .where(graft.functions.cosine_sim(col("emb_a"), col("emb_b")) >= threshold)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("dup_of"))
+      .select(col("id_b").as("vec_id"), col("dup_of"))
+    asg.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
 }

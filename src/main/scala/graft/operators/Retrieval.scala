@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over whitespace-tokenized documents — the ranked
+  * search the reference delegates to its host engine (README.md:22-29
+  * positions the tokenizer as the analysis stage of a Hive/Solr-style
+  * search pipeline; this is the ranking stage, Spark-first).
+  *
+  * Scale shape: the query-term filter is applied directly under the token
+  * explode, so only matched postings — at most |terms| · |docs| rows, in
+  * practice a tiny fraction of the token stream — ever reach a shuffle.
+  * Document frequencies aggregate those same matched postings (≤ |terms|
+  * rows out, broadcast back), corpus stats (N, avgdl) are one scalar
+  * aggregate broadcast as a single row, and the final ranking is
+  * TakeOrdered (top-k per partition → merge), never a global sort.
+  */
+object Retrieval {
+
+  /** BM25 top-k (Robertson/Walker/Jones, TREC-3 Okapi):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * `logIdf = true` is the classic form, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    * `logIdf = false` drops the ln and uses the rational idf
+    * (N−df+0.5)/(df+0.5): per-term monotone in df exactly like the classic
+    * form, and — because it is pure field arithmetic — bit-reproducible
+    * across engines, which keeps the whole pipeline (tokenize → tf → df →
+    * length-norm → ordered sum → top-k) inside the exact-hash oracle gate.
+    * (House rule: libm `ln` bits differ across engines — see
+    * TextAnalysis.tfIdfLog — so the ln form stays engine-API-only.)
+    *
+    * The per-document sum folds term scores in sorted-term order (sorted
+    * struct array + left fold from 0.0), so the double accumulation order
+    * is deterministic and replayable by any engine with an ordered fold.
+    *
+    * Output: doc_id, n_terms (matched query terms), score, rn (1-based).
+    * Documents matching no query term are absent (standard disjunctive
+    * retrieval over an inverted index: only postings are scored).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20, logIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: query term set must be non-empty")
+    val toks = split(col(textCol), " ")
+    val lens = df.select(col(idCol).as("doc_id"), size(toks).as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val posted = df.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = posted.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    // Operand shapes below are kept in lockstep with the q127 oracle SQL:
+    // identical association order => identical double bits.
+    val idfRaw = (col("n_docs").cast("double") - col("dft") + lit(0.5)) /
+      (col("dft") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + idfRaw) else idfRaw
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf
+      .join(broadcast(dft), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * (col("tf").cast("double") * lit(k1 + 1.0) / denom))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("s"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_terms"),
+        aggregate(array_sort(col("ts")), lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("score"))
+    // TakeOrdered bounds the sort; the rank window then runs over ≤ topK
+    // rows (the q41 pattern — never a global single-partition window).
+    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(topK)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_terms"), col("score"), col("rn"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfIndex, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Layout, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -53,6 +53,14 @@ object Pipeline {
   private def bucketSqlAt(e: String, offset: String): String =
     (0 until 8).map(i => s"(CASE WHEN $e[$offset + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
+
+  /** q127 BM25 constants — shared by the Spark call and the oracle SQL
+    * (Double.toString round-trips exactly, so interpolating the Scala
+    * doubles into the SQL text keeps both engines on identical literals).
+    */
+  private val Bm25Terms = Seq("spark", "hash", "vector", "merge")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
 
   private val piiRows = Seq(
     -6L -> "edge@case@double.com and 999.999.999.999 and 12345678",
@@ -1755,6 +1763,80 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** BM25 retrieval (q127): the ranked-search stage over the whitespace
+    * corpus, rational-idf mode so every double stays field arithmetic (no
+    * libm ln in the comparison path — the q42/tfIdfLog house rule). The
+    * oracle replays tf, df, the N/avgdl stats, the exact operand
+    * association of the per-term score, and the term-sorted left fold of
+    * the per-document sum — any drift in tokenization, weighting order, or
+    * the top-k tie-break fails the hash.
+    */
+  val q127 = Q(
+    "q127_bm25_topk", {
+      val termList = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, len(t) AS dl FROM tk),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+         |m AS (SELECT doc_id, unnest(t) AS term FROM tk),
+         |f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM m
+         |      WHERE term IN ($termList) GROUP BY 1, 2),
+         |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM f GROUP BY 1),
+         |sc AS (SELECT doc_id, term,
+         |         ((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
+         |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} / (CAST(tf AS DOUBLE)
+         |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))) AS s
+         |       FROM f JOIN dfr USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+         |          (a, x) -> a + x) AS score
+         |      FROM sc GROUP BY doc_id),
+         |top AS (SELECT * FROM d ORDER BY score DESC, doc_id LIMIT 25)
+         |SELECT doc_id, n_terms, score,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+         |FROM top ORDER BY rn""".stripMargin
+    }) { (s, dir) =>
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = 25, logIdf = false)
+      .orderBy("rn")
+  }
+
+  /** SemDeDup (q128): the q54 IVF fit replay (identical CTE text — same
+    * sample, nlist=4, 2 Lloyd iterations, ordered folds) supplies the
+    * clusters, then the oracle mirrors the within-cluster smaller-id
+    * near-duplicate rule at the q37 threshold (0.4 — this corpus's
+    * near-dup band; production semantic dedup runs 0.95+, the knob is the
+    * operator's parameter).
+    */
+  val q128 = Q(
+    "q128_semantic_dedup",
+    s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id % 7 = 0
+       |           ORDER BY vec_id LIMIT 65536),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 4)),
+       |${ivfIterSql("c0", 1)},
+       |${ivfIterSql("c1", 2)},
+       |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |         FROM embeddings),
+       |asg AS (SELECT vec_id, v, cid FROM (
+       |         SELECT corp.vec_id, corp.v, c2.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+       |             ORDER BY ${cosSql("corp.v", "c2.c")} DESC NULLS LAST, c2.cid) rn
+       |         FROM corp CROSS JOIN c2) WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM asg a JOIN asg b
+       |        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.v", "b.v")} >= 0.4),
+       |d AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM p GROUP BY 1)
+       |SELECT asg.vec_id, asg.cid, d.dup_of, d.dup_of IS NULL AS keep
+       |FROM asg LEFT JOIN d USING (vec_id) ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    val m = IvfIndex.fit(emb.where(col("vec_id") % 7 === 0), nlist = 4, iters = 2)
+    Dedup.semanticDedup(emb, m, threshold = 0.4).orderBy("vec_id")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2010,5 +2092,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }
