@@ -108,4 +108,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q80_cms_heavy_hitters")
     assert(p.contains("partial_"), p)
   }
+
+  test("q127 BM25 ranks via TakeOrdered; the only nested-loop is the one-row stats broadcast") {
+    val p = plan("q127_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one BNLJ — the single-row (n_docs, avgdl) scalar aggregate;
+    // a second one would mean a real unkeyed join crept in
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q128 SemDeDup pairs meet on the cid equi-key: no cartesian pair space, assignment shuffle-free") {
+    val p = plan("q128_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
