@@ -83,7 +83,21 @@ object JaHomographs {
       rejected = Seq(Tok("光", "UNK"), Tok("って", "助詞"),
         Tok("い", "動詞", base = "いる"), Tok("た", "助動詞")),
       note = "the dictCost flat-function-word rule exists for this tie: a " +
-        "length bonus on って made 光|って beat 光っ|て (dictCost doc)"))
+        "length bonus on って made 光|って beat 光っ|て (dictCost doc)"),
+    Ledger(
+      name = "ちゃんと: 副詞 vs 名詞+ちゃん+と",
+      carrier = "花ちゃんと遊んだ。",
+      pinnedTokens = Seq("花", "ちゃんと", "遊ぶ"),
+      pinned = Seq(Tok("花", "名詞"), Tok("ちゃんと", "副詞"),
+        Tok("遊ん", "動詞", base = "遊ぶ"), Tok("だ", "助動詞")),
+      rejected = Seq(Tok("花", "名詞"), Tok("ちゃん", "名詞-接尾"),
+        Tok("と", "助詞"), Tok("遊ん", "動詞", base = "遊ぶ"),
+        Tok("だ", "助動詞")),
+      note = "round-11 mimetic batch: the adverb ちゃんと (top-frequency) " +
+        "wins directly after a bare noun, fusing name+ちゃん+と carriers — " +
+        "a class-level model cannot hold both readings (MeCab resolves via " +
+        "trained full-context costs); the honorific survives behind its own " +
+        "lexicalized hosts (赤ちゃん) and after particles"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)
