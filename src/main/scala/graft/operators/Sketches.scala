@@ -127,3 +127,57 @@ object Cms {
       .orderBy(desc("n"), asc("tok"))
   }
 }
+
+/** Histogram-based approximate quantiles — the one-pass mergeable quantile
+  * summary whose result is ORDER-INDEPENDENT: bucket counts are commutative
+  * sums, so unlike GK/t-digest sketches (whose state depends on arrival
+  * order) the histogram answer is bit-reproducible across any partitioning
+  * and replayable by another engine — which keeps it inside the exact-hash
+  * oracle gate (q129). Error is bounded by the bucket width
+  * (max−min)/buckets, the classic equi-width-histogram trade
+  * (Ioannidis, "The history of histograms", VLDB 2003).
+  *
+  * Scale shape: one scalar min/max/count aggregate broadcast as a single
+  * row, then ONE hash aggregate of the corpus onto ≤ `buckets` rows; the
+  * cumulative window and the quantile probe join touch only those B rows
+  * (the probe cross join is |qs|×B ≤ a few hundred — never the corpus).
+  */
+object HistogramQuantiles {
+  import org.apache.spark.sql.expressions.Window
+
+  def quantiles(df: DataFrame, valueCol: String, buckets: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(buckets >= 1 && qs.nonEmpty, "need buckets >= 1 and qs non-empty")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val rows = df.where(v.isNotNull).select(v.as("x"))
+    val stats = rows.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    // degenerate single-value range: everything lands in bucket 0
+    val idx = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(
+        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / buckets))
+          .cast("int"),
+        lit(buckets - 1)))
+    val hist = rows.crossJoin(broadcast(stats))
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), max(col("n")).as("n"))
+    // ≤ buckets rows from here on — the single-partition window is bounded
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    import spark.implicits._
+    val qdf = broadcast(qs.toDF("q"))
+    val hit = cum.join(qdf,
+        col("cum") >= ceil(col("q") * col("n")).cast("long"))
+      .groupBy(col("q")).agg(min(col("bucket")).as("bucket"))
+    hit.join(cum, Seq("bucket"))
+      .select(col("q"), col("bucket"),
+        (col("lo") + col("bucket") * ((col("hi") - col("lo")) / buckets))
+          .as("lo_edge"),
+        when(col("bucket") === buckets - 1, col("hi"))
+          .otherwise(col("lo") + (col("bucket") + 1) *
+            ((col("hi") - col("lo")) / buckets)).as("hi_edge"),
+        col("cum"), col("n"))
+  }
+}

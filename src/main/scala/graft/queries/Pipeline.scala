@@ -62,6 +62,10 @@ object Pipeline {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** q129 histogram-quantile constants (shared Spark call / oracle SQL). */
+  private val HistB = 64
+  private val HistQs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
   private val piiRows = Seq(
     -6L -> "edge@case@double.com and 999.999.999.999 and 12345678",
     -5L -> "mixed: jane_doe99@mail.co.uk from 172.16.254.3 phoned 0800 123 456",
@@ -1837,6 +1841,43 @@ object Pipeline {
     Dedup.semanticDedup(emb, m, threshold = 0.4).orderBy("vec_id")
   }
 
+  /** Histogram quantiles (q129): the order-independent quantile summary —
+    * bucket counts are commutative, so the one-pass result is
+    * bit-reproducible across partitionings and engines (GK/t-digest state
+    * is arrival-order-dependent and could never sit in this gate). The
+    * oracle replays min/max/count, the bucket formula (same operand
+    * association, LEAST clamp, degenerate-range guard), the cumulative
+    * window, and the first-bucket-≥⌈q·n⌉ probe.
+    */
+  val q129 = Q(
+    "q129_histogram_quantiles", {
+      val qList = HistQs.mkString(", ")
+      s"""WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+         |           WHERE l_extendedprice IS NOT NULL),
+         |stats AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+         |                 CAST(COUNT(*) AS BIGINT) AS n FROM r),
+         |hist AS (SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / $HistB)) AS INT),
+         |               ${HistB - 1}) END AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt, MAX(lo) AS lo, MAX(hi) AS hi,
+         |    MAX(n) AS n
+         |  FROM r CROSS JOIN stats GROUP BY 1),
+         |cum AS (SELECT *, CAST(SUM(cnt) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+         |qs AS (SELECT CAST(unnest([$qList]) AS DOUBLE) AS q),
+         |hit AS (SELECT q, MIN(bucket) AS bucket FROM cum JOIN qs
+         |    ON cum >= CAST(CEIL(q * n) AS BIGINT) GROUP BY q)
+         |SELECT q, bucket, lo + bucket * ((hi - lo) / $HistB) AS lo_edge,
+         |  CASE WHEN bucket = ${HistB - 1} THEN hi
+         |       ELSE lo + (bucket + 1) * ((hi - lo) / $HistB) END AS hi_edge,
+         |  cum, n
+         |FROM hit JOIN cum USING (bucket) ORDER BY q""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.HistogramQuantiles
+      .quantiles(t(s, dir, "lineitem"), "l_extendedprice", HistB, HistQs)
+      .orderBy("q")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2092,5 +2133,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }

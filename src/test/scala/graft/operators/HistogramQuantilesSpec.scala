@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Histogram quantiles: bucket math on a known distribution, the
+  * degenerate single-value range, null handling, and the property that
+  * justifies the operator's place in the oracle gate — the result is
+  * partition-order independent.
+  */
+class HistogramQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(xs: Seq[Double]) = {
+    import spark.implicits._
+    xs.toDF("x")
+  }
+
+  test("uniform 1..100, 10 buckets: medians land in the expected bucket") {
+    val out = HistogramQuantiles
+      .quantiles(df((1 to 100).map(_.toDouble)), "x", 10, Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getInt(1), r.getLong(4), r.getLong(5))).toMap
+    // width 9.9; ceil(0.5*100)=50 -> first bucket with cum>=50 is bucket 4
+    // (values 1..50 fill buckets 0..4: bucket 4 covers [40.6,50.5) ->
+    // cum at bucket 4 = 50)
+    assert(out(0.5)._1 == 4, out)
+    assert(out(0.5)._2 == 50L)
+    assert(out(1.0)._1 == 9) // max lands in the clamped last bucket
+    assert(out.values.forall(_._3 == 100L))
+  }
+
+  test("degenerate range (all values equal) lands everything in bucket 0") {
+    val out = HistogramQuantiles
+      .quantiles(df(Seq.fill(7)(42.0)), "x", 16, Seq(0.5, 0.99))
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.forall(_._1 == 0))
+    assert(out.forall(_._4 == 7L))
+  }
+
+  test("nulls are excluded from n and counts") {
+    import spark.implicits._
+    val d = Seq[Option[Double]](Some(1), None, Some(2), Some(3), None)
+      .toDF("x")
+    val out = HistogramQuantiles.quantiles(d, "x", 4, Seq(1.0)).collect()
+    assert(out.head.getLong(5) == 3L)
+  }
+
+  test("result is partition-layout independent (the gate property)") {
+    val base = df((1 to 1000).map(i => (i * 37 % 211).toDouble))
+    val a = HistogramQuantiles.quantiles(base, "x", 32, Seq(0.25, 0.5, 0.75))
+      .collect().toSeq.sortBy(_.getDouble(0))
+    val b = HistogramQuantiles.quantiles(base.repartition(7), "x", 32,
+        Seq(0.25, 0.5, 0.75))
+      .collect().toSeq.sortBy(_.getDouble(0))
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+}
