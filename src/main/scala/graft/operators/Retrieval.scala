@@ -78,4 +78,42 @@ object Retrieval {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("n_terms"), col("score"), col("rn"))
   }
+
+  /** Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    * (Cormack/Clarke/Büttcher, SIGIR 2009): BM25 supplies the lexical
+    * candidate set (top `kLex`), each candidate is re-scored by cosine to
+    * the query vector, and the two RANKINGS fuse as
+    * rrf = 1/(rrfK + lex_rn) + 1/(rrfK + vec_rn). Rank-based fusion is
+    * scale-free (no score normalization problem) and — because the fused
+    * quantity is a fixed two-term sum over small integers — exactly
+    * reproducible cross-engine, unlike score-blend hybrids.
+    *
+    * Scale shape: everything after the BM25 TakeOrdered touches ≤ kLex
+    * rows — the embedding join probes by id (broadcast candidate side),
+    * the query vector is a one-row broadcast, and both rank windows run
+    * over the candidate set only.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], queryVecId: Long,
+      kLex: Int = 25, kFinal: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, idCol, textCol, terms, topK = kLex,
+        logIdf = false)
+      .select(col("doc_id"), col("rn").as("lex_rn"))
+    val qv = broadcast(emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb")))
+    val cand = broadcast(lex)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .crossJoin(qv)
+      .withColumn("cos", graft.functions.cosine_sim(col("embedding"), col("q_emb")))
+    val wV = Window.orderBy(col("cos").desc, col("doc_id"))
+    val ranked = cand.withColumn("vec_rn", row_number().over(wV))
+      .withColumn("rrf",
+        lit(1.0) / (lit(rrfK) + col("lex_rn")) +
+          lit(1.0) / (lit(rrfK) + col("vec_rn")))
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    ranked.withColumn("rn", row_number().over(wF))
+      .where(col("rn") <= kFinal)
+      .select(col("doc_id"), col("lex_rn"), col("vec_rn"), col("cos"),
+        col("rrf"), col("rn"))
+  }
 }

@@ -66,6 +66,9 @@ object Pipeline {
   private val HistB = 64
   private val HistQs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
 
+  /** q130 hybrid-search query vector id. */
+  private val HybridQVec = 3L
+
   private val piiRows = Seq(
     -6L -> "edge@case@double.com and 999.999.999.999 and 12345678",
     -5L -> "mixed: jane_doe99@mail.co.uk from 172.16.254.3 phoned 0800 123 456",
@@ -1775,33 +1778,72 @@ object Pipeline {
     * the per-document sum — any drift in tokenization, weighting order, or
     * the top-k tie-break fails the hash.
     */
+  /** Shared BM25 CTE chain (q127/q130): rational-idf scores, term-sorted
+    * per-doc fold, top-`topK` with ranks in CTE `lex`.
+    */
+  private def bm25Ctes(topK: Int): String = {
+    val termList = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |lens AS (SELECT doc_id, len(t) AS dl FROM tk),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+       |m AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM m
+       |      WHERE term IN ($termList) GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM f GROUP BY 1),
+       |sc AS (SELECT doc_id, term,
+       |         ((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
+       |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} / (CAST(tf AS DOUBLE)
+       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))) AS s
+       |       FROM f JOIN dfr USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+       |          (a, x) -> a + x) AS score
+       |      FROM sc GROUP BY doc_id),
+       |top AS (SELECT * FROM d ORDER BY score DESC, doc_id LIMIT $topK),
+       |lex AS (SELECT doc_id, n_terms, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+       |  FROM top)""".stripMargin
+  }
+
   val q127 = Q(
-    "q127_bm25_topk", {
-      val termList = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |lens AS (SELECT doc_id, len(t) AS dl FROM tk),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
-         |m AS (SELECT doc_id, unnest(t) AS term FROM tk),
-         |f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM m
-         |      WHERE term IN ($termList) GROUP BY 1, 2),
-         |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM f GROUP BY 1),
-         |sc AS (SELECT doc_id, term,
-         |         ((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
-         |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} / (CAST(tf AS DOUBLE)
-         |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))) AS s
-         |       FROM f JOIN dfr USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
-         |d AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
-         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
-         |          (a, x) -> a + x) AS score
-         |      FROM sc GROUP BY doc_id),
-         |top AS (SELECT * FROM d ORDER BY score DESC, doc_id LIMIT 25)
-         |SELECT doc_id, n_terms, score,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
-         |FROM top ORDER BY rn""".stripMargin
-    }) { (s, dir) =>
+    "q127_bm25_topk",
+    s"""WITH ${bm25Ctes(25)}
+       |SELECT doc_id, n_terms, score, rn FROM lex ORDER BY rn""".stripMargin
+    ) { (s, dir) =>
     Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = 25, logIdf = false)
+      .orderBy("rn")
+  }
+
+  /** Hybrid retrieval (q130): BM25 candidates (shared q127 CTEs) re-ranked
+    * by cosine to a query vector, fused by reciprocal ranks —
+    * 1/(60+lex_rn)+1/(60+vec_rn). Rank fusion keeps the fused score a
+    * two-term sum over small integers: exactly replayable (a score-blend
+    * hybrid would inherit both engines' score-scale drift). The oracle's
+    * 1.0 literal must be CAST AS DOUBLE — DuckDB's bare 1.0 is DECIMAL and
+    * decimal division would diverge from Spark's double bits.
+    */
+  val q130 = Q(
+    "q130_hybrid_search",
+    s"""WITH ${bm25Ctes(25)},
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $HybridQVec),
+       |cand AS (SELECT lex.doc_id, lex.rn AS lex_rn,
+       |    ${cosSql("e.embedding", "qv.qe")} AS cos
+       |  FROM lex JOIN embeddings e ON e.vec_id = lex.doc_id CROSS JOIN qv),
+       |rv AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
+       |    AS vec_rn FROM cand),
+       |fused AS (SELECT doc_id, lex_rn, vec_rn, cos,
+       |    CAST(1 AS DOUBLE) / (60 + lex_rn) + CAST(1 AS DOUBLE) / (60 + vec_rn)
+       |      AS rrf FROM rv)
+       |SELECT doc_id, lex_rn, vec_rn, cos, rrf, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rn
+       |  FROM fused)
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Retrieval.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"),
+      "doc_id", "text", Bm25Terms, queryVecId = HybridQVec,
+      kLex = 25, kFinal = 10, rrfK = 60)
       .orderBy("rn")
   }
 
@@ -2133,5 +2175,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

@@ -90,4 +90,32 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25TopK(docs, "doc_id", "text", Nil)
     }
   }
+
+  test("hybrid RRF fuses lexical and vector ranks exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 3 holds the rare term (lex rank 1); doc 2's vector matches the
+    // query vector (id 1) best. RRF must fuse both rankings.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Retrieval.hybridRrf(docs, emb, "doc_id", "text",
+        Seq("a", "e"), queryVecId = 1L, kLex = 10, kFinal = 10, rrfK = 60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(4), r.getInt(5))).toMap
+    // candidates = lexical hits with embeddings = docs 1, 2, 3
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val exp = refScores(corpus, Seq("a", "e"), 1.2, 0.75, logIdf = false)
+    val lexRank = exp.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+      .map(_._1).zipWithIndex.toMap.map { case (id, i) => id -> (i + 1) }
+    out.foreach { case (id, (lexRn, vecRn, rrf, _)) =>
+      assert(lexRn == lexRank(id), s"doc $id lex rank")
+      assert(rrf == 1.0 / (60 + lexRn) + 1.0 / (60 + vecRn), s"doc $id rrf")
+    }
+    // doc 1 IS the query vector (vec rank 1); doc 2 is the closest other
+    assert(out(1L)._2 == 1)
+    assert(out(2L)._2 == 2)
+  }
 }
