@@ -103,8 +103,13 @@ private[ja] object JaCosts {
   val handConn: Array[Array[Int]] = {
     val m = Array.fill(NumClasses, NumClasses)(0)
     def set(a: Int, b: Int, v: Int): Unit = { m(a)(b) = v; handSetCells += ((a, b)) }
-    // sentences/regions rarely open with dependent morphemes
-    set(BOS, Particle, 1200); set(BOS, Aux, 1500); set(BOS, NounSuffix, 1200)
+    // sentences/regions rarely open with dependent morphemes. BOS→Aux was
+    // 1500 until round 11: the aux たら (600+1500=2100) beat the fish noun
+    // たら (2600) at sentence start — a sentence never opens with a bare
+    // 助動詞, so the cell now prices the aux path above any 2-cp noun
+    // (600+2300=2900 > 2600) while unambiguous aux-initial regions (no
+    // dictionary competitor on the span) are unaffected
+    set(BOS, Particle, 1200); set(BOS, Aux, 2300); set(BOS, NounSuffix, 1200)
     // canonical attachments
     set(Noun, Particle, -300); set(Particle, Noun, -200)
     set(VerbInfl, Aux, -800) // 使っ+た
