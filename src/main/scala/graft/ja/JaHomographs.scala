@@ -97,7 +97,30 @@ object JaHomographs {
         "wins directly after a bare noun, fusing name+ちゃん+と carriers — " +
         "a class-level model cannot hold both readings (MeCab resolves via " +
         "trained full-context costs); the honorific survives behind its own " +
-        "lexicalized hosts (赤ちゃん) and after particles"))
+        "lexicalized hosts (赤ちゃん) and after particles"),
+    Ledger(
+      name = "たら: 助動詞 vs 魚名詞 (mid-sentence)",
+      carrier = "魚屋がたらの切り身を包んでくれた。",
+      pinnedTokens = Seq("魚屋", "切る", "身", "包む", "くれる"),
+      pinned = Seq(Tok("魚屋", "名詞"), Tok("が", "助詞"),
+        Tok("たら", "助動詞"), Tok("の", "助詞"),
+        Tok("切り", "動詞", base = "切る"), Tok("身", "名詞"),
+        Tok("を", "助詞"), Tok("包ん", JaInflection.VOnbinPos, base = "包む"),
+        Tok("で", "助詞"), Tok("くれ", "動詞", base = "くれる"),
+        Tok("た", "助動詞")),
+      rejected = Seq(Tok("魚屋", "名詞"), Tok("が", "助詞"),
+        Tok("たら", "名詞"), Tok("の", "助詞"),
+        Tok("切り", "動詞", base = "切る"), Tok("身", "名詞"),
+        Tok("を", "助詞"), Tok("包ん", JaInflection.VOnbinPos, base = "包む"),
+        Tok("で", "助詞"), Tok("くれ", "動詞", base = "くれる"),
+        Tok("た", "助動詞")),
+      note = "round-11 food batch: the conditional auxiliary たら (flat 600) " +
+        "beats the fish noun (2600) after a particle, and the Particle→Aux " +
+        "cell cannot be raised — の+だ rides it (行くのだ). The BOS case IS " +
+        "fixed (BOS→Aux 2300, JaLattice): sentence-initial たら reads as " +
+        "the fish. Corpus practice avoids bare mid-sentence たら carriers " +
+        "(the 行った convention); the aux token itself is stop-POS-dropped, " +
+        "so the divergence is invisible in default-config output"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)
