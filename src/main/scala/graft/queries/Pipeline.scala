@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfIndex, Layout, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, IvfIndex, Layout, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -1920,6 +1920,54 @@ object Pipeline {
       .orderBy("q")
   }
 
+  /** Integer PageRank (q131): graph authority over the symmetrized
+    * customer↔supplier purchase graph (node id = key·2 / key·2+1 keeps the
+    * two key spaces disjoint). Scaled-integer arithmetic is what admits
+    * the exact-hash gate at all — double PageRank sums contributions in
+    * shuffle arrival order and its low bits are not replayable. The
+    * oracle unrolls the three iterations as CTEs (recursive CTEs forbid
+    * aggregation in the recursive term on both engines); every operand is
+    * BIGINT, both engines floor-divide positives identically (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — equal on the all-positive
+    * rank mass), and DuckDB's HUGEINT SUM is cast back to BIGINT.
+    */
+  val q131 = Q(
+    "q131_pagerank_hosts", {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (SELECT n.node,
+           |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS s
+           |    FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON d.src = e.src
+           |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+      s"""WITH eraw AS (SELECT DISTINCT o.o_custkey * 2 AS cu,
+         |    l.l_suppkey * 2 + 1 AS su
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT cu AS src, su AS dst FROM eraw
+         |      UNION ALL SELECT su AS src, cu AS dst FROM eraw),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |${iterCte("r0", "r1")},
+         |${iterCte("r1", "r2")},
+         |${iterCte("r2", "r3")}
+         |SELECT node, pr, rn FROM (
+         |  SELECT node, pr,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INT) AS rn
+         |  FROM r3)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }) { (s, dir) =>
+    val ed = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val edges = ed.select(col("cu").as("src"), col("su").as("dst"))
+      .union(ed.select(col("su").as("src"), col("cu").as("dst")))
+    Graph.pageRankInt(edges, iters = 3, topK = 20).orderBy("rn")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2175,5 +2223,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 }

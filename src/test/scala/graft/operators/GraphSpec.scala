@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Integer PageRank: hand-computed fixed points on tiny graphs (cycle,
+  * star, dangling sink), the tie-break contract, and the partition-layout
+  * independence that admits the operator to the exact-hash oracle gate.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def edges(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  test("2-cycle is the exact fixed point: rank mass never moves") {
+    val out = Graph.pageRankInt(edges(1L -> 2L, 2L -> 1L), iters = 3, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contribution = 10^6 div 1; 150000 + 85*10^6 div 100 = 10^6 again
+    assert(out == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("symmetric star: hub and leaf match the hand-run recurrence") {
+    val e = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+    val out = Graph.pageRankInt(e, iters = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byNode = out.map(t => t._1 -> t._2).toMap
+    // iter1: hub = 150000 + 85*(3*10^6) div 100            = 2700000
+    //        leaf = 150000 + 85*(10^6 div 3) div 100       = 433333
+    // iter2: hub = 150000 + 85*(3*433333) div 100          = 1254999
+    //        leaf = 150000 + 85*(2700000 div 3) div 100    = 915000
+    assert(byNode == Map(0L -> 1254999L, 1L -> 915000L, 2L -> 915000L, 3L -> 915000L))
+    // hub ranks first; leaves tie-break by node id
+    assert(out.sortBy(_._3).map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("dangling sink stays in the node universe and holds teleport mass") {
+    val out = Graph.pageRankInt(edges(1L -> 2L), iters = 2, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sink 2 has no out-edges; source 1 has no in-edges -> pure teleport
+    // iter1: pr(2) = 150000 + 850000 = 10^6;   pr(1) = 150000
+    // iter2: pr(2) = 150000 + 85*150000 div 100 = 277500
+    assert(out == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("topK truncates and rn is dense from 1") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val out = Graph.pageRankInt(e, iters = 3, topK = 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getInt(2)).toSeq.sorted == Seq(1, 2))
+    // 3-cycle: all ranks equal -> tie-break by node id
+    assert(out.sortBy(_.getInt(2)).map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("result is partition-layout independent (the gate property)") {
+    val es = (1 to 200).map(i => (i.toLong, ((i * 37) % 50 + 1).toLong)) ++
+      (1 to 50).map(i => (i.toLong, ((i * 13) % 200 + 1).toLong))
+    val base = edges(es: _*)
+    val a = Graph.pageRankInt(base, iters = 3, topK = 25)
+      .collect().map(_.toSeq).toSeq
+    val b = Graph.pageRankInt(base.repartition(7), iters = 3, topK = 25)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
