@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, IvfIndex, Layout, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, IvfIndex, Layout, Multimodal, Privacy, Retrieval, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -1968,6 +1968,38 @@ object Pipeline {
     Graph.pageRankInt(edges, iters = 3, topK = 20).orderBy("rn")
   }
 
+  /** k-anonymity release audit (q132): the quasi-identifier gate that runs
+    * after PII redaction (q58 scrubs direct identifiers; combinations of
+    * harmless columns still re-identify). Quasi tuple = (nation, segment,
+    * $1000 balance bucket); k = 5. One hash-keyed shuffle — the class
+    * size is an unordered window count (no sort, no single reducer).
+    * FLOOR(double) is LONG in Spark and DOUBLE in DuckDB — the oracle
+    * CASTs to BIGINT; the division itself is the same IEEE double op on
+    * both engines.
+    */
+  val q132 = Q(
+    "q132_k_anonymity",
+    """WITH g AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer),
+      |w AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+      |    bal_bucket) AS qi_n FROM g)
+      |SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(CASE WHEN qi_n < 5 THEN 1 END) AS BIGINT) AS n_suppressed,
+      |  CAST(MIN(qi_n) AS BIGINT) AS min_class
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).as("bal_bucket"))
+    Privacy.kAnonymityReport(g,
+        quasi = Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5,
+        groupCols = Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        col("n_rows"), col("n_suppressed"), col("min_class"))
+      .orderBy("nation", "segment")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2223,5 +2255,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** k-anonymity: class-size counting, the suppression threshold boundary,
+  * null quasi-values as their own class, the generalization-ladder
+  * monotonicity that makes the coarsen-and-re-run loop terminate, and
+  * partition-layout independence.
+  */
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def people(rows: (Int, String, Int)*) = {
+    import spark.implicits._
+    rows.toDF("zip", "job", "age")
+  }
+
+  test("class sizes and the k boundary: size == k is NOT suppressed") {
+    val df = people(
+      (100, "a", 30), (100, "a", 31), (100, "a", 32), // class of 3
+      (200, "b", 40), (200, "b", 41),                 // class of 2
+      (300, "c", 50))                                 // class of 1
+    val out = Privacy.kAnonymize(df, Seq("zip", "job"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.filter(_._1 == 100).forall(t => t._2 == 3L && !t._3))
+    assert(out.filter(_._1 == 200).forall(t => t._2 == 2L && !t._3)) // == k kept
+    assert(out.filter(_._1 == 300).forall(t => t._2 == 1L && t._3))
+  }
+
+  test("null quasi-identifier values form their own equivalence class") {
+    import spark.implicits._
+    val df = Seq((Some(1), "x"), (None, "x"), (None, "x"))
+      .toDF("zip", "job")
+    val out = Privacy.kAnonymize(df, Seq("zip"), k = 2)
+      .collect().map(r => (r.isNullAt(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.filter(_._1).forall(t => t._2 == 2L && !t._3))
+    assert(out.filter(!_._1).forall(t => t._2 == 1L && t._3))
+  }
+
+  test("generalization monotonicity: coarsening a quasi column never shrinks a class") {
+    // the property that terminates the coarsen-and-re-run ladder
+    import org.apache.spark.sql.functions._
+    val df = people((1 to 20).map(i => (i % 10, "j", i % 4)): _*)
+    val fine = Privacy.kAnonymize(df, Seq("zip", "age"), k = 3)
+      .collect().map(r => ((r.getInt(0) % 2, r.getInt(2)), r.getLong(3)))
+    val coarse = Privacy.kAnonymize(df.withColumn("zip", col("zip") % 2),
+        Seq("zip", "age"), k = 3)
+      .collect().map(r => ((r.getInt(0), r.getInt(2)), r.getLong(3))).toMap
+    assert(fine.forall { case (key, fineN) => coarse(key) >= fineN })
+  }
+
+  test("report aggregates suppressed counts and the smallest class per slice") {
+    val df = people(
+      (100, "a", 30), (100, "a", 31), (100, "b", 30),
+      (200, "a", 40), (200, "a", 40), (200, "a", 41))
+    val out = Privacy.kAnonymityReport(df, Seq("zip", "job", "age"), k = 2,
+        groupCols = Seq("zip"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // zip 100: classes (a,30)=1 (a,31)=1 (b,30)=1 -> all 3 suppressed
+    assert(out(100) == ((3L, 3L, 1L)))
+    // zip 200: (a,40)=2 kept, (a,41)=1 suppressed
+    assert(out(200) == ((3L, 1L, 1L)))
+  }
+
+  test("result is partition-layout independent (the gate property)") {
+    val df = people((1 to 500).map(i => (i % 23, "j" + (i % 7), i % 11)): _*)
+    val a = Privacy.kAnonymize(df, Seq("zip", "job"), k = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Privacy.kAnonymize(df.repartition(9), Seq("zip", "job"), k = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
