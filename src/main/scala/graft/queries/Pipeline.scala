@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, IvfIndex, Layout, Multimodal, Privacy, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, IvfIndex, Layout, Multimodal, Privacy, Retrieval, Robust, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -2000,6 +2000,42 @@ object Pipeline {
       .orderBy("nation", "segment")
   }
 
+  /** Robust MAD outlier audit (q133): median + MAD instead of mean +
+    * stddev (50% breakdown vs 0% — a contaminated tail cannot drag the
+    * gate), both as exact LOWER MEDIANS over integer dollars via
+    * value-keyed counts + a cumulative window over DISTINCT values only
+    * (domain-bounded — the corpus never enters a window). Integer
+    * selection is engine-exact where interpolated percentiles are not.
+    * Global med/mad broadcast into a per-row flag; |v−med| > 5·mad.
+    */
+  val q133 = Q(
+    "q133_mad_outliers",
+    """WITH r AS (SELECT o_orderpriority AS grp,
+      |    CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders),
+      |cnts AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnts),
+      |cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM cnts),
+      |med AS (SELECT MIN(v) AS med FROM cum CROSS JOIN tot
+      |        WHERE c >= (n + 1) // 2),
+      |dev AS (SELECT ABS(v - med) AS d, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |        FROM cnts CROSS JOIN med GROUP BY 1),
+      |cum2 AS (SELECT d, CAST(SUM(cnt) OVER (ORDER BY d
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM dev),
+      |mad AS (SELECT MIN(d) AS mad FROM cum2 CROSS JOIN tot
+      |        WHERE c >= (n + 1) // 2)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(CASE WHEN ABS(v - med) > 5 * mad THEN 1 END) AS BIGINT)
+      |    AS n_outliers,
+      |  MAX(med) AS med, MAX(mad) AS mad
+      |FROM r CROSS JOIN med CROSS JOIN mad
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val r = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+      floor(col("o_totalprice")).as("v"))
+    Robust.madOutlierReport(r, "v", mult = 5, groupCols = Seq("grp"))
+      .orderBy("grp")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2255,5 +2291,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }

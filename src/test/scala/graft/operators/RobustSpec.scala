@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** MAD robust statistics: hand-computed lower medians (odd, even, and
+  * repeated-value multisets), the outlier flag boundary, the breakdown
+  * property that motivates MAD over stddev, and partition independence.
+  */
+class RobustSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(xs: Seq[Long]) = {
+    import spark.implicits._
+    xs.toDF("v")
+  }
+
+  private def stats(xs: Seq[Long]): (Long, Long, Long) = {
+    val r = Robust.madStats(df(xs), "v").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("odd count: med is the middle, mad the middle deviation") {
+    // sorted 1 2 3 4 100 -> med 3; |d| sorted 0 1 1 2 97 -> mad 1
+    assert(stats(Seq(3, 1, 100, 2, 4)) == ((3L, 1L, 5L)))
+  }
+
+  test("even count uses the LOWER median") {
+    // sorted 1 2 3 4 -> lower median 2; |d| 1 0 1 2 sorted 0 1 1 2 -> mad 1
+    assert(stats(Seq(4, 2, 3, 1)) == ((2L, 1L, 4L)))
+  }
+
+  test("repeated values: counts weight the selection") {
+    // 5,5,5,5,9 -> med 5; deviations 0 x4, 4 -> mad 0
+    assert(stats(Seq(5, 5, 5, 5, 9)) == ((5L, 0L, 5L)))
+  }
+
+  test("breakdown: one wild value moves mean/stddev but not med/mad") {
+    val clean = stats(Seq(10, 11, 12, 13, 14))
+    val dirty = stats(Seq(10, 11, 12, 13, 1000000))
+    assert(clean._1 == 12L && dirty._1 == 12L)
+    assert(clean._2 == 1L && dirty._2 == 1L)
+  }
+
+  test("outlier report: boundary is strict (> mult*mad, not >=)") {
+    import spark.implicits._
+    // med 10, deviations 0 0 0 5 5 -> mad 0... use a spread set instead:
+    // values 8 9 10 11 12 100: med 10 (lower), devs 2 1 0 1 2 90 ->
+    // sorted 0 1 1 2 2 90, n=6 -> k=3 -> mad 1
+    val d = Seq(("a", 8L), ("a", 9L), ("a", 10L), ("b", 11L), ("b", 12L), ("b", 100L))
+      .toDF("grp", "v")
+    val out = Robust.madOutlierReport(d, "v", mult = 2, groupCols = Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // threshold: |v-10| > 2 -> 8(d2) not outlier (strict), 100(d90) is
+    assert(out("a") == ((3L, 0L, 10L, 1L)))
+    assert(out("b") == ((3L, 1L, 10L, 1L)))
+  }
+
+  test("null values are excluded from the stats but counted in n_rows") {
+    import spark.implicits._
+    val d = Seq((Some(1L), "g"), (Some(2L), "g"), (Some(3L), "g"), (None, "g"))
+      .toDF("v", "grp")
+    val st = Robust.madStats(d, "v").head()
+    assert(st.getLong(0) == 2L && st.getLong(2) == 3L)
+    val rep = Robust.madOutlierReport(d, "v", 3, Seq("grp")).head()
+    assert(rep.getLong(1) == 4L && rep.getLong(2) == 0L)
+  }
+
+  test("result is partition-layout independent (the gate property)") {
+    val xs = (1 to 997).map(i => ((i * 37) % 211).toLong)
+    val a = Robust.madStats(df(xs), "v").head().toSeq
+    val b = Robust.madStats(df(xs).repartition(11), "v").head().toSeq
+    assert(a == b)
+  }
+}
