@@ -41,12 +41,22 @@ private[ja] object JaCosts {
   final val AdjGaru = 16 // i-adjective 語幹 (忙し): licenses 様態 そう only
   final val AuxTa = 17 // the past auxiliary た: 連用形-only, never bare-noun
   final val VOnbin = 18 // voiced-past 音便 stem (泳い/読ん): precedes だ/で, never た
-  final val NumClasses = 19
+  final val AuxMasu = 19 // 連用形-only auxiliaries: the polite ます paradigm
+  // (ます/まし/ませ) and the desiderative たい paradigm (たい/たく/たかっ).
+  // Like た, a particle or bare noun before them is ungrammatical — ×に+まし
+  // made ～になりました (and ×に+たい, ～になりたい) read なり as the
+  // listing particle instead of the verb 連用形
+  final val NumClasses = 20
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
     if (pos.startsWith("助詞")) { if (e.surface == "ば") ParticleBa else Particle }
-    else if (pos.startsWith("助動詞")) { if (e.surface == "た") AuxTa else Aux }
+    else if (pos.startsWith("助動詞")) {
+      if (e.surface == "た") AuxTa
+      else if (e.surface == "ます" || e.surface == "まし" || e.surface == "ませ" ||
+        e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ") AuxMasu
+      else Aux
+    }
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
     else if (pos == graft.ja.JaInflection.GaruPos) AdjGaru
     else if (pos == graft.ja.JaInflection.VOnbinPos) VOnbin
@@ -78,7 +88,16 @@ private[ja] object JaCosts {
     // voiced 音便 stem licenses だ/で and nothing else — a ~1k-sentence
     // corpus has near-zero counts in these cells and smoothing would
     // replace the engineered margins with mild ones (ADVICE r10).
-    (VOnbin, AuxTa), (VOnbin, ParticleBa), (VOnbin, Aux), (VOnbin, Particle)) ++
+    (VOnbin, AuxTa), (VOnbin, ParticleBa), (VOnbin, Aux), (VOnbin, Particle),
+    // The ます-paradigm attachment contract is grammar like AuxTa's: the
+    // polite auxiliary is 連用形-only, so every non-連用 host cell is an
+    // engineered fence a small corpus could never learn (×に+まし was
+    // reading ～になりました with the listing particle なり).
+    (VerbInfl, AuxMasu), (Aux, AuxMasu), (AuxMasu, Aux), (AuxMasu, AuxTa),
+    (Noun, AuxMasu), (Sahen, AuxMasu), (NounSuffix, AuxMasu),
+    (Num, AuxMasu), (Particle, AuxMasu), (BOS, AuxMasu),
+    (VerbCond, AuxMasu), (VOnbin, AuxMasu), (AdjInfl, AuxMasu),
+    (AdjTerm, AuxMasu), (VerbTerm, AuxMasu)) ++
     (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
@@ -186,6 +205,30 @@ private[ja] object JaCosts {
     // legitimate double-particle chains (には/からも) have no dictionary
     // competitor on their span and are unaffected (golden replay green)
     set(Unknown, Unknown, 400)
+    // polite ます paradigm (ます/まし/ませ): 連用形-only, mirroring the AuxTa
+    // block — the licensed hosts are verb 連用形 (飲み+ます) and auxiliary
+    // 連用形 (られ+ます, でき+ます is VerbInfl); everything else is a fence.
+    // ×に+まし is the load-bearing cell: without it ～になりました read なり
+    // as the listing particle (500+900 beat the verb's 2400−800).
+    set(VerbInfl, AuxMasu, -800) // 飲み+ます, なり+まし
+    set(Aux, AuxMasu, -300) // られ+ます, せ+ます
+    set(AuxMasu, Aux, -300) // ませ+ん
+    set(AuxMasu, AuxTa, -300) // まし+た
+    set(Noun, AuxMasu, 800) // ×名詞+ます (です is the polite noun aux)
+    set(Sahen, AuxMasu, 800) // ×発表+ます (発表+し+ます is the licensed path)
+    set(NounSuffix, AuxMasu, 800)
+    set(Num, AuxMasu, 800)
+    set(Particle, AuxMasu, 800) // ×に+まし
+    set(BOS, AuxMasu, 2300) // same level as BOS→Aux
+    set(VerbCond, AuxMasu, 1200) // ×届け+ます handled by the ichidan homograph
+    set(VOnbin, AuxMasu, 800) // ×読ん+ます
+    set(AdjInfl, AuxMasu, 800) // ×高く+ます
+    set(AdjTerm, AuxMasu, 800) // ×高い+ます (高い+です is licensed, Aux)
+    set(VerbTerm, AuxMasu, 800) // ×なる+ます
+    set(AdjInfl, VerbInfl, -400) // 高く+なり(→なる): the adverbial 連用形
+    // canonically precedes verbs; −400 (not −300) because the particle なり
+    // homograph costs 500+0+800 = 1300 via ×Particle→AuxMasu and the verb
+    // path must clear it strictly (2400−400−800 = 1200), not tie
     m
   }
 

@@ -216,4 +216,23 @@ class JaTokenizerSpec extends AnyFunSuite {
     // double-particle chains with no dictionary competitor are unaffected
     assert(t.tokenize("駅には売店がある。").toSeq == Seq("駅", "売店"))
   }
+
+  test("AuxMasu fence: 連用形-only ます/たい never attach to a particle — the なり homograph (round 11)") {
+    // raw stream (no stop filters): the fence's effect is only visible
+    // with auxiliaries unfiltered
+    val t = new JaTokenizer(stopWords = Set.empty, stopTags = Set.empty)
+    // ×に+なり(助詞)+まし lost to に+なり(→なる)+まし via Particle→AuxMasu=800
+    assert(t.tokenize("真っ暗になりました。").toSeq ==
+      Seq("真っ暗", "に", "なる", "ます", "た"))
+    // same fence through the たい paradigm
+    assert(t.tokenize("医者になりたい。").toSeq == Seq("医者", "に", "なる", "たい"))
+    // AdjInfl→VerbInfl=-400: the adverbial 連用形 hosts the verb reading
+    assert(t.tokenize("値段が高くなりました。").toSeq ==
+      Seq("値段", "が", "高い", "なる", "ます", "た"))
+    // the listing particle なり survives where it is genuine
+    assert(t.tokenize("それなりの成果。").toSeq == Seq("それ", "なり", "の", "成果"))
+    // でし now lemmatizes to です through the ませんでした chain
+    assert(t.tokenize("本を読みませんでした。").toSeq ==
+      Seq("本", "を", "読む", "ます", "ん", "です", "た"))
+  }
 }
