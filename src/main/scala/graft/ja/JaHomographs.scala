@@ -120,7 +120,22 @@ object JaHomographs {
         "fixed (BOS→Aux 2300, JaLattice): sentence-initial たら reads as " +
         "the fish. Corpus practice avoids bare mid-sentence たら carriers " +
         "(the 行った convention); the aux token itself is stop-POS-dropped, " +
-        "so the divergence is invisible in default-config output"))
+        "so the divergence is invisible in default-config output"),
+    Ledger(
+      name = "早めに: 連用形早め(→早める) vs 語幹早め+に",
+      carrier = "早めに寝る。",
+      pinnedTokens = Seq("早める", "寝る"),
+      pinned = Seq(Tok("早め", "動詞", base = "早める"), Tok("に", "助詞"),
+        Tok("寝る", "動詞")),
+      rejected = Seq(Tok("早め", "名詞-形容動詞語幹"), Tok("に", "助詞"),
+        Tok("寝る", "動詞")),
+      note = "round-11: the ichidan 連用形 (verb base 2800−400) undercuts " +
+        "the na-stem reading (generic 3000−400) by 200 with equal " +
+        "→Particle attachment; pricing 名詞-形容動詞語幹 at 2600 was tried " +
+        "and REVERTED — 十分(na) stole the pinned counter chain 三|十|分 in " +
+        "six goldens (posBase note). Golden 944 pins the verb lemma; " +
+        "遅め/多め (no verb homograph) keep the na reading per goldens " +
+        "971/1285"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)

@@ -279,6 +279,11 @@ private[ja] object JaCosts {
     else if (pos.startsWith("助動詞")) 600
     else if (pos == "名詞-数") 1500
     else if (pos.startsWith("名詞-接尾-助数詞")) 2400 // counters bind to numerals (三十|分 over 三|十分)
+    // NOTE round 11: pricing 名詞-形容動詞語幹 at 2600 (to let the na-stem
+    // 早め beat the ichidan 連用形 早め→早める before に) was tried and
+    // REVERTED — it let 十分 (na, じゅうぶん) steal the pinned counter
+    // chain 三|十|分 in six goldens. The めに adverbial family is handled
+    // as lexicalized 副詞 entries instead (the すぐに/急に convention).
     else if (pos.startsWith("名詞-接尾")) 3000 // costly enough not to tear compounds
     else if (pos.startsWith("接頭詞")) 2200
     else if (pos.startsWith("名詞-固有名詞")) 3200
