@@ -53,4 +53,34 @@ object Privacy {
         count(when(col("suppressed"), lit(1))).as("n_suppressed"),
         min(col("qi_n")).as("min_class"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006): k-anonymity is
+    * not enough when an equivalence class is homogeneous in the SENSITIVE
+    * attribute (every row shares one diagnosis → re-identification reveals
+    * it anyway). A class is l-diverse iff it contains ≥ l distinct
+    * sensitive values. Per `groupCols` slice: class count, classes below
+    * `l` (the release blockers), the worst diversity, and row count.
+    *
+    * Scale shape: one hash aggregate keyed by (quasi, sensitive) — the
+    * distinct step — then two strictly-shrinking re-aggregations (quasi,
+    * then slice). All partial-aggregating, no window, no join; the widest
+    * shuffle carries one row per distinct (class, value) pair.
+    */
+  def lDiversityReport(df: DataFrame, quasi: Seq[String], sensitiveCol: String,
+      l: Int, groupCols: Seq[String]): DataFrame = {
+    require(quasi.nonEmpty, "lDiversityReport: quasi-identifier set must be non-empty")
+    require(l >= 1, "lDiversityReport: l must be >= 1")
+    require(groupCols.forall(quasi.contains),
+      "lDiversityReport: groupCols must be a subset of the quasi-identifier columns")
+    val classes = df
+      .groupBy(quasi.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("diversity"),
+        count(lit(1)).as("class_n"))
+    classes.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        count(when(col("diversity") < l, lit(1))).as("n_weak"),
+        min(col("diversity")).as("min_diversity"),
+        sum(col("class_n")).as("n_rows"))
+  }
 }

@@ -2036,6 +2036,38 @@ object Pipeline {
       .orderBy("grp")
   }
 
+  /** l-diversity audit (q134): k-anonymity's companion gate — a class can
+    * be large yet homogeneous in the sensitive attribute, and
+    * re-identification then reveals the value anyway. Quasi = (nation,
+    * $1000 balance bucket), sensitive = market segment, l = 3. One
+    * (quasi, sensitive)-keyed hash aggregate, then two shrinking
+    * re-aggregations — no window, no join.
+    */
+  val q134 = Q(
+    "q134_l_diversity",
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer),
+      |cls AS (SELECT c_nationkey, bal_bucket,
+      |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS diversity,
+      |    CAST(COUNT(*) AS BIGINT) AS class_n
+      |  FROM g GROUP BY 1, 2)
+      |SELECT c_nationkey AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(COUNT(CASE WHEN diversity < 3 THEN 1 END) AS BIGINT) AS n_weak,
+      |  CAST(MIN(diversity) AS BIGINT) AS min_diversity,
+      |  CAST(SUM(class_n) AS BIGINT) AS n_rows
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "customer").select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).as("bal_bucket"))
+    Privacy.lDiversityReport(g,
+        quasi = Seq("c_nationkey", "bal_bucket"), sensitiveCol = "c_mktsegment",
+        l = 3, groupCols = Seq("c_nationkey"))
+      .select(col("c_nationkey").as("nation"), col("n_classes"),
+        col("n_weak"), col("min_diversity"), col("n_rows"))
+      .orderBy("nation")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2291,5 +2323,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }

@@ -64,6 +64,34 @@ class PrivacySpec extends AnyFunSuite {
     assert(out(200) == ((3L, 1L, 1L)))
   }
 
+  test("l-diversity: homogeneous classes are weak even when large (the k-anonymity gap)") {
+    import spark.implicits._
+    // class (1): 4 rows but ONE sensitive value -> weak at l=2
+    // class (2): 2 rows, two values -> diverse
+    val df = Seq((1, "flu"), (1, "flu"), (1, "flu"), (1, "flu"),
+        (2, "flu"), (2, "cold"))
+      .toDF("zip", "diagnosis")
+    val out = Privacy.lDiversityReport(df, Seq("zip"), "diagnosis", l = 2,
+        groupCols = Seq("zip"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1) == ((1L, 1L, 1L, 4L))) // 1 class, weak, diversity 1, 4 rows
+    assert(out(2) == ((1L, 0L, 2L, 2L)))
+  }
+
+  test("l-diversity boundary: diversity == l is NOT weak; groupCols must be in quasi") {
+    import spark.implicits._
+    val df = Seq((1, "a", "x"), (1, "a", "y"), (1, "b", "x"))
+      .toDF("zip", "ward", "val")
+    val out = Privacy.lDiversityReport(df, Seq("zip", "ward"), "val", l = 2,
+        groupCols = Seq("zip")).head()
+    assert(out.getLong(1) == 2L) // classes (1,a) and (1,b)
+    assert(out.getLong(2) == 1L) // only (1,b) with diversity 1 is weak
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityReport(df, Seq("zip"), "val", 2, Seq("ward"))
+    }
+  }
+
   test("result is partition-layout independent (the gate property)") {
     val df = people((1 to 500).map(i => (i % 23, "j" + (i % 7), i % 11)): _*)
     val a = Privacy.kAnonymize(df, Seq("zip", "job"), k = 4)
