@@ -58,23 +58,35 @@ object Graph {
       : DataFrame = {
     require(iters >= 1, "pageRankInt: iters must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "pageRankInt: 0 < damp < 1")
+    // hash-partition on src BEFORE the checkpoint: LogicalRDD preserves
+    // the physical partitioning, so none of the `iters` join stages has to
+    // re-exchange the edge side — only the tiny rank table moves per hop
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Node universe = sources ∪ sinks, so pure sinks still hold pr mass.
+    // Node universe = sources ∪ sinks (pure sinks still hold rank mass),
+    // with each node's outdeg folded in ONCE — the iteration then needs a
+    // single equi-join per hop instead of two. Checkpointed: one (long,
+    // long) row per node, and every iteration's lineage restarts here
+    // instead of replaying the union/distinct.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
     val base = scale - scale * dampNum / dampDen
     var pr = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iters) {
+      // per-edge contribution computed on the NODE side before the join —
+      // one divide per node, not per edge; outdeg 0 rows yield null but
+      // never match (a node with no out-edges joins no e.src)
       val contrib = e
-        .join(deg, Seq("src"))
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          expr("pr div outdeg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
+        .join(pr.select(col("node").as("src"),
+          expr("pr div outdeg").as("c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("pr"))
     }
