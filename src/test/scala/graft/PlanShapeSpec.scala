@@ -130,4 +130,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q132 k-anonymity window is keyed on the quasi tuple, never a single reducer") {
+    val p = plan("q132_k_anonymity")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(c_nationkey"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q134 l-diversity is pure shrinking aggregation: no window, no join") {
+    val p = plan("q134_l_diversity")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p) // map-side partials before each exchange
+  }
 }
