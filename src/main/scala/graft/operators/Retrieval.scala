@@ -44,13 +44,29 @@ object Retrieval {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20, logIdf: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: query term set must be non-empty")
+    bm25TopKTerms(df, idCol, textCol,
+      df.sparkSession.createDataFrame(terms.distinct.map(Tuple1(_)))
+        .toDF("term"),
+      k1, b, topK, logIdf)
+  }
+
+  /** bm25TopK with the query term set as a one-column DataFrame ("term") —
+    * the shape query-expansion stages produce. The term set joins the
+    * posting stream broadcast (it is a query, bounded by construction),
+    * so the plan is identical to the literal-isin form: only matched
+    * postings reach a shuffle.
+    */
+  def bm25TopKTerms(df: DataFrame, idCol: String, textCol: String,
+      termsDf: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20, logIdf: Boolean = true): DataFrame = {
+    val terms = termsDf.select(col("term")).distinct()
     val toks = split(col(textCol), " ")
     val lens = df.select(col(idCol).as("doc_id"), size(toks).as("dl"))
     val stats = lens.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val posted = df.select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .where(col("term").isin(terms: _*))
+      .join(broadcast(terms), Seq("term"))
     val tf = posted.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
@@ -115,5 +131,48 @@ object Retrieval {
       .where(col("rn") <= kFinal)
       .select(col("doc_id"), col("lex_rn"), col("vec_rn"), col("cos"),
         col("rrf"), col("rn"))
+  }
+
+  /** Pseudo-relevance-feedback term expansion (the RM3 family, Lavrenko &
+    * Croft SIGIR 2001 / Abdul-Jaleel TREC 2004): assume the top `kFb`
+    * BM25 documents are relevant, mine their most frequent terms, and add
+    * the top `mExp` (excluding the seed terms and tokens shorter than
+    * `minLen`) to the query. Unweighted expansion keeps every downstream
+    * number inside the exact-oracle gate — classic RM3 interpolates
+    * per-term probabilities, which would reintroduce cross-engine float
+    * drift for no extra coverage here.
+    *
+    * Scale shape: the feedback set is ≤ kFb doc ids broadcast into the
+    * token stream; candidate counting aggregates only those documents'
+    * tokens; the top-m selection is TakeOrdered over the candidate term
+    * table. Ties break by (weight desc, term asc) — total and replayable.
+    */
+  def prfExpandTerms(df: DataFrame, idCol: String, textCol: String,
+      seedTerms: Seq[String], kFb: Int, mExp: Int, minLen: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty, "prfExpandTerms: seed term set must be non-empty")
+    val fb = bm25TopK(df, idCol, textCol, seedTerms, k1, b,
+      topK = kFb, logIdf = false).select(col("doc_id"))
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .join(broadcast(fb), Seq("doc_id"))
+      .where(length(col("term")) >= minLen && !col("term").isin(seedTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("term")).limit(mExp)
+      .select(col("term"))
+  }
+
+  /** BM25 with one round of pseudo-relevance feedback: seed retrieval →
+    * expansion terms → re-retrieval over seed ∪ expansion. Rational idf
+    * throughout (the oracle-gate form).
+    */
+  def bm25Prf(df: DataFrame, idCol: String, textCol: String,
+      seedTerms: Seq[String], kFb: Int = 10, mExp: Int = 3, minLen: Int = 4,
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val exp = prfExpandTerms(df, idCol, textCol, seedTerms, kFb, mExp, minLen, k1, b)
+    val seed = df.sparkSession
+      .createDataFrame(seedTerms.distinct.map(Tuple1(_))).toDF("term")
+    bm25TopKTerms(df, idCol, textCol, exp.union(seed).distinct(),
+      k1, b, topK, logIdf = false)
   }
 }

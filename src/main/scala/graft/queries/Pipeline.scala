@@ -2068,6 +2068,60 @@ object Pipeline {
       .orderBy("nation")
   }
 
+  /** PRF expanded retrieval (q135): one round of pseudo-relevance feedback
+    * (RM3 family) — BM25 seed pass, top-weight expansion terms mined from
+    * the feedback docs (len ≥ 4, seed excluded, (w desc, term) tie-break),
+    * re-retrieval over seed ∪ expansion. Unweighted expansion keeps every
+    * number in the exact gate (classic RM3's interpolated weights would
+    * reintroduce float drift). The oracle replays BOTH scoring chains —
+    * the second one joins a term CTE instead of a literal list.
+    */
+  val q135 = Q(
+    "q135_bm25_prf", {
+      val lits = Bm25Terms.map(t0 => s"'$t0'").mkString(", ")
+      def chain(sfx: String, topK: Int): String =
+        s"""dfr$sfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft
+           |  FROM f$sfx GROUP BY 1),
+           |sc$sfx AS (SELECT doc_id, term,
+           |    ((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
+           |      * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} / (CAST(tf AS DOUBLE)
+           |         + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))) AS s
+           |  FROM f$sfx JOIN dfr$sfx USING (term) JOIN lens USING (doc_id)
+           |  CROSS JOIN stats),
+           |d$sfx AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+           |      (a, x) -> a + x) AS score
+           |  FROM sc$sfx GROUP BY doc_id),
+           |top$sfx AS (SELECT * FROM d$sfx ORDER BY score DESC, doc_id LIMIT $topK),
+           |lex$sfx AS (SELECT doc_id, n_terms, score,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+           |  FROM top$sfx)""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lens AS (SELECT doc_id, len(t) AS dl FROM tk),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+         |m AS (SELECT doc_id, unnest(t) AS term FROM tk),
+         |f1 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM m
+         |       WHERE term IN ($lits) GROUP BY 1, 2),
+         |${chain("1", 10)},
+         |exp AS (SELECT term FROM (
+         |    SELECT m.term AS term, CAST(COUNT(*) AS BIGINT) AS w
+         |    FROM m JOIN top1 USING (doc_id)
+         |    WHERE length(m.term) >= 4 AND m.term NOT IN ($lits)
+         |    GROUP BY 1) ORDER BY w DESC, term LIMIT 3),
+         |allt AS (SELECT term FROM exp
+         |         UNION SELECT term FROM (SELECT unnest([$lits]) AS term)),
+         |f2 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM m
+         |       JOIN allt USING (term) GROUP BY 1, 2),
+         |${chain("2", 15)}
+         |SELECT doc_id, n_terms, score, rn FROM lex2 ORDER BY rn""".stripMargin
+    }) { (s, dir) =>
+    Retrieval.bm25Prf(t(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, kFb = 10, mExp = 3, minLen = 4, topK = 15,
+      k1 = Bm25K1, b = Bm25B)
+      .orderBy("rn")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2323,5 +2377,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

@@ -118,4 +118,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1L)._2 == 1)
     assert(out(2L)._2 == 2)
   }
+
+  test("PRF expansion mines feedback-doc terms: seed excluded, minLen filtered, (w, term) tie-break") {
+    import spark.implicits._
+    val corpus2 = Seq(
+      1L -> "query alpha alpha bravo xx",
+      2L -> "query alpha charlie yy",
+      3L -> "other delta delta delta zz").toDF("doc_id", "text")
+    // seed "query" hits docs 1,2 (the feedback set at kFb=2); their
+    // terms >= 4 chars excluding the seed: alpha(3) bravo(1) charlie(1)
+    val exp = Retrieval.prfExpandTerms(corpus2, "doc_id", "text",
+        Seq("query"), kFb = 2, mExp = 2, minLen = 4)
+      .collect().map(_.getString(0)).toSeq
+    // top-2 by (w desc, term asc): alpha, then bravo beats charlie on tie
+    assert(exp == Seq("alpha", "bravo"))
+  }
+
+  test("PRF retrieval: expanded query reaches docs the seed missed") {
+    import spark.implicits._
+    val corpus2 = Seq(
+      1L -> "query alpha alpha",
+      2L -> "query alpha",
+      3L -> "alpha alpha alpha",  // no seed term — only reachable expanded
+      4L -> "unrelated words").toDF("doc_id", "text")
+    val seedOnly = Retrieval.bm25TopK(corpus2, "doc_id", "text",
+        Seq("query"), topK = 10, logIdf = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(seedOnly == Set(1L, 2L))
+    val out = Retrieval.bm25Prf(corpus2, "doc_id", "text", Seq("query"),
+        kFb = 2, mExp = 1, minLen = 4, topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L)) // alpha expanded in; doc 4 still out
+  }
 }
