@@ -180,4 +180,37 @@ object HistogramQuantiles {
             ((col("hi") - col("lo")) / buckets)).as("hi_edge"),
         col("cum"), col("n"))
   }
+
+  /** Per-row quantile-bin assignment — the stratification step a balanced
+    * sampler / curriculum builder runs on top of the quantile sketch:
+    * every input row gains `qbin` = the number of quantile thresholds
+    * strictly below its histogram bucket (0 = at-or-below the first
+    * quantile, |qs| = above the last). Bucket math is byte-identical to
+    * [[quantiles]], so the bin boundaries ARE the sketch's answers.
+    *
+    * Scale shape: the stats row and the ≤|qs| threshold buckets (collected
+    * into ONE array row) are both broadcast; the assignment itself is a
+    * per-row projection (`size(filter(...))` over a ≤|qs| array — inside
+    * codegen, no join, no shuffle of the corpus). Bin counting is
+    * order-independent, so the result sits in the exact gate like the
+    * sketch it composes.
+    */
+  def quantileBin(df: DataFrame, valueCol: String, buckets: Int,
+      qs: Seq[Double]): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.where(v.isNotNull).select(v.as("x"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val thr = quantiles(df, valueCol, buckets, qs)
+      .agg(collect_list(col("bucket")).as("tb"))
+    val idx = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(
+        floor((v - col("lo")) / ((col("hi") - col("lo")) / buckets))
+          .cast("int"),
+        lit(buckets - 1)))
+    df.crossJoin(broadcast(stats)).crossJoin(broadcast(thr))
+      .withColumn("qbin",
+        when(v.isNull, lit(null))
+          .otherwise(size(filter(col("tb"), t => t < idx)).cast("int")))
+      .drop("lo", "hi", "tb")
+  }
 }

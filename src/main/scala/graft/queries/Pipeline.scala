@@ -2122,6 +2122,48 @@ object Pipeline {
       .orderBy("rn")
   }
 
+  /** Quantile-bin stratification (q136): per-row quartile assignment from
+    * the q129 histogram sketch (byte-identical bucket math), then exact
+    * decimal revenue per stratum — the balanced-sampling / curriculum
+    * split step. The assignment is a per-row projection against two
+    * broadcast one-row frames (stats + the ≤|qs| threshold array); the
+    * corpus never joins or shuffles before the final rollup.
+    */
+  val q136 = Q(
+    "q136_quantile_bins", {
+      s"""WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         |    l_extendedprice AS p FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |stats AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+         |                 CAST(COUNT(*) AS BIGINT) AS n FROM r),
+         |hist AS (SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / $HistB)) AS INT),
+         |               ${HistB - 1}) END AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt, MAX(n) AS n
+         |  FROM r CROSS JOIN stats GROUP BY 1),
+         |cum AS (SELECT *, CAST(SUM(cnt) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+         |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q),
+         |hit AS (SELECT q, MIN(bucket) AS bucket FROM cum JOIN qs
+         |    ON cum >= CAST(CEIL(q * n) AS BIGINT) GROUP BY q),
+         |tb AS (SELECT list(bucket) AS tb FROM hit),
+         |binned AS (SELECT
+         |    CAST(len(list_filter(tb, t -> t < CASE WHEN hi = lo THEN 0
+         |      ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / $HistB)) AS INT),
+         |                 ${HistB - 1}) END)) AS INT) AS qbin, p
+         |  FROM r CROSS JOIN stats CROSS JOIN tb)
+         |SELECT qbin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  SUM(CAST(p AS DECIMAL(9,2))) AS revenue
+         |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.HistogramQuantiles
+      .quantileBin(t(s, dir, "lineitem"), "l_extendedprice", HistB,
+        Seq(0.25, 0.5, 0.75))
+      .groupBy(col("qbin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Tables.dec(col("l_extendedprice"))).as("revenue"))
+      .orderBy("qbin")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2377,5 +2419,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

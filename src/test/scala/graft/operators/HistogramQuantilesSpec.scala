@@ -47,6 +47,28 @@ class HistogramQuantilesSpec extends AnyFunSuite {
     assert(out.head.getLong(5) == 3L)
   }
 
+  test("quantileBin strata: uniform 1..100 quartiles put ~25 rows per bin") {
+    val out = HistogramQuantiles
+      .quantileBin(df((1 to 100).map(_.toDouble)), "x", 100, Seq(0.25, 0.5, 0.75))
+      .groupBy("qbin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 100 buckets of width 0.99: quantile buckets are 24/49/74 (cum hits
+    // 25/50/75 exactly); bin = #thresholds strictly below the row bucket
+    assert(out.keySet == Set(0, 1, 2, 3), out)
+    assert(out(0) == 25L && out(1) == 25L && out(2) == 25L && out(3) == 25L, out)
+  }
+
+  test("quantileBin keeps every input column and nulls get a null bin") {
+    import spark.implicits._
+    val d = Seq((Some(1.0), "a"), (Some(50.0), "b"), (None, "c"), (Some(100.0), "d"))
+      .toDF("x", "tag")
+    val out = HistogramQuantiles.quantileBin(d, "x", 10, Seq(0.5))
+      .collect().map(r => r.getString(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out("c").isEmpty)
+    assert(out("a").contains(0) && out("d").contains(1))
+  }
+
   test("result is partition-layout independent (the gate property)") {
     val base = df((1 to 1000).map(i => (i * 37 % 211).toDouble))
     val a = HistogramQuantiles.quantiles(base, "x", 32, Seq(0.25, 0.5, 0.75))
