@@ -285,6 +285,12 @@ private[ja] object JaCosts {
     // chain 三|十|分 in six goldens. The めに adverbial family is handled
     // as lexicalized 副詞 entries instead (the すぐに/急に convention).
     else if (pos.startsWith("名詞-接尾")) 3000 // costly enough not to tear compounds
+    else if (pos == "名詞-非自立") 1800 // closed-class formal nouns (もの/こと/
+    // とき/ため…): function-word-ish cost (1800 − length bonus → 1400 at
+    // 2 cp) — at the generic 3000 the particle pair も+のに (500+900+500 =
+    // 1900) beat 新しい|もの|に (now 1300), the same shape as the や|って
+    // fix; the AuxMasu fence keeps the class from stealing ため+ます-class
+    // verb spans (Noun→AuxMasu +800)
     else if (pos.startsWith("接頭詞")) 2200
     else if (pos.startsWith("名詞-固有名詞")) 3200
     else if (pos.startsWith("動詞") || pos.startsWith("形容詞") ||
