@@ -162,6 +162,39 @@ object Retrieval {
       .select(col("term"))
   }
 
+  /** Ranking evaluation at cutoffs `ks`: precision@k, recall@k, MRR@k over
+    * a ranked result (doc_id, rn) and a boolean relevance-label table —
+    * the measurement loop every retrieval stack closes before shipping a
+    * ranker change. Metric choice follows the oracle-gate house rule:
+    * P/R/MRR are single integer divisions (exactly replayable), where
+    * nDCG's log2 discounts would put libm bits in the compare path
+    * (the q42/tfIdfLog rule).
+    *
+    * Scale shape: ranked is ≤ topK rows by construction — every join here
+    * is broadcast-bounded; the label table aggregates once into a one-row
+    * total. MRR@k is 0.0 when no relevant doc is retrieved (standard).
+    */
+  def evalRanking(ranked: DataFrame, labels: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "evalRanking: cutoff list must be non-empty")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val lab = labels.select(col("doc_id"), col("rel"))
+    val j = ranked.select(col("doc_id"), col("rn"))
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(false)))
+    val tot = lab.agg(count(when(col("rel"), lit(1))).as("total_rel"))
+    j.join(broadcast(ks.toDF("k")), col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(count(when(col("rel"), lit(1))).as("n_rel"),
+        min(when(col("rel"), col("rn"))).as("first_rel_rn"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_rel"), col("total_rel"),
+        (col("n_rel").cast("double") / col("k")).as("precision"),
+        (col("n_rel").cast("double") / col("total_rel")).as("recall"),
+        when(col("first_rel_rn").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rn")).as("mrr"))
+  }
+
   /** BM25 with one round of pseudo-relevance feedback: seed retrieval →
     * expansion terms → re-retrieval over seed ∪ expansion. Rational idf
     * throughout (the oracle-gate form).

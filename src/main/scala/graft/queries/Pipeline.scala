@@ -2164,6 +2164,43 @@ object Pipeline {
       .orderBy("qbin")
   }
 
+  /** Retrieval evaluation (q137): P@k / R@k / MRR@k of the q127 BM25
+    * ranking against a deterministic pseudo-label (documents containing
+    * the token 'join' are relevant) at cutoffs 5/10/25. P/R/MRR are
+    * single integer divisions — exactly replayable where nDCG's log2
+    * discount would put libm bits in the compare path (q42 rule). Every
+    * join is over the ≤ topK candidate rows; labels reduce to one
+    * broadcast total.
+    */
+  val q137 = Q(
+    "q137_retrieval_eval",
+    s"""WITH ${bm25Ctes(25)},
+       |lab AS (SELECT doc_id,
+       |    list_contains(string_split(text, ' '), 'join') AS rel
+       |  FROM documents),
+       |tot AS (SELECT CAST(COUNT(CASE WHEN rel THEN 1 END) AS BIGINT)
+       |    AS total_rel FROM lab),
+       |jn AS (SELECT lex.rn, COALESCE(lab.rel, FALSE) AS rel
+       |  FROM lex LEFT JOIN lab USING (doc_id)),
+       |ks AS (SELECT CAST(unnest([5, 10, 25]) AS INT) AS k),
+       |per AS (SELECT k,
+       |    CAST(COUNT(CASE WHEN rel THEN 1 END) AS BIGINT) AS n_rel,
+       |    MIN(CASE WHEN rel THEN rn END) AS first_rel_rn
+       |  FROM jn JOIN ks ON jn.rn <= ks.k GROUP BY k)
+       |SELECT k, n_rel, total_rel,
+       |  CAST(n_rel AS DOUBLE) / k AS precision,
+       |  CAST(n_rel AS DOUBLE) / total_rel AS recall,
+       |  CASE WHEN first_rel_rn IS NULL THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(1 AS DOUBLE) / first_rel_rn END AS mrr
+       |FROM per CROSS JOIN tot ORDER BY k""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = 25, logIdf = false)
+    val labels = docs.select(col("doc_id"),
+      array_contains(split(col("text"), " "), "join").as("rel"))
+    Retrieval.evalRanking(ranked, labels, Seq(5, 10, 25)).orderBy("k")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2419,5 +2456,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
 }

@@ -150,4 +150,21 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L, 3L)) // alpha expanded in; doc 4 still out
   }
+
+  test("evalRanking: P@k, R@k, MRR@k at every cutoff, zero when nothing relevant retrieved") {
+    import spark.implicits._
+    // ranking 1..5; relevant docs are ranked 2 and 4, plus doc 99 unranked
+    val ranked = Seq((10L, 1), (20L, 2), (30L, 3), (40L, 4), (50L, 5))
+      .toDF("doc_id", "rn")
+    val labels = Seq(10L -> false, 20L -> true, 30L -> false, 40L -> true,
+        50L -> false, 99L -> true)
+      .toDF("doc_id", "rel")
+    val out = Retrieval.evalRanking(ranked, labels, Seq(1, 3, 5))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(1) == ((0L, 3L, 0.0, 0.0, 0.0)))        // nothing in top-1
+    assert(out(3) == ((1L, 3L, 1.0 / 3, 1.0 / 3, 0.5))) // rank-2 hit
+    assert(out(5) == ((2L, 3L, 2.0 / 5, 2.0 / 3, 0.5)))
+  }
 }
