@@ -95,4 +95,52 @@ object Graph {
         row_number().over(Window.orderBy(col("pr").desc, col("node"))))
       .select(col("node"), col("pr"), col("rn"))
   }
+
+  /** Personalized PageRank (Haveliwala, WWW 2002): identical recurrence to
+    * [[pageRankInt]] except the teleport mass lands ONLY on the seed set —
+    * rank₀ and the per-iteration base term are `scale`/`base` for seeds and
+    * 0 for everyone else. Ranks then measure proximity to the seeds (the
+    * "expand from a trusted whitelist" curation primitive: seed known-good
+    * hosts, harvest what the graph pulls close). Same integer-exactness,
+    * same two keyed shuffles per hop; the seed set joins as a broadcast
+    * one-column frame, never a literal in the plan.
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+      topK: Int, scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "personalizedPageRankInt: iters must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "personalizedPageRankInt: 0 < damp < 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val seed = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("is_seed", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(broadcast(seed), Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val base = scale - scale * dampNum / dampDen
+    val baseCol = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var pr = nodes.withColumn("pr",
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("node").as("src"),
+          expr("pr div outdeg").as("c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          (baseCol + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+            .as("pr"))
+    }
+    val top = pr.where(col("pr") > 0)
+      .orderBy(col("pr").desc, col("node")).limit(topK)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+      .select(col("node"), col("pr"), col("is_seed"), col("rn"))
+  }
 }

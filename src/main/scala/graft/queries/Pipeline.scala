@@ -2201,6 +2201,58 @@ object Pipeline {
     Retrieval.evalRanking(ranked, labels, Seq(5, 10, 25)).orderBy("k")
   }
 
+  /** Personalized PageRank (q138): the q131 recurrence with teleport mass
+    * restricted to a seed set (customers of nation 1) — proximity-to-
+    * trusted-seeds, the whitelist-expansion curation primitive. Same
+    * integer exactness; the only new oracle element is the seed CTE
+    * carried through each unrolled iteration's base term.
+    */
+  val q138 = Q(
+    "q138_personalized_pagerank", {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nn.node,
+           |    CAST((CASE WHEN nn.is_seed THEN 150000 ELSE 0 END)
+           |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nn LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS s
+           |    FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON d.src = e.src
+           |    GROUP BY 1) c ON nn.node = c.node)""".stripMargin
+      s"""WITH eraw AS (SELECT DISTINCT o.o_custkey * 2 AS cu,
+         |    l.l_suppkey * 2 + 1 AS su
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT cu AS src, su AS dst FROM eraw
+         |      UNION ALL SELECT su AS src, cu AS dst FROM eraw),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |sd AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+         |       WHERE c_nationkey = 1),
+         |nn AS (SELECT n.node, (sd.node IS NOT NULL) AS is_seed
+         |       FROM n LEFT JOIN sd ON n.node = sd.node),
+         |r0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS pr FROM nn),
+         |${iterCte("r0", "r1")},
+         |${iterCte("r1", "r2")},
+         |${iterCte("r2", "r3")}
+         |SELECT node, pr, is_seed, rn FROM (
+         |  SELECT r3.node, r3.pr, nn.is_seed,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY r3.pr DESC, r3.node) AS INT) AS rn
+         |  FROM r3 JOIN nn ON r3.node = nn.node WHERE r3.pr > 0)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }) { (s, dir) =>
+    val ed = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val edges = ed.select(col("cu").as("src"), col("su").as("dst"))
+      .union(ed.select(col("su").as("src"), col("cu").as("dst")))
+    val seeds = t(s, dir, "customer").where(col("c_nationkey") === 1)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.personalizedPageRankInt(edges, seeds, iters = 3, topK = 20)
+      .orderBy("rn")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2456,5 +2508,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -55,6 +55,23 @@ class GraphSpec extends AnyFunSuite {
     assert(out.sortBy(_.getInt(2)).map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("personalized: teleport mass lands only on seeds; unreachable components drop out") {
+    import spark.implicits._
+    val e = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      5L -> 6L, 6L -> 5L) // disconnected 2-cycle, no seed
+    val seeds = Seq(0L).toDF("node")
+    val out = Graph.personalizedPageRankInt(e, seeds, iters = 2, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getInt(3)))
+      .toMap
+    // iter1: hub = 150000 + 0 (leaves hold no mass yet)
+    //        leaf = 0 + 85*(10^6 div 3) div 100            = 283333
+    // iter2: hub = 150000 + 85*(3*283333) div 100          = 872499
+    //        leaf = 0 + 85*(150000 div 3) div 100          = 42500
+    assert(out(0L) == ((872499L, true, 1)))
+    assert(Seq(1L, 2L, 3L).forall(n => out(n)._1 == 42500L && !out(n)._2))
+    assert(!out.contains(5L) && !out.contains(6L)) // zero-rank, filtered
+  }
+
   test("result is partition-layout independent (the gate property)") {
     val es = (1 to 200).map(i => (i.toLong, ((i * 37) % 50 + 1).toLong)) ++
       (1 to 50).map(i => (i.toLong, ((i * 13) % 200 + 1).toLong))
