@@ -41,12 +41,16 @@ private[ja] object JaCosts {
   final val AdjGaru = 16 // i-adjective 語幹 (忙し): licenses 様態 そう only
   final val AuxTa = 17 // the past auxiliary た: 連用形-only, never bare-noun
   final val VOnbin = 18 // voiced-past 音便 stem (泳い/読ん): precedes だ/で, never た
+  final val AuxNai = 20 // the negation paradigm ない/なく/なかっ/なけれ: attaches
+  // to 未然/連用 hosts (言わ+ない, 高く+ない) but NEVER to a voiced 音便 stem
+  // (×読ん+ない) — the generic VOnbin→Aux license exists for だ (読んだ) and
+  // was letting 人もいない read 人|もい(→もぐ)|ない
   final val AuxMasu = 19 // 連用形-only auxiliaries: the polite ます paradigm
   // (ます/まし/ませ) and the desiderative たい paradigm (たい/たく/たかっ).
   // Like た, a particle or bare noun before them is ungrammatical — ×に+まし
   // made ～になりました (and ×に+たい, ～になりたい) read なり as the
   // listing particle instead of the verb 連用形
-  final val NumClasses = 20
+  final val NumClasses = 21
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
@@ -55,6 +59,8 @@ private[ja] object JaCosts {
       if (e.surface == "た") AuxTa
       else if (e.surface == "ます" || e.surface == "まし" || e.surface == "ませ" ||
         e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ") AuxMasu
+      else if (e.surface == "ない" || e.surface == "なく" ||
+        e.surface == "なかっ" || e.surface == "なけれ") AuxNai
       else Aux
     }
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
@@ -97,7 +103,12 @@ private[ja] object JaCosts {
     (Noun, AuxMasu), (Sahen, AuxMasu), (NounSuffix, AuxMasu),
     (Num, AuxMasu), (Particle, AuxMasu), (BOS, AuxMasu),
     (VerbCond, AuxMasu), (VOnbin, AuxMasu), (AdjInfl, AuxMasu),
-    (AdjTerm, AuxMasu), (VerbTerm, AuxMasu)) ++
+    (AdjTerm, AuxMasu), (VerbTerm, AuxMasu),
+    // the AuxNai block mirrors Aux except the VOnbin fence — all grammar
+    (BOS, AuxNai), (VerbInfl, AuxNai), (AdjInfl, AuxNai), (Aux, AuxNai),
+    (AuxMasu, AuxNai), (AuxNai, Aux), (AuxNai, AuxNai), (AuxNai, AuxTa),
+    (AuxNai, AuxMasu), (Noun, AuxNai), (Sahen, AuxNai),
+    (VerbCond, AuxNai), (VOnbin, AuxNai)) ++
     (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
@@ -225,6 +236,23 @@ private[ja] object JaCosts {
     set(AdjInfl, AuxMasu, 800) // ×高く+ます
     set(AdjTerm, AuxMasu, 800) // ×高い+ます (高い+です is licensed, Aux)
     set(VerbTerm, AuxMasu, 800) // ×なる+ます
+    // negation paradigm (ない/なく/なかっ/なけれ): every cell MIRRORS the
+    // generic Aux value it had before the class split — the ONE change is
+    // the VOnbin fence (×読ん+ない), which the だ-licensing VOnbin→Aux=-800
+    // could not express while ない shared だ's class.
+    set(BOS, AuxNai, 2300)
+    set(VerbInfl, AuxNai, -800) // 言わ+ない, 食べ+ない
+    set(AdjInfl, AuxNai, -500) // 高く+ない (as AdjInfl→Aux)
+    set(Aux, AuxNai, -300) // られ+ない
+    set(AuxMasu, AuxNai, -300) // 行きたく+ない… (たく is AuxMasu)
+    set(AuxNai, Aux, -300) // ない+です
+    set(AuxNai, AuxNai, -300) // mirror of Aux→Aux
+    set(AuxNai, AuxTa, -300) // なかっ+た
+    set(AuxNai, AuxMasu, -300) // mirror of Aux→AuxMasu
+    set(Noun, AuxNai, -200) // 問題+ない
+    set(Sahen, AuxNai, -200)
+    set(VerbCond, AuxNai, 1200) // mirror of the VerbCond grammar block
+    set(VOnbin, AuxNai, 800) // ×読ん+ない — the fix this class exists for
     set(AdjInfl, VerbInfl, -400) // 高く+なり(→なる): the adverbial 連用形
     // canonically precedes verbs; −400 (not −300) because the particle なり
     // homograph costs 500+0+800 = 1300 via ×Particle→AuxMasu and the verb
