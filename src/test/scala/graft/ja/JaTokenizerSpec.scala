@@ -235,4 +235,16 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(t.tokenize("本を読みませんでした。").toSeq ==
       Seq("本", "を", "読む", "ます", "ん", "です", "た"))
   }
+
+  test("AuxNai fence: ない never attaches to a voiced 音便 stem, だ still does (round 11)") {
+    val raw = new JaTokenizer(stopWords = Set.empty, stopTags = Set.empty)
+    // ×もい(→もぐ)+ない may not steal 人|も|いる|ない
+    assert(raw.tokenize("人もいない。").toSeq == Seq("人", "も", "いる", "ない"))
+    // the だ license the old shared cell existed for is untouched
+    assert(raw.tokenize("本を読んだ。").toSeq == Seq("本", "を", "読む", "だ"))
+    // every mirrored attachment is bit-identical to the old Aux cells
+    assert(raw.tokenize("泳がない。").toSeq == Seq("泳ぐ", "ない"))
+    assert(raw.tokenize("高くない。").toSeq == Seq("高い", "ない"))
+    assert(raw.tokenize("行きたくなかった。").toSeq == Seq("行く", "たい", "ない", "た"))
+  }
 }
