@@ -135,7 +135,21 @@ object JaHomographs {
         "and REVERTED — 十分(na) stole the pinned counter chain 三|十|分 in " +
         "six goldens (posBase note). Golden 944 pins the verb lemma; " +
         "遅め/多め (no verb homograph) keep the na reading per goldens " +
-        "971/1285"))
+        "971/1285"),
+    Ledger(
+      name = "楽しみだ: 名詞楽しみ vs 連用楽しむ+だ (tie)",
+      carrier = "会うのが楽しみだ。",
+      pinnedTokens = Seq("会う", "楽しみ"),
+      pinned = Seq(Tok("会う", "動詞"), Tok("の", "助詞"), Tok("が", "助詞"),
+        Tok("楽しみ", "名詞"), Tok("だ", "助動詞")),
+      rejected = Seq(Tok("会う", "動詞"), Tok("の", "助詞"), Tok("が", "助詞"),
+        Tok("楽しみ", "動詞", base = "楽しむ"), Tok("だ", "助動詞")),
+      note = "round-11 AuxDesu split: with だ no longer riding the generic " +
+        "VerbInfl→Aux −800 (the license belongs to れる/たら; ×し+です " +
+        "read 文句なし as 文句|な|し|です), the noun reading beats the " +
+        "verb by the measured margin printed here — the better analysis " +
+        "(MeCab: 楽しみ 名詞); golden 502 re-pinned accordingly. 済み+だ " +
+        "keeps the verb lemma (no noun competitor)"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)

@@ -41,6 +41,10 @@ private[ja] object JaCosts {
   final val AdjGaru = 16 // i-adjective 語幹 (忙し): licenses 様態 そう only
   final val AuxTa = 17 // the past auxiliary た: 連用形-only, never bare-noun
   final val VOnbin = 18 // voiced-past 音便 stem (泳い/読ん): precedes だ/で, never た
+  final val AuxDesu = 21 // the noun-copula family です/でし/だ/だっ: attaches to
+  // nominals (and だ to the voiced 音便 stem — 読んだ), but NEVER to a plain
+  // 連用形 (×し+です read 文句なし as 文句|な|し|です); でしょ stays generic
+  // Aux because 終止+でしょう is licensed where 終止+です is not
   final val AuxNai = 20 // the negation paradigm ない/なく/なかっ/なけれ: attaches
   // to 未然/連用 hosts (言わ+ない, 高く+ない) but NEVER to a voiced 音便 stem
   // (×読ん+ない) — the generic VOnbin→Aux license exists for だ (読んだ) and
@@ -50,7 +54,7 @@ private[ja] object JaCosts {
   // Like た, a particle or bare noun before them is ungrammatical — ×に+まし
   // made ～になりました (and ×に+たい, ～になりたい) read なり as the
   // listing particle instead of the verb 連用形
-  final val NumClasses = 21
+  final val NumClasses = 22
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
@@ -61,6 +65,8 @@ private[ja] object JaCosts {
         e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ") AuxMasu
       else if (e.surface == "ない" || e.surface == "なく" ||
         e.surface == "なかっ" || e.surface == "なけれ") AuxNai
+      else if (e.surface == "です" || e.surface == "でし" ||
+        e.surface == "だ" || e.surface == "だっ") AuxDesu
       else Aux
     }
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
@@ -108,7 +114,13 @@ private[ja] object JaCosts {
     (BOS, AuxNai), (VerbInfl, AuxNai), (AdjInfl, AuxNai), (Aux, AuxNai),
     (AuxMasu, AuxNai), (AuxNai, Aux), (AuxNai, AuxNai), (AuxNai, AuxTa),
     (AuxNai, AuxMasu), (Noun, AuxNai), (Sahen, AuxNai),
-    (VerbCond, AuxNai), (VOnbin, AuxNai)) ++
+    (VerbCond, AuxNai), (VOnbin, AuxNai),
+    // the AuxDesu block mirrors Aux except the 連用/VOnbin re-licensing
+    (BOS, AuxDesu), (Noun, AuxDesu), (Sahen, AuxDesu), (Aux, AuxDesu),
+    (AuxNai, AuxDesu), (AuxMasu, AuxDesu), (AuxDesu, Aux),
+    (AuxDesu, AuxDesu), (AuxDesu, AuxTa), (AuxDesu, AuxMasu),
+    (AuxDesu, AuxNai), (VerbCond, AuxDesu), (VerbInfl, AuxDesu),
+    (AdjInfl, AuxDesu), (VOnbin, AuxDesu)) ++
     (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
@@ -253,6 +265,32 @@ private[ja] object JaCosts {
     set(Sahen, AuxNai, -200)
     set(VerbCond, AuxNai, 1200) // mirror of the VerbCond grammar block
     set(VOnbin, AuxNai, 800) // ×読ん+ない — the fix this class exists for
+    // noun-copula family です/でし/だ/だっ: every cell mirrors the generic
+    // Aux value it had before the split EXCEPT the three 連用-side fences —
+    // ×し+です (the 文句なし mis-parse this class exists for), ×高く+だ,
+    // and the VOnbin pair: だ keeps its voiced-past license (読ん+だ,
+    // now expressible) while the remaining generic aux lose theirs
+    // (×読ん+れる).
+    set(BOS, AuxDesu, 2300)
+    set(Noun, AuxDesu, -200) // テスト+です, 半額+だっ
+    set(Sahen, AuxDesu, -200)
+    set(Aux, AuxDesu, -300) // ん+でし (ませんでした chain)
+    set(AuxNai, AuxDesu, -300) // ない+です
+    set(AuxMasu, AuxDesu, -300) // mirror
+    set(AuxDesu, Aux, -300) // でしょ relatives
+    set(AuxDesu, AuxDesu, -300)
+    set(AuxDesu, AuxTa, -300) // でし+た, だっ+た
+    set(AuxDesu, AuxMasu, -300)
+    set(AuxDesu, AuxNai, -300) // で(は)ない family via だ? mirror
+    set(VerbCond, AuxDesu, 1200)
+    set(VerbInfl, AuxDesu, 0) // neutral, NOT the generic −800: deverbal-noun
+    // + だ is pinned corpus practice (導入済み+だ renders via the verb
+    // entry), but し+です must not ride a license — at 0 the なし noun
+    // beats 文句|な|し|です by 600 while 済み+だ still crushes the
+    // unknown-run alternative
+    set(AdjInfl, AuxDesu, 800) // ×高く+だ
+    set(VOnbin, AuxDesu, -800) // 読ん+だ — the license だ carries over
+    set(VOnbin, Aux, 800) // …which lets the generic cell close (×読ん+れる)
     set(AdjInfl, VerbInfl, -400) // 高く+なり(→なる): the adverbial 連用形
     // canonically precedes verbs; −400 (not −300) because the particle なり
     // homograph costs 500+0+800 = 1300 via ×Particle→AuxMasu and the verb

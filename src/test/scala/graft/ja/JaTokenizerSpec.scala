@@ -247,4 +247,18 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(raw.tokenize("高くない。").toSeq == Seq("高い", "ない"))
     assert(raw.tokenize("行きたくなかった。").toSeq == Seq("行く", "たい", "ない", "た"))
   }
+
+  test("AuxDesu split: copulas attach to nominals, not 連用形; だ keeps the voiced-past license (round 11)") {
+    val raw = new JaTokenizer(stopWords = Set.empty, stopTags = Set.empty)
+    // ×文句|な|し(→する)|です lost its VerbInfl→Aux ride; なし is the noun
+    assert(raw.tokenize("文句なしです。").toSeq == Seq("文句", "なし", "です"))
+    // the voiced past 読ん+だ survives via VOnbin→AuxDesu
+    assert(raw.tokenize("本を読んだ。").toSeq == Seq("本", "を", "読む", "だ"))
+    // noun copulas and the ませんでした chain are bit-identical to before
+    assert(raw.tokenize("それは本だ。").toSeq == Seq("それ", "は", "本", "だ"))
+    assert(raw.tokenize("読みませんでした。").toSeq ==
+      Seq("読む", "ます", "ん", "です", "た"))
+    // deverbal-noun + だ keeps the verb lemma where no noun competes
+    assert(raw.tokenize("導入済みだ。").toSeq == Seq("導入", "済む", "だ"))
+  }
 }
