@@ -228,6 +228,10 @@ private[ja] object JaCosts {
     // legitimate double-particle chains (には/からも) have no dictionary
     // competitor on their span and are unaffected (golden replay green)
     set(Unknown, Unknown, 400)
+    set(Unknown, NounSuffix, -300) // 名前+さん / 地名+市: an unknown kanji
+    // run followed by a noun suffix is the honorific/toponym pattern —
+    // without the cell, 鈴木さん+verb tied ×鈴木|さ(→する)|ん via the
+    // VerbInfl→Aux ride and lost by relaxation order
     // polite ます paradigm (ます/まし/ませ): 連用形-only, mirroring the AuxTa
     // block — the licensed hosts are verb 連用形 (飲み+ます) and auxiliary
     // 連用形 (られ+ます, でき+ます is VerbInfl); everything else is a fence.
