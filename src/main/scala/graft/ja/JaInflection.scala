@@ -139,7 +139,11 @@ object JaInflection {
     // — 立てる is productive (組み立てる, 打ち立てる, 積み立てる, 引き立てる)
     "立てる" -> 'i',
     // round-7 dev batch (photography): 飛び立つ; also 旅立つ, 思い立つ
-    "立つ" -> 't')
+    "立つ" -> 't',
+    // round-11 aspect probe: the KANA spelling of 切る (使いきる/走りきる —
+    // the kanji variant alone missed it), plus three productive V2s the
+    // list lacked (歩き回る/駆け回る, 読み終える, 見慣れる/使い慣れる)
+    "きる" -> 'r', "回る" -> 'r', "終える" -> 'i', "慣れる" -> 'i')
 
   /** Derived compound-verb expansion (round 7): both held-out evaluations
     * showed compound verbs as the dominant out-of-sample gap class
