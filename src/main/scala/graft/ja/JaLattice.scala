@@ -168,6 +168,9 @@ private[ja] object JaCosts {
     // 連用形 is the only productive AdjTerm→連用 attachment, and without the
     // cell the ×強いる|揺れる tie stands via VerbInfl→VerbInfl = 0
     set(NounSuffix, Particle, -300) // 三冊+を / 十分+ほど — suffixed nouns take particles like nouns
+    set(NounSuffix, NounSuffix, -300) // 五分+おき / 三日+目: interval and
+    // ordinal suffixes stack on counters — without the cell the verb
+    // homograph おき(→おく) beat the suffix by 200 on 五分おきに
     set(Particle, NounSuffix, 300) // ×が+回(助数詞): counters bind numerals, not particles — breaks
     // the が|回|って tie that NounSuffix→Particle=-300 otherwise creates vs が|回っ|て
     set(Num, NounSuffix, -1200) // 三+回 (deep: 年月日 chains must beat grouped unknown runs)
