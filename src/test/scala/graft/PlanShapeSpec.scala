@@ -144,4 +144,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("partial_"), p) // map-side partials before each exchange
   }
+
+  test("q135 PRF: both retrieval passes TakeOrdered, term sets broadcast, no cartesian") {
+    val p = plan("q135_bm25_prf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // term-set probe joins
+  }
+
+  test("q136 quantile bins: the corpus never joins — only broadcast stats/threshold rows") {
+    val p = plan("q136_quantile_bins")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q137 eval joins are bounded by the candidate set: no shuffle joins, no cartesian") {
+    val p = plan("q137_retrieval_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q138 personalized PageRank: equi-joins only, TakeOrdered top-k") {
+    val p = plan("q138_personalized_pagerank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
