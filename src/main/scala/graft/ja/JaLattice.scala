@@ -298,10 +298,12 @@ private[ja] object JaCosts {
     set(AdjInfl, AuxDesu, 800) // ×高く+だ
     set(VOnbin, AuxDesu, -800) // 読ん+だ — the license だ carries over
     set(VOnbin, Aux, 800) // …which lets the generic cell close (×読ん+れる)
-    set(AdjInfl, VerbInfl, -400) // 高く+なり(→なる): the adverbial 連用形
-    // canonically precedes verbs; −400 (not −300) because the particle なり
-    // homograph costs 500+0+800 = 1300 via ×Particle→AuxMasu and the verb
-    // path must clear it strictly (2400−400−800 = 1200), not tie
+    set(AdjInfl, VerbInfl, -800) // 高く+なり(→なる), 寒く+なっ(→なる): the
+    // adverbial 連用形 canonically precedes verbs. −400 cleared the なり
+    // particle homograph but left 寒くなって reading ×寒く|な|って — the
+    // particle pair costs 500+900+500 = 1900 and the verb path
+    // 2400−x−300+500 EXACTLY ties it at x=700 (lost by relaxation order);
+    // −800 clears by 100, and no reviewed pin moves (replay green)
     m
   }
 
