@@ -194,6 +194,31 @@ object JaGolden {
   lazy val heldoutCorpus10: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus10.tsv")
 
+  /** Eleventh blind held-out set (pre-registered round 11, evaluated
+    * round 12): 40 sentences over six fresh registers (aquarium,
+    * bouldering, calligraphy, ferry, strawberry picking, snow shoveling).
+    * First-run 28/40 (70.0%); per the pre-registered PLANS.md caveat the
+    * two topics swept after authoring (calligraphy, ferry) each scored
+    * 5/7 = 71.4% — AT the headline, not above it. 9 lexeme gaps, 0
+    * lattice bugs, 4 author amendments (itemized in the resource
+    * header). Pinned at 40/40; drives q139.
+    */
+  lazy val heldoutCorpus11: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus11.tsv")
+
+  /** Twelfth blind held-out set (pre-registered round 11 behind the
+    * registration-time disjointness check, evaluated round 12): 40
+    * sentences over six registers chosen to avoid every round-11 sweep
+    * (bonsai, forklift, blood donation, haunted house, picture-book
+    * volunteering, orienteering). First-run 25/40 (62.5%); 7 lexeme
+    * gaps, ONE structural fix (the AdjGaru1/VSugi single-kanji adjective
+    * 語幹 classes — 怖すぎ now lemmatizes), one SHADOWED homograph call
+    * (下り→下る, JaHomographs ledger), 9 author amendments (resource
+    * header). Pinned at 40/40; drives q140.
+    */
+  lazy val heldoutCorpus12: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus12.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -227,6 +252,10 @@ object JaGolden {
     literalTable(heldoutCorpus9.map { case (sid, _, toks) => (sid, toks) })
   def heldout10OracleSql: String =
     literalTable(heldoutCorpus10.map { case (sid, _, toks) => (sid, toks) })
+  def heldout11OracleSql: String =
+    literalTable(heldoutCorpus11.map { case (sid, _, toks) => (sid, toks) })
+  def heldout12OracleSql: String =
+    literalTable(heldoutCorpus12.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -149,7 +149,24 @@ object JaHomographs {
         "read 文句なし as 文句|な|し|です), the noun reading beats the " +
         "verb by the measured margin printed here — the better analysis " +
         "(MeCab: 楽しみ 名詞); golden 502 re-pinned accordingly. 済み+だ " +
-        "keeps the verb lemma (no noun competitor)"))
+        "keeps the verb lemma (no noun competitor)"),
+    Ledger(
+      name = "下りました: 五段下る連用 vs 一段下りる連用 (shadowed)",
+      carrier = "斜面を下りました。",
+      pinnedTokens = Seq("斜面", "下る"),
+      pinned = Seq(Tok("斜面", "名詞"), Tok("を", "助詞"),
+        Tok("下り", "動詞", base = "下る"), Tok("まし", "助動詞"),
+        Tok("た", "助動詞")),
+      rejected = Seq(Tok("斜面", "名詞"), Tok("を", "助詞"),
+        Tok("下り", "動詞", base = "下りる"), Tok("まし", "助動詞"),
+        Tok("た", "助動詞")),
+      note = "true zero-information homograph on the 下り surface (both " +
+        "readings are 動詞-自立 連用形): 下りる's ichidan stem is shadowed " +
+        "by 下る's r-row 連用 under first-wins (surface, pos) dedupe — " +
+        "verbs.tsv 902 loads before 903. Same convention as the 降り " +
+        "precedent (golden 1810 pins お降り→降る); held-out-12 sid 39 " +
+        "amended accordingly. Context would be needed to split " +
+        "くだりました from おりました; the hand model has none"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)

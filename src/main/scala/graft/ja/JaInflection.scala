@@ -43,11 +43,15 @@ object JaInflection {
     * 様態 auxiliary family (忙し+そう, 恥ずかし+がる). Left as plain AdjInfl
     * it would float free and tear adjectives anywhere; omitted (the round-7
     * held-out-batch gap) the stem is an unknown run and 忙しそう degrades
-    * to a bare-kanji fragment. Only stems of length >= 2 are emitted — the
-    * single-kanji stems (強, 高, 早) are the documented homograph-trap
-    * class (SURVEY §7.4 ためる lesson) and collide with real nouns/prefixes.
+    * to a bare-kanji fragment. Stems of length >= 2 carry GaruPos; the
+    * single-kanji stems (強, 高, 早, 怖) — the documented homograph-trap
+    * class (SURVEY §7.4 ためる lesson), colliding with real nouns/prefixes —
+    * carry Garu1Pos, whose lattice row is a hard grammar block licensing
+    * ONLY そう/すぎ, so 怖すぎて lemmatizes to 怖い without 高台/高見-style
+    * unknown-compound tears (held-out-12 sid 26 adjudication, round 12).
     */
   final val GaruPos = "形容詞-自立-ガル接続"
+  final val Garu1Pos = "形容詞-自立-ガル接続-単"
 
   /** 音便 stems of the VOICED-past godan rows (g/n/b/m: 泳い/死ん/遊ん/読ん)
     * carry their own POS → lattice class, because their 連用タ接続 is the
@@ -210,6 +214,6 @@ object JaInflection {
       DictEntry(stem + "けれ", "形容詞-自立", base, Array.empty),
       DictEntry(stem + "さ", "名詞-一般", "", Array.empty))
     if (stem.length >= 2) core :+ DictEntry(stem, GaruPos, base, Array.empty)
-    else core
+    else core :+ DictEntry(stem, Garu1Pos, base, Array.empty, derived = true)
   }
 }

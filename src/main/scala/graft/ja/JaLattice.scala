@@ -54,7 +54,17 @@ private[ja] object JaCosts {
   // Like た, a particle or bare noun before them is ungrammatical — ×に+まし
   // made ～になりました (and ×に+たい, ～になりたい) read なり as the
   // listing particle instead of the verb 連用形
-  final val NumClasses = 22
+  final val VSugi = 22 // the すぎる helper-verb family (すぎ/すぎる/すぎよ):
+  // behaves exactly like the generic verb classes it was split from (row and
+  // column copied from VerbInfl), except that adjective 語幹 classes license
+  // it — 忙し+すぎ, and crucially the single-kanji 語幹 (怖+すぎ, 高+すぎ)
+  // whose AdjGaru1 row blocks every OTHER right context
+  final val AdjGaru1 = 23 // single-kanji i-adjective 語幹 (怖, 高, 寒):
+  // licenses ONLY 様態そう (Aux) and すぎ (VSugi); everything else — noun,
+  // suffix, particle, generic verb — is priced prohibitively so the stem can
+  // never tear an unknown kanji compound (高台, 高見) the way a generic
+  // AdjGaru single-kanji entry would (the round-7 guard this class replaces)
+  final val NumClasses = 24
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
@@ -71,7 +81,10 @@ private[ja] object JaCosts {
     }
     else if (pos == graft.ja.JaInflection.CondPos) VerbCond
     else if (pos == graft.ja.JaInflection.GaruPos) AdjGaru
+    else if (pos == graft.ja.JaInflection.Garu1Pos) AdjGaru1
     else if (pos == graft.ja.JaInflection.VOnbinPos) VOnbin
+    else if (pos.startsWith("動詞") &&
+      (e.base == "すぎる" || e.surface == "すぎる")) VSugi
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
     else if (pos.startsWith("形容詞")) { if (e.base.nonEmpty) AdjInfl else AdjTerm }
     else if (pos == "名詞-数") Num
@@ -121,12 +134,13 @@ private[ja] object JaCosts {
     (AuxDesu, AuxDesu), (AuxDesu, AuxTa), (AuxDesu, AuxMasu),
     (AuxDesu, AuxNai), (VerbCond, AuxDesu), (VerbInfl, AuxDesu),
     (AdjInfl, AuxDesu), (VOnbin, AuxDesu)) ++
-    (0 until NumClasses).map((AdjGaru, _)) // the whole 語幹 row is grammar
+    (0 until NumClasses).map((AdjGaru, _)) ++ // the whole 語幹 row is grammar
+    (0 until NumClasses).map((AdjGaru1, _)) // …and the single-kanji row too
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
     * region (届け！) and a dangling prefix may not — grammar, not counts.
     */
-  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru, VOnbin)
+  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru, AdjGaru1, VOnbin)
 
   /** Hand-assigned prior matrix: the bootstrap cost model, the fallback for
     * classes unseen in the training corpora, and the source of the
@@ -209,7 +223,9 @@ private[ja] object JaCosts {
     // (×泳いた, ×もいた) — the fence that keeps 人もいた = 人|も|いた(→いる)
     // from being stolen by the g-row stem reading 人|もい(→もぐ)|た
     // (held-out-8 sid 13)
-    set(VOnbin, Aux, -800) // 泳い+だ, 読ん+だ
+    // NOTE: VOnbin→Aux is set ONCE, below in the AuxDesu block (+800,
+    // ×読ん+れる) — だ moved to the AuxDesu class, which carries the
+    // voiced-past license (VOnbin→AuxDesu = −800, 読ん+だ)
     set(VOnbin, Particle, -300) // 泳い+で, 読ん+で
     set(VOnbin, AuxTa, 800) // ×読ん+た
     set(VOnbin, ParticleBa, 400) // mirrors VerbInfl (×連用+ば)
@@ -304,6 +320,36 @@ private[ja] object JaCosts {
     // particle pair costs 500+900+500 = 1900 and the verb path
     // 2400−x−300+500 EXACTLY ties it at x=700 (lost by relaxation order);
     // −800 clears by 100, and no reviewed pin moves (replay green)
+    // VSugi (すぎ/すぎる helper verb): exact row/column mirror of VerbInfl —
+    // it IS a verb for every generic context (入れ+すぎ, すぎ+て/た/ます) —
+    // split out solely so the adjective 語幹 classes can license it by
+    // class. Copies run after every set() above so later tuning of the
+    // VerbInfl cells flows through automatically.
+    locally { var x = 0
+      while (x < NumClasses) {
+        if (x != VSugi && x != AdjGaru1) {
+          m(VSugi)(x) = m(VerbInfl)(x)
+          m(x)(VSugi) = m(x)(VerbInfl)
+        }
+        x += 1
+      }
+      m(VSugi)(VSugi) = m(VerbInfl)(VerbInfl) }
+    set(AdjGaru, VSugi, -400) // 忙し+すぎ: same license as 忙し+そう
+    // single-kanji 語幹 (AdjGaru1): incoming edges mirror AdjGaru; the
+    // outgoing row is a hard grammar block — ONLY 様態そう (Aux) and すぎ
+    // (VSugi) are licensed. +8000 (not AdjGaru's 1000) because the tear
+    // math differs at one code point: 高[stem]+台[counter] at a 1000 row
+    // would undercut the merged unknown run 高台 (3400+1000+2400 < 7300)
+    // and lemmatize unknown compounds into ×高い|台; at 8000 no split
+    // through the stem can ever beat an unknown merge.
+    locally { var x = 0
+      while (x < NumClasses) {
+        if (x != AdjGaru1) m(x)(AdjGaru1) = m(x)(AdjGaru)
+        x += 1
+      } }
+    (0 until NumClasses).foreach(r => set(AdjGaru1, r, 8000))
+    set(AdjGaru1, Aux, -400) // 怖+そう, 高+そう
+    set(AdjGaru1, VSugi, -400) // 怖+すぎ, 高+すぎ
     m
   }
 
@@ -315,7 +361,10 @@ private[ja] object JaCosts {
     a(VerbInfl) = 400
     a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
     a(AdjGaru) = 1000 // a dangling adjective 語幹 never ends a region
+    a(AdjGaru1) = 8000 // same, at the AdjGaru1 row's grammar-block level
     a(VOnbin) = 400 // dangling voiced 音便 stem: same as VerbInfl
+    // eos(VSugi) stays 0 (not VerbInfl's 400): the terminal すぎる and the
+    // nominal dangling すぎ (飲みすぎ。) both legitimately end a region
     a
   }
 

@@ -224,4 +224,51 @@ class HeldoutCorpusSpec extends AnyFunSuite {
       .filter { case (_, s, _) => seen.contains(s) && !allowed.contains(s) }
     assert(overlap.isEmpty, s"held-out-10 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
   }
+
+  test("held-out corpus 11: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus11
+    assert(corpus.size == 40, s"held-out corpus 11 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-11 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 11 is disjoint from all earlier corpora") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2) ++ JaGolden.heldoutCorpus10.map(_._2)
+    val overlap = JaGolden.heldoutCorpus11.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-11 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
+
+  test("held-out corpus 12: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus12
+    assert(corpus.size == 40, s"held-out corpus 12 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-12 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 12 is disjoint from all earlier corpora") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2) ++ JaGolden.heldoutCorpus10.map(_._2) ++
+      JaGolden.heldoutCorpus11.map(_._2)
+    val overlap = JaGolden.heldoutCorpus12.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-12 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
 }
