@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench summary JSON (BENCH_r*.json "parsed"). Two sbt behaviors break
+// that: forked-program output is logged with an "[info] " prefix, and the
+// "[success] Total time: ..." epilogue prints after the program exits.
+// StdoutOutput forwards the program's stdout verbatim; showSuccess := false
+// drops the epilogue, so the bench's total_summary line is genuinely last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
