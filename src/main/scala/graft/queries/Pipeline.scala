@@ -2189,7 +2189,8 @@ object Pipeline {
        |  FROM jn JOIN ks ON jn.rn <= ks.k GROUP BY k)
        |SELECT k, n_rel, total_rel,
        |  CAST(n_rel AS DOUBLE) / k AS precision,
-       |  CAST(n_rel AS DOUBLE) / total_rel AS recall,
+       |  CASE WHEN total_rel = 0 THEN 0.0
+       |       ELSE CAST(n_rel AS DOUBLE) / total_rel END AS recall,
        |  CASE WHEN first_rel_rn IS NULL THEN CAST(0 AS DOUBLE)
        |       ELSE CAST(1 AS DOUBLE) / first_rel_rn END AS mrr
        |FROM per CROSS JOIN tot ORDER BY k""".stripMargin) { (s, dir) =>

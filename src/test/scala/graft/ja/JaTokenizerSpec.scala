@@ -226,7 +226,8 @@ class JaTokenizerSpec extends AnyFunSuite {
       Seq("真っ暗", "に", "なる", "ます", "た"))
     // same fence through the たい paradigm
     assert(t.tokenize("医者になりたい。").toSeq == Seq("医者", "に", "なる", "たい"))
-    // AdjInfl→VerbInfl=-400: the adverbial 連用形 hosts the verb reading
+    // AdjInfl→VerbInfl=-800: the adverbial 連用形 hosts the verb reading
+    // (-400 was insufficient — it tied ×寒く|な|って; see the JaLattice cell)
     assert(t.tokenize("値段が高くなりました。").toSeq ==
       Seq("値段", "が", "高い", "なる", "ます", "た"))
     // the listing particle なり survives where it is genuine

@@ -69,6 +69,32 @@ class HistogramQuantilesSpec extends AnyFunSuite {
     assert(out("a").contains(0) && out("d").contains(1))
   }
 
+  test("quantileBin triggers two corpus aggregates, not three (VERDICT r11 #6)") {
+    // stats + histogram share one subtree and the threshold row carries
+    // lo/hi, so the corpus appears exactly 3 times in the plan (stats
+    // aggregate, histogram aggregate, output pass). Before the refactor
+    // quantileBin re-ran its own min/max on top of quantiles' stats and
+    // histogram — 4 corpus scans at runtime. Parquet-backed so the corpus
+    // is distinguishable from the tiny quantile-probe LocalRelation.
+    val dir = java.nio.file.Files.createTempDirectory("qbin_scan").toString
+    df((1 to 100).map(_.toDouble)).write.mode("overwrite").parquet(dir)
+    val d = spark.read.parquet(dir)
+    val plan = HistogramQuantiles.quantileBin(d, "x", 10, Seq(0.5))
+      .queryExecution.optimizedPlan.toString
+    val refs = "parquet".r.findAllIn(plan).size
+    assert(refs == 3, s"expected exactly 3 corpus references (2 aggregates " +
+      s"+ output pass), got $refs:\n$plan")
+  }
+
+  test("quantileBin tolerates caller columns named lo/hi/tb (reserved-name fix)") {
+    import spark.implicits._
+    val d = Seq((1.0, 9.9, 0.0, "t"), (50.0, 1.1, 2.0, "u"), (100.0, 2.2, 3.0, "w"))
+      .toDF("x", "lo", "hi", "tb")
+    val out = HistogramQuantiles.quantileBin(d, "x", 10, Seq(0.5))
+    assert(out.columns.toSeq == Seq("x", "lo", "hi", "tb", "qbin"))
+    assert(out.where(org.apache.spark.sql.functions.col("lo") === 9.9).count() == 1)
+  }
+
   test("result is partition-layout independent (the gate property)") {
     val base = df((1 to 1000).map(i => (i * 37 % 211).toDouble))
     val a = HistogramQuantiles.quantiles(base, "x", 32, Seq(0.25, 0.5, 0.75))
