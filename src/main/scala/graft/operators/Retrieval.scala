@@ -211,4 +211,70 @@ object Retrieval {
     bm25TopKTerms(df, idCol, textCol, exp.union(seed).distinct(),
       k1, b, topK, logIdf = false)
   }
+
+  /** MMR diversification re-rank (Carbonell & Goldstein, SIGIR 1998):
+    * greedily select kSel results from the BM25 top-kLex candidate list,
+    * each step maximizing  λ·relevance − (1−λ)·max-similarity-to-selected.
+    *
+    * Every compared quantity is BIGINT-exact so the greedy argmax (and
+    * therefore the whole selection) sits in the exact oracle gate:
+    * relevance = (kLex+1 − lex_rn)·relUnit (reversed lexical rank, an
+    * integer), similarity = the RAW int8-quantized dot product
+    * (Quantize.int8 codes, the q75 math WITHOUT the double rescale — the
+    * scales cancel in an argmax over a shared candidate pool anyway), and
+    * λ enters as the integer pair lamNum/lamDen multiplied through:
+    * mmr = lamNum·rel − (lamDen−lamNum)·maxsim. Ties break by doc_id.
+    * Classic MMR compares raw cosines; the integer formulation trades the
+    * (monotone) scale factors for bit-reproducibility, not behavior.
+    *
+    * Scale shape: everything after the BM25 TakeOrdered is bounded by
+    * kLex — the candidate frame (≤ kLex rows, one localCheckpoint) and
+    * the pairwise-sim frame (≤ kLex² rows) are computed once; the greedy
+    * loop then runs kSel tiny TakeOrdered jobs over those bounded frames
+    * (per-iteration localCheckpoint keeps the plan flat, the PageRank
+    * lineage-guard pattern). No driver-side collect: the selection stays
+    * a DataFrame end to end.
+    */
+  def mmrDiversify(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], kLex: Int = 20, kSel: Int = 8,
+      lamNum: Long = 6L, lamDen: Long = 10L, relUnit: Long = 2000L)
+      : DataFrame = {
+    require(kSel >= 1 && kSel <= kLex, "mmrDiversify: need 1 <= kSel <= kLex")
+    require(lamNum > 0 && lamNum < lamDen, "mmrDiversify: 0 < lambda < 1")
+    val lex = bm25TopK(docs, idCol, textCol, terms, topK = kLex,
+        logIdf = false)
+      .select(col("doc_id"), col("rn").as("lex_rn"))
+    val codes = graft.operators.Quantize
+      .int8(emb, "vec_id", "embedding")
+      .select(col("vec_id").as("doc_id"), col("codes"))
+    val cand = broadcast(lex).join(codes, Seq("doc_id"))
+      .select(col("doc_id"), col("lex_rn"),
+        ((lit(kLex + 1) - col("lex_rn")).cast("long") * relUnit).as("rel"),
+        col("codes"))
+      .localCheckpoint()
+    val a = cand.select(col("doc_id").as("da"), col("codes").as("ca"))
+    val b = cand.select(col("doc_id").as("db"), col("codes").as("cb"))
+    val pairs = a.join(b, col("da") =!= col("db"))
+      .select(col("da"), col("db"),
+        aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("sim"))
+      .localCheckpoint()
+    var sel = cand.orderBy(col("rel").desc, col("doc_id")).limit(1)
+      .select(col("doc_id"), lit(1).as("pick"))
+      .localCheckpoint()
+    for (i <- 2 to kSel) {
+      val remaining = cand.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+      val msim = pairs
+        .join(sel.select(col("doc_id").as("db")), Seq("db"))
+        .groupBy(col("da").as("doc_id")).agg(max(col("sim")).as("maxsim"))
+      val next = remaining.join(msim, Seq("doc_id"))
+        .withColumn("mmr", lit(lamNum) * col("rel")
+          - lit(lamDen - lamNum) * col("maxsim"))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        .select(col("doc_id"), lit(i).as("pick"))
+      sel = sel.union(next).localCheckpoint()
+    }
+    sel.join(broadcast(lex), Seq("doc_id"))
+      .select(col("doc_id"), col("lex_rn"), col("pick"))
+  }
 }

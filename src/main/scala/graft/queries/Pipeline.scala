@@ -2254,6 +2254,57 @@ object Pipeline {
       .orderBy("rn")
   }
 
+  /** MMR diversification re-rank (q141): greedy λ·rel − (1−λ)·maxsim over
+    * the q127 BM25 top-20, with BIGINT-exact arithmetic throughout —
+    * relevance is the reversed lexical rank × relUnit, similarity the raw
+    * int8-code dot product (q75 quantization), λ = 6/10 as an integer
+    * pair. The oracle replays the greedy selection as a recursive CTE
+    * carrying the selected-id list in a single state row; relUnit = 2000
+    * sits where diversity genuinely reorders this corpus (lex rank 9
+    * jumps to pick 2) instead of degenerating to the relevance order.
+    */
+  val q141 = Q(
+    "q141_mmr_diversify", {
+      val (kLex, kSel, lamNum, lamDen, relUnit) = (20, 8, 6L, 10L, 2000L)
+      s"""WITH RECURSIVE ${bm25Ctes(kLex)},
+         |cq AS (SELECT l.doc_id, l.rn AS lex_rn,
+         |    CAST(($kLex + 1 - l.rn) AS BIGINT) * $relUnit AS rel,
+         |    CASE WHEN list_max(list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+         |      THEN list_transform(range(1, 65), k -> CAST(0 AS BIGINT))
+         |      ELSE list_transform(range(1, 65),
+         |        k -> CAST(floor(CAST(e.embedding[k] AS DOUBLE)
+         |          / (list_max(list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE)))) / 127)
+         |          + 0.5) AS BIGINT)) END AS codes
+         |  FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id),
+         |prs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 65), k -> a.codes[k] * b.codes[k])),
+         |      (acc, x) -> acc + x) AS sim
+         |  FROM cq a JOIN cq b ON a.doc_id <> b.doc_id),
+         |sel AS (
+         |  SELECT 1 AS pick,
+         |    [(SELECT doc_id FROM cq ORDER BY rel DESC, doc_id LIMIT 1)] AS ids
+         |  UNION ALL
+         |  SELECT pick + 1, list_append(ids, (
+         |      SELECT c.doc_id FROM cq c
+         |      WHERE NOT list_contains(sel.ids, c.doc_id)
+         |      ORDER BY $lamNum * c.rel - ${lamDen - lamNum} *
+         |          (SELECT MAX(p.sim) FROM prs p
+         |           WHERE p.da = c.doc_id AND list_contains(sel.ids, p.db)) DESC,
+         |        c.doc_id
+         |      LIMIT 1))
+         |  FROM sel WHERE pick < $kSel)
+         |SELECT s.ids[s.pick] AS doc_id, c.lex_rn, CAST(s.pick AS INT) AS pick
+         |FROM sel s JOIN cq c ON c.doc_id = s.ids[s.pick]
+         |ORDER BY pick""".stripMargin
+    }) { (s, dir) =>
+    graft.Graft.register(s)
+    Retrieval.mmrDiversify(t(s, dir, "documents"), t(s, dir, "embeddings"),
+      "doc_id", "text", Bm25Terms, kLex = 20, kSel = 8,
+      lamNum = 6L, lamDen = 10L, relUnit = 2000L)
+      .orderBy("pick")
+  }
+
   val q139 = Q("q139_tokenize_ja_heldout11", graft.ja.JaGolden.heldout11OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus11.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2531,5 +2582,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -167,4 +167,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3) == ((1L, 3L, 1.0 / 3, 1.0 / 3, 0.5))) // rank-2 hit
     assert(out(5) == ((2L, 3L, 2.0 / 5, 2.0 / 3, 0.5)))
   }
+
+  test("mmrDiversify: greedy λ·rel − (1−λ)·maxsim replayed by hand") {
+    import spark.implicits._
+    // Three docs score on term 'a' (ranks by tf: 1 > 2 > 3); docs 1 and 2
+    // share an identical embedding direction (sim maxed), doc 3 is
+    // orthogonal. With λ = 1/2 and a relUnit small against the code dots,
+    // greedy MMR must pick 1, then 3 (diversity beats rank 2), then 2.
+    val d = Seq(
+      1L -> "a a a a",
+      2L -> "a a a b",
+      3L -> "a b b b").toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Retrieval.mmrDiversify(d, e, "doc_id", "text", Seq("a"),
+        kLex = 3, kSel = 3, lamNum = 1L, lamDen = 2L, relUnit = 10L)
+      .collect().map(r => r.getInt(2) -> r.getLong(0)).toMap
+    // hand replay: rel = (4-rn)·10 ∈ {30,20,10}; codes dot: 1·2 = 127² =
+    // 16129, 1·3 = 2·3 = 0. pick1 = doc1 (rel 30). step2: doc2 mmr =
+    // 1·20 − 1·16129 < doc3 mmr = 1·10 − 0 → doc3. step3: doc2.
+    assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L), out)
+  }
+
+  test("mmrDiversify: λ→1 degenerates to the lexical ranking") {
+    import spark.implicits._
+    val d = Seq(1L -> "a a a", 2L -> "a a b", 3L -> "a b b").toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    // lamNum/lamDen = 999/1000 with a huge relUnit: relevance dominates
+    val out = Retrieval.mmrDiversify(d, e, "doc_id", "text", Seq("a"),
+        kLex = 3, kSel = 3, lamNum = 999L, lamDen = 1000L, relUnit = 1000000L)
+      .collect().map(r => r.getInt(2) -> r.getInt(1)).toMap
+    assert(out == Map(1 -> 1, 2 -> 2, 3 -> 3), out)
+  }
 }
