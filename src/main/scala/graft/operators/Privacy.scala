@@ -85,4 +85,58 @@ object Privacy {
         min(col("diversity")).as("min_diversity"),
         sum(col("class_n")).as("n_rows"))
   }
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007): l-diversity
+    * is still not enough when a class's sensitive-value DISTRIBUTION leaks
+    * (a class can hold l distinct diagnoses yet be 98% one of them while
+    * the population is 2%). A class is t-close iff the distance between
+    * its sensitive distribution Q and the global distribution P is ≤ t;
+    * for a categorical attribute with uniform ground distance the EMD of
+    * the paper reduces to the variational distance ½·Σ|P(s) − Q(s)|.
+    *
+    * Everything stays BIGINT-exact for the oracle gate: with global
+    * counts g_s (total N) and class counts c_s (class size n_c),
+    * ½·Σ|g_s/N − c_s/n_c| = Σ|g_s·n_c − c_s·N| / (2·N·n_c) — reported as
+    * the integer pair (dist_num, dist_den), and the breach test against
+    * t = tNum/tDen cross-multiplies: breach ⟺ tDen·dist_num > tNum·dist_den.
+    * Zero-count cells contribute |g_s·n_c| (a value the class never shows
+    * IS distributional distance), which the left join makes explicit.
+    *
+    * Output: quasi*, class_n, dist_num, dist_den, breach — one row per
+    * equivalence class.
+    *
+    * Scale shape: the global distribution is a ≤|S|-row broadcast
+    * (categorical sensitive domain); the per-class expansion is
+    * classes × |S| rows through a broadcast join (never row-count-bound),
+    * then one (quasi, s)-keyed left join and one shrinking quasi-keyed
+    * aggregate. No window, no self-join; the widest shuffle carries one
+    * row per distinct (class, sensitive) pair — the same bound as
+    * lDiversityReport's distinct step.
+    */
+  def tClosenessReport(df: DataFrame, quasi: Seq[String], sensitiveCol: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(quasi.nonEmpty, "tClosenessReport: quasi-identifier set must be non-empty")
+    require(tNum >= 0 && tDen > 0, "tClosenessReport: need t = tNum/tDen >= 0")
+    val s = col(sensitiveCol)
+    val global = df.groupBy(s.as("__tc_s"))
+      .agg(count(lit(1)).as("__tc_g"))
+    val total = df.agg(count(lit(1)).as("__tc_n"))
+    val cells = df.groupBy(quasi.map(col) :+ s.as("__tc_s"): _*)
+      .agg(count(lit(1)).as("__tc_c"))
+    val classes = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_n"))
+    classes
+      .crossJoin(broadcast(global))
+      .join(cells, quasi :+ "__tc_s", "left")
+      .crossJoin(broadcast(total))
+      .select((quasi.map(col) :+ col("class_n") :+ col("__tc_n") :+
+        abs(col("__tc_g") * col("class_n")
+          - coalesce(col("__tc_c"), lit(0L)) * col("__tc_n")).as("__tc_term")): _*)
+      .groupBy(quasi.map(col): _*)
+      .agg(max(col("class_n")).as("class_n"),
+        sum(col("__tc_term")).as("dist_num"),
+        (lit(2L) * max(col("__tc_n")) * max(col("class_n"))).as("dist_den"))
+      .withColumn("breach",
+        lit(tDen) * col("dist_num") > lit(tNum) * col("dist_den"))
+  }
 }

@@ -2068,6 +2068,46 @@ object Pipeline {
       .orderBy("nation")
   }
 
+  /** t-closeness audit (q142): the third rung of the release-audit ladder
+    * (k-anonymity q132 → l-diversity q134 → distributional leakage). For
+    * the categorical sensitive attribute the paper's EMD reduces to the
+    * variational distance, and the whole report stays BIGINT-exact as the
+    * rational pair (dist_num, dist_den) with a cross-multiplied breach
+    * test — see Privacy.tClosenessReport. Same quasi/sensitive split as
+    * q134 so the three audits compose on one release candidate.
+    */
+  val q142 = Q(
+    "q142_t_closeness",
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |gl AS (SELECT c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS gs FROM g GROUP BY 1),
+      |cls AS (SELECT c_nationkey, bal_bucket, CAST(COUNT(*) AS BIGINT) AS class_n
+      |        FROM g GROUP BY 1, 2),
+      |cell AS (SELECT c_nationkey, bal_bucket, c_mktsegment AS s,
+      |        CAST(COUNT(*) AS BIGINT) AS cs FROM g GROUP BY 1, 2, 3),
+      |terms AS (SELECT cls.c_nationkey, cls.bal_bucket, cls.class_n, tot.n,
+      |    abs(gl.gs * cls.class_n - COALESCE(cell.cs, 0) * tot.n) AS term
+      |  FROM cls CROSS JOIN gl
+      |  LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+      |    AND cell.bal_bucket = cls.bal_bucket AND cell.s = gl.s
+      |  CROSS JOIN tot)
+      |SELECT c_nationkey AS nation, bal_bucket, class_n,
+      |  CAST(SUM(term) AS BIGINT) AS dist_num,
+      |  CAST(2 * MAX(n) * MAX(class_n) AS BIGINT) AS dist_den,
+      |  (5 * SUM(term) > 1 * (2 * MAX(n) * MAX(class_n))) AS breach
+      |FROM terms GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "customer").select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).as("bal_bucket"))
+    Privacy.tClosenessReport(g,
+        quasi = Seq("c_nationkey", "bal_bucket"), sensitiveCol = "c_mktsegment",
+        tNum = 1L, tDen = 5L)
+      .select(col("c_nationkey").as("nation"), col("bal_bucket"),
+        col("class_n"), col("dist_num"), col("dist_den"), col("breach"))
+      .orderBy("nation", "bal_bucket")
+  }
+
   /** PRF expanded retrieval (q135): one round of pseudo-relevance feedback
     * (RM3 family) — BM25 seed pass, top-weight expansion terms mined from
     * the feedback docs (len ≥ 4, seed excluded, (w desc, term) tie-break),
@@ -2582,5 +2622,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

@@ -100,4 +100,39 @@ class PrivacySpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("t-closeness: variational distance replayed by hand, zero-cell counted") {
+    import spark.implicits._
+    // global: x appears 4 times, y 2 → P = (4/6, 2/6). Class A = (x,x,y):
+    // Q = (2/3, 1/3) = P exactly → distance 0. Class B = (x,x,y... ) no:
+    // B = (x, x) → Q = (1, 0); ½(|4/6−1| + |2/6−0|) = ½(2/6+2/6) = 1/3.
+    // Class C = (y) → Q = (0, 1); ½(4/6 + 4/6) = 2/3 — the zero-count x
+    // cell contributes, which is the left-join subtlety the spec pins.
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "x"),
+      ("C", "y")).toDF("cls", "v")
+    val out = Privacy.tClosenessReport(df, Seq("cls"), "v", tNum = 1L, tDen = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // dist = num/den: A 0/(2·6·3), B: |4·2−2·6| + |2·2−0·6| = 4+4 = 8 over
+    // 2·6·2 = 24 → 1/3; C: |4·1−0| + |2·1−6| = 4+4 = 8 over 12 → 2/3.
+    assert(out("A") == ((0L, 36L, false)), out)
+    assert(out("B") == ((8L, 24L, false)), out) // 1/3 ≤ t = 1/2
+    assert(out("C") == ((8L, 12L, true)), out) // 2/3 > 1/2 → breach
+  }
+
+  test("t-closeness plan: no window, global distribution broadcast") {
+    val df = people((1 to 300).map(i => (i % 13, "j" + (i % 5), i % 7)): _*)
+    val rep = Privacy.tClosenessReport(df, Seq("zip", "job"), "age", 1L, 4L)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "t-closeness must not need a window")
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      "global distribution and total must broadcast")
+    // exact-gate property: partition-layout independent
+    val a = rep.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = Privacy.tClosenessReport(df.repartition(11), Seq("zip", "job"), "age", 1L, 4L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
 }
