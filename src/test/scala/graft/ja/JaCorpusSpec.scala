@@ -95,6 +95,31 @@ class JaCorpusSpec extends AnyFunSuite {
     assert(tok.tokenize("忙しい毎日を過ごした。").contains("忙しい"))
   }
 
+  test("single-kanji 語幹 (AdjGaru1): すぎ/そう lemmatize, compounds never tear") {
+    val tok = new JaTokenizer()
+    // the round-12 class (held-out-12 sid 26): single-kanji stems carry
+    // Garu1Pos, whose row licenses ONLY 様態そう (Aux) and すぎ (VSugi)
+    val licensed = Seq(
+      "怖すぎて引き返した。" -> "怖い",
+      "値段が高すぎて買えなかった。" -> "高い",
+      "今日は寒すぎた。" -> "寒い",
+      "怖そうな映画だった。" -> "怖い",
+      "眠すぎて何も手につかない。" -> "眠い")
+    val bad = licensed.filterNot { case (s, base) => tok.tokenize(s).contains(base) }
+    assert(bad.isEmpty, s"AdjGaru1 lemmatization failed for: $bad")
+    // the +8000 grammar row: unknown kanji compounds headed by an
+    // adjectival kanji must stay merged unknown runs, never 高い|台-style
+    // lemmatized tears (the reason the round-7 guard refused these stems)
+    val sents = Seq("高見沢さんに会った。", "早苗という名前だ。")
+    val out = sents.map(s0 => s0 -> tok.tokenize(s0).toSeq)
+    assert(!out.exists(_._2.contains("高い")), out)
+    assert(!out.exists(_._2.contains("早い")), out)
+    // すぎる itself (VSugi) still behaves as the generic verb everywhere:
+    // the pinned 入れる|すぎる decomposition is untouched
+    assert(tok.tokenize("洗剤を入れすぎて泡だらけになった。").toSeq
+      .containsSlice(Seq("入れる", "すぎる")))
+  }
+
   test("POS tagging drives stop-tag filtering (hierarchical)") {
     val s = "新しい技術の研究を行った。"
     // default: verbs and adjectives surface alongside nouns
