@@ -87,7 +87,11 @@ object DictLint {
     "商店街", "温泉街",
     "少子化", "高齢化", "都市化", "温暖化", "地球温暖化", "暗号化",
     "製品化", "実用化", "最適化", "効率化", "可視化",
-    "伝統文化") // 文化 is opaque (not 伝統文+化); compound of two free nouns
+    "伝統文化", // 文化 is opaque (not 伝統文+化); compound of two free nouns
+    // round-12 KanjiAudit: each is a reviewed ATOMIC pin in the golden
+    // corpus (the audit only lexicalizes runs that literally appear as
+    // pinned tokens), so atomicity IS the documented policy decision
+    "不用品", "再現性", "歩行者", "繁華街", "被験者")
 
   private[graft] def suffixPolicy(entries: Seq[graft.ja.DictEntry]): Seq[Issue] =
     entries.filter { e =>
