@@ -72,7 +72,10 @@ private[ja] object JaCosts {
     else if (pos.startsWith("助動詞")) {
       if (e.surface == "た") AuxTa
       else if (e.surface == "ます" || e.surface == "まし" || e.surface == "ませ" ||
-        e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ") AuxMasu
+        e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ" ||
+        e.surface == "ず") AuxMasu // ず is 未然-only: the same non-連用 fences
+      // (×は+ず must not steal the formal noun はず; ×が+ず must not steal
+      // ずれる's stem — round-12 batch-10 replay)
       else if (e.surface == "ない" || e.surface == "なく" ||
         e.surface == "なかっ" || e.surface == "なけれ") AuxNai
       else if (e.surface == "です" || e.surface == "でし" ||
@@ -264,7 +267,11 @@ private[ja] object JaCosts {
     set(Sahen, AuxMasu, 800) // ×発表+ます (発表+し+ます is the licensed path)
     set(NounSuffix, AuxMasu, 800)
     set(Num, AuxMasu, 800)
-    set(Particle, AuxMasu, 800) // ×に+まし
+    set(Particle, AuxMasu, 2000) // ×に+まし — and ×の+ず: at 800 the
+    // single-char 未然-only aux ず (600) plus AuxMasu→Aux れ beat the verb
+    // reading of ずれ (の|ず|れ read 現場のずれ without ずれる, golden
+    // 1114); no Particle→AuxMasu attachment is ever grammatical, so the
+    // fence can sit above any single-aux word cost
     set(BOS, AuxMasu, 2300) // same level as BOS→Aux
     set(VerbCond, AuxMasu, 1200) // ×届け+ます handled by the ichidan homograph
     set(VOnbin, AuxMasu, 800) // ×読ん+ます
