@@ -63,6 +63,16 @@ object JaInflection {
     */
   final val VOnbinPos = "動詞-自立-濁音便"
 
+  /** The bare 意向形 (stem+o-row / ichidan stem+よ) carries its own POS →
+    * lattice class, because without う it is essentially never the right
+    * reading mid-sentence: as plain VerbInfl the r-row 意向 むしろ(→むしる)
+    * EXACTLY tied the adverb むしろ (same word cost, both conn 0) and won
+    * by relaxation order, emitting a phantom むしる. VInt licenses only
+    * the volitional う (its own surface-dispatched AuxU class, the ば/た
+    * pattern) — 行こ+う, 食べよ+う — and nothing else.
+    */
+  final val VIntPos = "動詞-自立-意向"
+
   /** Rows whose 音便 past is voiced (〜だ): ガ行 and the ン音便 rows. */
   private val voicedOnbinRows: Set[Char] = Set('g', 'n', 'b', 'm')
 
@@ -74,7 +84,7 @@ object JaInflection {
         DictEntry(base, pos, "", Array.empty, derived),
         DictEntry(stem, pos, base, Array.empty, derived), // 未然/連用: 食べ(ない/ます/た)
         DictEntry(stem + "れ", CondPos, base, Array.empty, derived), // 仮定: 食べれ(ば)
-        DictEntry(stem + "よ", pos, base, Array.empty, derived)) // 意向: 食べよ(う)
+        DictEntry(stem + "よ", VIntPos, base, Array.empty, derived)) // 意向: 食べよ(う)
     } else {
       val (a, i, e, o, onbin) = godan(cls)
       val stem = base.dropRight(1)
@@ -83,8 +93,15 @@ object JaInflection {
       // class — precedes だ/で, never た); unvoiced rows keep it in the
       // generic VerbInfl form set
       val voicedOnbin = onbin.nonEmpty && voicedOnbinRows(cls)
-      val forms = (Seq(a.toString, i.toString, o.toString) ++
+      val forms = (Seq(a.toString, i.toString) ++
         (if (onbin.nonEmpty && !voicedOnbin) Seq(onbin) else Nil)).distinct.filterNot(_ == condForm)
+      // 意向形 under its own class; skip when the o-row surface collides
+      // with another generated form (it never does for the standard rows)
+      val intForm = o.toString
+      val intEntry =
+        if (intForm != condForm && !forms.contains(intForm))
+          Seq(DictEntry(stem + intForm, VIntPos, base, Array.empty, derived))
+        else Nil
       val onbinEntry =
         if (voicedOnbin) Seq(DictEntry(stem + onbin, VOnbinPos, base, Array.empty, derived))
         else Nil
@@ -97,7 +114,7 @@ object JaInflection {
       // divergence); the dictionary form is the high-frequency win.
       (DictEntry(base, pos, "", Array.empty, derived) +:
         (DictEntry(stem + condForm, CondPos, base, Array.empty, derived) +:
-          (forms.map(f => DictEntry(stem + f, pos, base, Array.empty, derived)) ++
+          (intEntry ++ forms.map(f => DictEntry(stem + f, pos, base, Array.empty, derived)) ++
             onbinEntry))) ++
         Seq(
           // potential verb as its own 一段 lexeme (話せる) …

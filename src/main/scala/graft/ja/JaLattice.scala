@@ -59,18 +59,25 @@ private[ja] object JaCosts {
   // column copied from VerbInfl), except that adjective 語幹 classes license
   // it — 忙し+すぎ, and crucially the single-kanji 語幹 (怖+すぎ, 高+すぎ)
   // whose AdjGaru1 row blocks every OTHER right context
+  final val VInt = 24 // bare 意向形 (行こ/食べよ/むしろ): licenses ONLY the
+  // volitional う (AuxU) — as generic VerbInfl the r-row 意向 むしろ(→むしる)
+  // exactly tied the adverb むしろ and won by relaxation order
+  final val AuxU = 25 // the volitional auxiliary う itself (surface-dispatched
+  // like ば/た): everything treats it as generic Aux except that VInt may
+  // precede it
   final val AdjGaru1 = 23 // single-kanji i-adjective 語幹 (怖, 高, 寒):
   // licenses ONLY 様態そう (Aux) and すぎ (VSugi); everything else — noun,
   // suffix, particle, generic verb — is priced prohibitively so the stem can
   // never tear an unknown kanji compound (高台, 高見) the way a generic
   // AdjGaru single-kanji entry would (the round-7 guard this class replaces)
-  final val NumClasses = 24
+  final val NumClasses = 26
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
     if (pos.startsWith("助詞")) { if (e.surface == "ば") ParticleBa else Particle }
     else if (pos.startsWith("助動詞")) {
       if (e.surface == "た") AuxTa
+      else if (e.surface == "う") AuxU
       else if (e.surface == "ます" || e.surface == "まし" || e.surface == "ませ" ||
         e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ" ||
         e.surface == "ず") AuxMasu // ず is 未然-only: the same non-連用 fences
@@ -86,6 +93,7 @@ private[ja] object JaCosts {
     else if (pos == graft.ja.JaInflection.GaruPos) AdjGaru
     else if (pos == graft.ja.JaInflection.Garu1Pos) AdjGaru1
     else if (pos == graft.ja.JaInflection.VOnbinPos) VOnbin
+    else if (pos == graft.ja.JaInflection.VIntPos) VInt
     else if (pos.startsWith("動詞") &&
       (e.base == "すぎる" || e.surface == "すぎる")) VSugi
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
@@ -138,12 +146,13 @@ private[ja] object JaCosts {
     (AuxDesu, AuxNai), (VerbCond, AuxDesu), (VerbInfl, AuxDesu),
     (AdjInfl, AuxDesu), (VOnbin, AuxDesu)) ++
     (0 until NumClasses).map((AdjGaru, _)) ++ // the whole 語幹 row is grammar
-    (0 until NumClasses).map((AdjGaru1, _)) // …and the single-kanji row too
+    (0 until NumClasses).map((AdjGaru1, _)) ++ // …and the single-kanji row too
+    (0 until NumClasses).map((VInt, _)) // …and the bare-意向 row
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
     * region (届け！) and a dangling prefix may not — grammar, not counts.
     */
-  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru, AdjGaru1, VOnbin)
+  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru, AdjGaru1, VOnbin, VInt)
 
   /** Hand-assigned prior matrix: the bootstrap cost model, the fallback for
     * classes unseen in the training corpora, and the source of the
@@ -357,6 +366,29 @@ private[ja] object JaCosts {
     (0 until NumClasses).foreach(r => set(AdjGaru1, r, 8000))
     set(AdjGaru1, Aux, -400) // 怖+そう, 高+そう
     set(AdjGaru1, VSugi, -400) // 怖+すぎ, 高+すぎ
+    // AuxU (the volitional う): exact row/column mirror of the generic Aux
+    // class it was split from — every host that licensed う before still
+    // does at the same cost — split out solely so VInt can license it.
+    locally { var x = 0
+      while (x < NumClasses) {
+        if (x != AuxU && x != VInt) {
+          m(AuxU)(x) = m(Aux)(x)
+          m(x)(AuxU) = m(x)(Aux)
+        }
+        x += 1
+      }
+      m(AuxU)(AuxU) = m(Aux)(Aux) }
+    // VInt (bare 意向形): incoming edges mirror VerbInfl; the outgoing row
+    // is a hard grammar block — ONLY う is licensed (行こ+う, 食べよ+う,
+    // 話そ+う). A bare 意向 before anything else means the span stole an
+    // adverb/noun surface (むしろ, 行こ…) and must lose.
+    locally { var x = 0
+      while (x < NumClasses) {
+        if (x != VInt) m(x)(VInt) = m(x)(VerbInfl)
+        x += 1
+      } }
+    (0 until NumClasses).foreach(r => set(VInt, r, 8000))
+    set(VInt, AuxU, -800) // 行こ+う: the one licensed attachment
     m
   }
 
@@ -369,6 +401,7 @@ private[ja] object JaCosts {
     a(VerbCond) = 200 // bare imperative can end a sentence (届け！)
     a(AdjGaru) = 1000 // a dangling adjective 語幹 never ends a region
     a(AdjGaru1) = 8000 // same, at the AdjGaru1 row's grammar-block level
+    a(VInt) = 800 // a dangling bare 意向形 is at best literary imperative
     a(VOnbin) = 400 // dangling voiced 音便 stem: same as VerbInfl
     // eos(VSugi) stays 0 (not VerbInfl's 400): the terminal すぎる and the
     // nominal dangling すぎ (飲みすぎ。) both legitimately end a region
