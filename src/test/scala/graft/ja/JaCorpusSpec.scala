@@ -120,6 +120,22 @@ class JaCorpusSpec extends AnyFunSuite {
       .containsSlice(Seq("入れる", "すぎる")))
   }
 
+  test("bare 意向形 (VInt): licenses only う; adverb homographs win elsewhere") {
+    val tok = new JaTokenizer()
+    // the volitional construction lemmatizes through VInt + AuxU
+    val volitional = Seq(
+      "そろそろ帰ろうと思う。" -> "帰る",
+      "明日は早く起きようと決めた。" -> "起きる",
+      "みんなで歌おうと声をかけた。" -> "歌う",
+      "宿題を済ませてから遊ぼう。" -> "遊ぶ")
+    val bad = volitional.filterNot { case (s, base) => tok.tokenize(s).contains(base) }
+    assert(bad.isEmpty, s"volitional lemmatization failed for: $bad")
+    // the grammar block: むしろ must be the adverb, never a phantom むしる
+    // 意向 (the exact tie this class exists for), and 行こ must not float
+    val m = tok.tokenize("むしろ安いほうが売れた。").toSeq
+    assert(m.contains("むしろ") && !m.contains("むしる"), m)
+  }
+
   test("POS tagging drives stop-tag filtering (hierarchical)") {
     val s = "新しい技術の研究を行った。"
     // default: verbs and adjectives surface alongside nouns
