@@ -22,7 +22,7 @@ class PinFragilitySpec extends AnyFunSuite {
 
   private def scriptClass(t: String): Option[String] = {
     def all(p: Char => Boolean) = t.nonEmpty && t.forall(p)
-    if (all(c => c >= 'ァ' && c <= 'ヿ' || c == 'ー') && t.length >= 4) Some("katakana")
+    if (all(c => c >= 'ァ' && c <= 'ヿ' || c == 'ー') && t.length >= 2) Some("katakana")
     else if (all(c => c >= '一' && c <= '鿿') && t.length >= 2) Some("kanji")
     else if (all(c => c >= 'ぁ' && c <= 'ゖ') && t.length >= 2) Some("hiragana")
     else None
