@@ -219,6 +219,19 @@ object JaGolden {
   lazy val heldoutCorpus12: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus12.tsv")
 
+  /** Thirteenth blind held-out set (pre-registered round 12 behind the
+    * registration-time disjointness check, evaluated round 13 BEFORE any
+    * round-13 change; topics disjoint from the post-registration probe
+    * batches 23-25, so no per-topic caveat). First-run 30/40 (75.0%);
+    * 4 lexeme gaps (防護, ふんわり, ラジオ体操, 深呼吸), 0 lattice bugs,
+    * 6 author amendments — all six the SAME convention classes already
+    * adjudicated in earlier sets (atomic 機/場/板 compounds, たて
+    * deverbal stop-filter) — itemized in the resource header. Pinned at
+    * 40/40; drives q143.
+    */
+  lazy val heldoutCorpus13: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus13.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -256,6 +269,8 @@ object JaGolden {
     literalTable(heldoutCorpus11.map { case (sid, _, toks) => (sid, toks) })
   def heldout12OracleSql: String =
     literalTable(heldoutCorpus12.map { case (sid, _, toks) => (sid, toks) })
+  def heldout13OracleSql: String =
+    literalTable(heldoutCorpus13.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
