@@ -54,11 +54,16 @@ private[ja] object JaCosts {
   // Like た, a particle or bare noun before them is ungrammatical — ×に+まし
   // made ～になりました (and ×に+たい, ～になりたい) read なり as the
   // listing particle instead of the verb 連用形
-  final val VSugi = 22 // the すぎる helper-verb family (すぎ/すぎる/すぎよ):
-  // behaves exactly like the generic verb classes it was split from (row and
-  // column copied from VerbInfl), except that adjective 語幹 classes license
-  // it — 忙し+すぎ, and crucially the single-kanji 語幹 (怖+すぎ, 高+すぎ)
-  // whose AdjGaru1 row blocks every OTHER right context
+  final val VSugi = 22 // the すぎる helper-verb family (the 連用 stem すぎ and
+  // the terminal すぎる; the inflected forms すぎよ/すぎれ dispatch BEFORE the
+  // base test into VInt/VerbCond like any verb — ADVICE r12 adjudication:
+  // 高すぎれば/怖すぎよう still lemmatize correctly through those generic
+  // classes because no competitor undercuts the 8000 stem row, pinned by
+  // JaTokenizerSpec "sugi inflected forms"): behaves exactly like the generic
+  // verb classes it was split from (row and column copied from VerbInfl),
+  // except that adjective 語幹 classes license it — 忙し+すぎ, and crucially
+  // the single-kanji 語幹 (怖+すぎ, 高+すぎ) whose AdjGaru1 row blocks almost
+  // every OTHER right context
   final val VInt = 24 // bare 意向形 (行こ/食べよ/むしろ): licenses ONLY the
   // volitional う (AuxU) — as generic VerbInfl the r-row 意向 むしろ(→むしる)
   // exactly tied the adverb むしろ and won by relaxation order
@@ -66,7 +71,10 @@ private[ja] object JaCosts {
   // like ば/た): everything treats it as generic Aux except that VInt may
   // precede it
   final val AdjGaru1 = 23 // single-kanji i-adjective 語幹 (怖, 高, 寒):
-  // licenses ONLY 様態そう (Aux) and すぎ (VSugi); everything else — noun,
+  // licenses ONLY 様態そう (Aux), すぎ (VSugi), and the classical ウ音便 う
+  // (AuxU — 高うございます/早う行け lemmatize to 高い/早い; ADVICE r12
+  // adjudication: the mirror-inherited cell is linguistically right, kept
+  // explicit below and spec-pinned); everything else — noun,
   // suffix, particle, generic verb — is priced prohibitively so the stem can
   // never tear an unknown kanji compound (高台, 高見) the way a generic
   // AdjGaru single-kanji entry would (the round-7 guard this class replaces)
@@ -352,8 +360,9 @@ private[ja] object JaCosts {
       m(VSugi)(VSugi) = m(VerbInfl)(VerbInfl) }
     set(AdjGaru, VSugi, -400) // 忙し+すぎ: same license as 忙し+そう
     // single-kanji 語幹 (AdjGaru1): incoming edges mirror AdjGaru; the
-    // outgoing row is a hard grammar block — ONLY 様態そう (Aux) and すぎ
-    // (VSugi) are licensed. +8000 (not AdjGaru's 1000) because the tear
+    // outgoing row is a hard grammar block — ONLY 様態そう (Aux), すぎ
+    // (VSugi), and (set explicitly after the AuxU mirror below) the
+    // classical ウ音便 う are licensed. +8000 (not AdjGaru's 1000) because the tear
     // math differs at one code point: 高[stem]+台[counter] at a 1000 row
     // would undercut the merged unknown run 高台 (3400+1000+2400 < 7300)
     // and lemmatize unknown compounds into ×高い|台; at 8000 no split
@@ -378,6 +387,15 @@ private[ja] object JaCosts {
         x += 1
       }
       m(AuxU)(AuxU) = m(Aux)(Aux) }
+    // AdjGaru1 + う: the mirror loop above copied the -400 Aux license into
+    // the AuxU column of the otherwise-blocked single-kanji stem row. ADVICE
+    // r12 flagged the inheritance as silent; it is KEPT deliberately — the
+    // only real text shaped [single-kanji adjective stem]+う is the classical
+    // ウ音便 連用 (高うございます, 早う行け), where lemmatizing through the
+    // stem (高い/早い) is exactly right, and the volitional reading the cell
+    // nominally encodes cannot occur (adjective volitional is 高かろ+う via
+    // AdjInfl). Explicit so a reordering of these blocks cannot flip it.
+    m(AdjGaru1)(AuxU) = -400
     // VInt (bare 意向形): incoming edges mirror VerbInfl; the outgoing row
     // is a hard grammar block — ONLY う is licensed (行こ+う, 食べよ+う,
     // 話そ+う). A bare 意向 before anything else means the span stole an

@@ -189,6 +189,25 @@ class JaTokenizerSpec extends AnyFunSuite {
     intercept[Exception](UserDict.fetch("file:///nonexistent/userdict.txt"))
   }
 
+  test("AdjGaru1 ウ音便 license: classical stem+う lemmatizes through the adjective (ADVICE r12)") {
+    val t = new JaTokenizer()
+    // the mirror-inherited AuxU cell is intentional: 高う/早う are 高い/早い's
+    // classical 連用 ウ音便, and う (aux) is stop-filtered
+    assert(t.tokenize("値段が高うございます。").toSeq == Seq("値段", "高い", "ござる"))
+    assert(t.tokenize("早う行け。").toSeq == Seq("早い", "行く"))
+  }
+
+  test("sugi inflected forms: すぎれ/すぎよ reach VerbCond/VInt yet still win after single-kanji stems (ADVICE r12)") {
+    val t = new JaTokenizer()
+    // すぎれ/すぎよ dispatch into the generic VerbCond/VInt classes (not
+    // VSugi); the 8000 AdjGaru1 row prices the attachment high but no
+    // competitor undercuts it, so the correct lemmatization still wins
+    assert(t.tokenize("値段が高すぎれば買わない。").toSeq == Seq("値段", "高い", "すぎる", "買う"))
+    assert(t.tokenize("この映画は怖すぎよう。").toSeq == Seq("映画", "怖い", "すぎる"))
+    // multi-kanji stems route through AdjGaru and stay correct too
+    assert(t.tokenize("荷物が重すぎれば分けて運ぶ。").toSeq == Seq("荷物", "重い", "すぎる", "分ける", "運ぶ"))
+  }
+
   test("AuxTa fence: past た never attaches to a bare noun, copula still does") {
     val t = new JaTokenizer()
     // ×組み立て(noun)+た must lose to the derived verb 組み立てる
