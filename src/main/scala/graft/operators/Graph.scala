@@ -152,4 +152,78 @@ object Graph {
         row_number().over(Window.orderBy(col("pr").desc, col("node"))))
       .select(col("node"), col("pr"), col("is_seed"), col("rn"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg, JACM 1999) in scaled integer
+    * arithmetic — the hub/authority complement to [[pageRankInt]]: on a
+    * bipartite curation graph (documents→hosts, customers→suppliers,
+    * queries→documents) PageRank measures undirected closeness, HITS
+    * separates "points at good things" (hub) from "is pointed at by good
+    * hubs" (authority), which is the signal a crawl-frontier or
+    * source-selection gate actually wants.
+    *
+    *   h₀(u)    = scale
+    *   aᵢ(v)    = scale · Σ_{(u,v)∈E} hᵢ₋₁(u)  div  max_w Σ hᵢ₋₁
+    *   hᵢ(u)    = scale · Σ_{(u,v)∈E} aᵢ(v)    div  max_w Σ aᵢ
+    *
+    * The max-normalization replaces the paper's L2 norm: a square root
+    * cannot sit under the exact-hash oracle gate (q42 rule), while integer
+    * max + one floor-division per node is associative-commutative-exact
+    * under any partitioning and preserves the paper's fixed point up to
+    * per-hop truncation < 1 unit in `scale`. Overflow bound: raw sums are
+    * ≤ maxdeg·scale and the normalize multiplies by `scale` again, so the
+    * caller must keep maxdeg·scale² < 2⁶³ (at the default 10⁶ that is
+    * maxdeg ≤ ~9·10⁶; drop `scale` for pathological skew).
+    *
+    * Scale shape: TWO partition-aligned checkpointed edge copies — the
+    * authority step joins h on src, the hub step joins a on dst; staging
+    * `e` once per join key means neither per-hop join re-exchanges the
+    * edge side (the pageRankInt rule, doubled because HITS alternates join
+    * keys). Unlike pageRankInt no per-hop node left-join is needed: a
+    * missing (node, score) row IS score 0 for both the next join and the
+    * final coalesce, so each half-step is exactly one edge-side join + one
+    * keyed sum + a one-row broadcast max. Final top-k is TakeOrdered by
+    * authority with the rank window over ≤ topK rows.
+    *
+    * Output: node, auth, hub, rn (1-based by auth desc, node asc) — top
+    * `topK` over the full node universe (pure hubs rank with auth 0).
+    */
+  def hitsInt(edges: DataFrame, iters: Int, topK: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hitsInt: iters must be >= 1")
+    require(scale > 0, "hitsInt: scale must be positive")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val eBySrc = e.repartition(col("src")).localCheckpoint()
+    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint()
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var h = nodes.withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val araw = eBySrc
+        .join(h.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s"))
+      val amax = araw.agg(max(col("s")).as("m"))
+      a = araw.crossJoin(broadcast(amax))
+        .select(col("node"), expr(s"(s * ${scale}L) div m").as("a"))
+      val hraw = eByDst
+        .join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("s"))
+      val hmax = hraw.agg(max(col("s")).as("m"))
+      h = hraw.crossJoin(broadcast(hmax))
+        .select(col("node"), expr(s"(s * ${scale}L) div m").as("h"))
+      // lineage guard — see pageRankInt
+      if (i % 8 == 0 && i < iters) { a = a.localCheckpoint(); h = h.localCheckpoint() }
+    }
+    val scored = nodes
+      .join(a, Seq("node"), "left")
+      .join(h, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+    val top = scored.orderBy(col("auth").desc, col("node")).limit(topK)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy(col("auth").desc, col("node"))))
+      .select(col("node"), col("auth"), col("hub"), col("rn"))
+  }
 }

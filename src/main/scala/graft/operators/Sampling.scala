@@ -160,6 +160,38 @@ object Sampling {
       .agg(sum(col("cnt")).as("n_feats"),
         expr("sum(cnt * w) div sum(cnt)").as("score"))
   }
+
+  /** Deterministic weighted sampling without replacement — the integerized
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws the
+    * uniform key hash(id:salt) ∈ [0, 2³⁰·931…) and is ranked by
+    * priority = key div weight; the k SMALLEST priorities win. A row with
+    * twice the weight halves its expected priority — the integer analogue
+    * of the paper's u^(1/w) exponential keys — while membership stays a
+    * pure function of (id, salt, weight): reproducible across runs,
+    * repartitionings, and engines (the q52/q72 determinism contract; a
+    * rand()-based sampler could never sit under the exact-hash oracle).
+    * Weights must be positive integers (row dropped at w ≤ 0); ties break
+    * by id.
+    *
+    * Scale shape: the priority is a per-row codegen projection and the
+    * global k-smallest is TakeOrdered (no single-reducer window over the
+    * corpus — the q41 rule); the rank window runs over ≤ k rows. For
+    * per-stratum quotas compose with [[stratifiedSample]]'s
+    * window-by-stratum shape instead.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1, "weightedSample: k must be >= 1")
+    val key = graft_hash64(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    val ranked = df
+      .where(col(weightCol) > 0)
+      .withColumn("priority", key.cast("long"))
+      .withColumn("priority", expr(s"priority div ${weightCol}"))
+      .orderBy(col("priority"), col(idCol)).limit(k)
+    ranked.withColumn("sample_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority"), col(idCol))))
+  }
 }
 
 /** Benchmark decontamination: flag/remove training documents whose content

@@ -513,4 +513,54 @@ object TextAnalysis {
       .withColumn("dup_frac", lit(1) - col("n_distinct") / col("n_docs"))
       .withColumn("short_frac", col("n_short") / col("n_docs"))
   }
+
+  /** Integerized language-model quality gate: score each document by its
+    * OUT-OF-VOCABULARY BIGRAM rate against a reference corpus — the exact
+    * analogue of the KenLM-perplexity filter every production pretraining
+    * pipeline runs (CCNet, Gopher §A1.2), with perplexity's log-space
+    * float replaced by the count pair it monotonically tracks for gating:
+    * a document whose word transitions rarely occur in the reference is
+    * exactly a document whose n-gram LM probability mass collapses.
+    * Counts are integers, so the gate sits in the exact-hash oracle where
+    * a float perplexity never could (q42 rule).
+    *
+    * keep ⇔ n_oov · 1000 ≤ maxOovPermille · n_bg (documents with fewer
+    * than 2 tokens have no bigrams and pass vacuously).
+    *
+    * Scale shape: the reference bigram vocabulary is ONE distinct-keyed
+    * shuffle over the (usually much smaller) reference slice; scoring is
+    * one equi-join on the bigram key (hot bigrams have 1 ref row each, so
+    * multiplicity stays 1:1 — no blowup) plus one doc-keyed aggregation.
+    * Bigrams are built per-row inside codegen (zip_with over the token
+    * array — no self-join, no window) and only misses need the join row.
+    * No collect, no broadcast of the vocabulary (it can be billions of
+    * bigrams at 100 TB; the equi-join shuffles only matched keys).
+    */
+  def oovBigramGate(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String, maxOovPermille: Long): DataFrame = {
+    require(maxOovPermille >= 0, "oovBigramGate: maxOovPermille must be >= 0")
+    def bigrams(textCol: Column): Column = {
+      val tk = toks(textCol)
+      filter(
+        zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
+    }
+    val refBg = refDocs
+      .select(explode(bigrams(col(textCol))).as("bg")).distinct()
+      .withColumn("in_ref", lit(true))
+    val docBg = docs.select(col(idCol).as("doc_id"),
+      explode(bigrams(col(textCol))).as("bg"))
+    val scored = docBg.join(refBg, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        count(when(col("in_ref").isNull, 1)).as("n_oov"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("keep",
+        col("n_oov") * 1000 <= lit(maxOovPermille) * col("n_bg"))
+  }
 }

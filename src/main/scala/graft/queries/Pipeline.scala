@@ -2108,6 +2108,105 @@ object Pipeline {
       .orderBy("nation", "bal_bucket")
   }
 
+  /** Integer HITS (q144): hub/authority scoring over the DIRECTED
+    * customer→supplier purchase graph (q131's graph without the
+    * symmetrization — HITS needs the direction). Max-normalization stands
+    * in for the paper's L2 norm so every number stays in the exact gate;
+    * two iterations, each replayed by the oracle as (authority sum →
+    * scalar-subquery max → floor-div) then the same for hubs. Pure hubs
+    * (customers) rank with auth 0 behind every supplier.
+    */
+  val q144 = Q(
+    "q144_hits_hubs_authorities", {
+      def iterCtes(prevH: String, i: Int): String =
+        s"""ar$i AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS s
+           |  FROM e JOIN $prevH h ON e.src = h.node GROUP BY 1),
+           |a$i AS (SELECT node,
+           |  CAST(s * 1000000 // (SELECT MAX(s) FROM ar$i) AS BIGINT) AS a
+           |  FROM ar$i),
+           |hr$i AS (SELECT e.src AS node, CAST(SUM(a$i.a) AS BIGINT) AS s
+           |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+           |h$i AS (SELECT node,
+           |  CAST(s * 1000000 // (SELECT MAX(s) FROM hr$i) AS BIGINT) AS h
+           |  FROM hr$i)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+         |    l.l_suppkey * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+         |${iterCtes("h0", 1)},
+         |${iterCtes("h1", 2)}
+         |SELECT node, auth, hub, rn FROM (
+         |  SELECT n.node, COALESCE(a2.a, 0) AS auth, COALESCE(h2.h, 0) AS hub,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(a2.a, 0) DESC, n.node)
+         |      AS INT) AS rn
+         |  FROM n LEFT JOIN a2 ON n.node = a2.node
+         |         LEFT JOIN h2 ON n.node = h2.node)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }) { (s, dir) =>
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.hitsInt(edges, iters = 2, topK = 20).orderBy("rn")
+  }
+
+  /** OOV-bigram LM gate (q145): the integerized KenLM-perplexity filter —
+    * score every document by how many of its word transitions never occur
+    * in a reference slice (doc_id % 7 = 0 stands in for the "clean"
+    * corpus). Counts replace log-space perplexity so the gate is
+    * oracle-exact; the DuckDB replay builds bigrams with a zipped
+    * unnest + generate_subscripts self-join where Spark uses a per-row
+    * codegen zip_with.
+    */
+  val q145 = Q(
+    "q145_oov_bigram_gate",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |        generate_subscripts(string_split(text, ' '), 1) AS pos
+      |      FROM documents),
+      |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |ref AS (SELECT DISTINCT bg FROM bg WHERE doc_id % 7 = 0),
+      |sc AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+      |         CAST(COUNT(CASE WHEN ref.bg IS NULL THEN 1 END) AS BIGINT) AS n_oov
+      |       FROM bg LEFT JOIN ref ON bg.bg = ref.bg GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(sc.n_bg, 0) AS n_bg,
+      |  COALESCE(sc.n_oov, 0) AS n_oov,
+      |  COALESCE(sc.n_oov, 0) * 1000 <= 10 * COALESCE(sc.n_bg, 0) AS keep
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.oovBigramGate(docs,
+        docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
+        maxOovPermille = 10L)
+      .orderBy("doc_id")
+  }
+
+  /** Weighted deterministic sample (q146): integerized Efraimidis–Spirakis
+    * A-ES over the documents table with token count as the weight — the
+    * "prefer long documents, but reproducibly" sampling step of a
+    * curation mix. priority = hash(id:salt) div weight, k smallest win;
+    * the oracle replays the polynomial hash with list_reduce and the same
+    * floor division.
+    */
+  val q146 = Q(
+    "q146_weighted_sample",
+    s"""WITH w AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+       |p AS (SELECT doc_id, source, w,
+       |    ${hashSql("CAST(doc_id AS VARCHAR) || ':wsample'")} // w AS priority
+       |  FROM w WHERE w > 0)
+       |SELECT doc_id, source, w, priority, sample_rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INT)
+       |    AS sample_rank FROM p)
+       |WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("w"))
+    Sampling.weightedSample(docs, "doc_id", "w", k = 50).orderBy("sample_rank")
+  }
+
   /** PRF expanded retrieval (q135): one round of pseudo-relevance feedback
     * (RM3 family) — BM25 seed pass, top-weight expansion terms mined from
     * the feedback docs (len ≥ 4, seed excluded, (w desc, term) tie-break),
@@ -2633,5 +2732,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }

@@ -170,4 +170,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q144 HITS: TakeOrdered top-k; the only nested-loops are the four one-row max broadcasts") {
+    val p = plan("q144_hits_hubs_authorities")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the un-checkpointed a/h lineage repeats subtrees textually, so the
+    // raw BNLJ count is not meaningful — instead pin that EVERY nested
+    // loop is the one-row normalize broadcast (BuildRight, Cross); a
+    // BuildLeft/non-Cross BNLJ would be a real unkeyed join
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("BuildRight, Cross")), p)
+  }
+
+  test("q145 OOV-bigram gate: bigram build is per-row codegen — no window, no cartesian; joins are keyed") {
+    val p = plan("q145_oov_bigram_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // no self-join/window bigram build
+  }
+
+  test("q146 weighted sample: global k-smallest is TakeOrdered, never a corpus-wide single-reducer window") {
+    val p = plan("q146_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the rank window must run AFTER the limit (over <= k rows): in the
+    // printed tree parents come first, so Window must appear ABOVE
+    // TakeOrderedAndProject; the reverse order would be the q41 anti-shape
+    // (a corpus-wide single-reducer rank before any truncation)
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
+  }
 }

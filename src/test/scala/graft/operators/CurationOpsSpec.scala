@@ -141,4 +141,66 @@ class CurationOpsSpec extends AnyFunSuite {
     val exactPairs = exact.map { case (q, n, _) => (q, n) }
     assert(tight.intersect(exactPairs).size >= (exactPairs.size * 0.8).toInt)
   }
+
+  test("oovBigramGate: bigram counts, OOV misses, vacuous short docs") {
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // ref bigrams: {the cat, cat sat, sat on, on the, the mat}
+    val docs = Seq(
+      (1L, "the cat sat"),        // 2 bigrams, both in ref
+      (2L, "the cat ate fish"),   // 3 bigrams, "cat ate"/"ate fish" OOV
+      (3L, "dog"),                // 0 bigrams -> vacuous pass
+      (4L, "on the mat")).toDF("doc_id", "text") // 2 bigrams, both in ref
+    val r = TextAnalysis.oovBigramGate(docs, ref, "doc_id", "text",
+        maxOovPermille = 500L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 0L, true),
+      (2L, 3L, 2L, false), // 2000 > 500*3
+      (3L, 0L, 0L, true),
+      (4L, 2L, 0L, true)))
+  }
+
+  test("oovBigramGate: duplicate bigram occurrences each count; empty text is vacuous") {
+    val ref = Seq((1L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b a b a b"), (2L, "")).toDF("doc_id", "text")
+    // doc 1 bigrams: "a b","b a","a b","b a","a b" -> 5 total, 2 OOV ("b a")
+    val r = TextAnalysis.oovBigramGate(docs, ref, "doc_id", "text",
+        maxOovPermille = 400L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq((1L, 5L, 2L, true), (2L, 0L, 0L, true)))
+  }
+
+  test("weightedSample: matches the hand-ranked A-ES priorities; w<=0 dropped; deterministic") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Seq((1L, 10L), (2L, 1L), (3L, 100L), (4L, 5L), (5L, 0L), (6L, -3L))
+    val df = rows.toDF("doc_id", "w")
+    def prio(id: Long, w: Long): Long =
+      graft.expr.Kernels.polyHash(UTF8String.fromString(s"$id:wsample")) / w
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, prio(id, w)) }
+      .sortBy { case (id, _, p) => (p, id) }.take(3)
+      .zipWithIndex.map { case ((id, w, p), i) => (id, w, p, i + 1) }
+    val got = Sampling.weightedSample(df, "doc_id", "w", k = 3)
+      .orderBy("sample_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(got.toSeq == expect)
+    // repartition-stable (the oracle-gate property)
+    val again = Sampling.weightedSample(df.repartition(5), "doc_id", "w", k = 3)
+      .orderBy("sample_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(again.toSeq == expect)
+  }
+
+  test("weightedSample: heavier rows win more often across salts (the bias property)") {
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 1L else 10L)).toDF("doc_id", "w")
+    val wins = (1 to 10).map { s0 =>
+      val picked = Sampling.weightedSample(df, "doc_id", "w", k = 20, salt = s"s$s0")
+        .collect().map(_.getLong(0))
+      picked.count(_ > 100L)
+    }.sum
+    // heavy rows (w=10) should take well over half of the 200 slots overall
+    assert(wins > 120, s"heavy-weight rows won only $wins/200 slots")
+  }
 }

@@ -101,4 +101,40 @@ class GraphSpec extends AnyFunSuite {
     val total = out.map(_.getLong(1)).sum
     assert(total > 0L)
   }
+
+  test("HITS: hand-run recurrence on a 2x2 bipartite graph") {
+    val e = edges(1L -> 10L, 1L -> 11L, 2L -> 10L)
+    val out = Graph.hitsInt(e, iters = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // h0 = 10^6 everywhere.
+    // iter1: ar(10)=2e6, ar(11)=1e6, amax=2e6 -> a(10)=10^6, a(11)=500000
+    //        hr(1)=1.5e6, hr(2)=1e6, hmax=1.5e6 -> h(1)=10^6, h(2)=666666
+    // iter2: ar(10)=1666666, ar(11)=1e6 -> a(10)=10^6, a(11)=600000
+    //        hr(1)=1.6e6, hr(2)=1e6 -> h(1)=10^6, h(2)=625000
+    assert(out.toSeq == Seq(
+      (10L, 1000000L, 0L, 1),
+      (11L, 600000L, 0L, 2),
+      (1L, 0L, 1000000L, 3),
+      (2L, 0L, 625000L, 4)))
+  }
+
+  test("HITS is partition-layout independent (the gate property)") {
+    val es = (1 to 200).map(i => (i.toLong, ((i * 37) % 50 + 1000).toLong)) ++
+      (1 to 50).map(i => ((i + 500).toLong, ((i * 13) % 200 + 1000).toLong))
+    val base = edges(es: _*)
+    val a = Graph.hitsInt(base, iters = 3, topK = 25)
+      .collect().map(_.toSeq).toSeq
+    val b = Graph.hitsInt(base.repartition(7), iters = 3, topK = 25)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("HITS max-normalization keeps the leader at exactly `scale` and pure hubs at auth 0") {
+    val out = Graph.hitsInt(edges(1L -> 2L, 3L -> 2L, 3L -> 4L), iters = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byNode = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byNode(2L)._1 == 1000000L)        // top authority pinned at scale
+    assert(byNode(1L)._1 == 0L && byNode(3L)._1 == 0L) // pure hubs
+    assert(byNode(3L)._2 == 1000000L)        // best hub pinned at scale
+  }
 }
