@@ -226,4 +226,54 @@ object Graph {
         row_number().over(Window.orderBy(col("auth").desc, col("node"))))
       .select(col("node"), col("auth"), col("hub"), col("rn"))
   }
+
+  /** Fixed-iteration synchronous label propagation (Raghavan et al., Phys.
+    * Rev. E 2007) made fully deterministic: every node starts as its own
+    * label; each hop it adopts the most frequent label among its
+    * in-neighbors, ties broken by SMALLEST label, keeping its current
+    * label when it has no in-neighbors. The paper's random visit order and
+    * random tie-breaks are replaced by synchronous updates + the total
+    * (count desc, label asc) order, so the result is a pure function of
+    * the edge list — bit-identical under any partitioning and replayable
+    * by the SQL oracle (the same determinism rewrite that admits
+    * [[pageRankInt]] to the exact gate). Community detection is the
+    * curation use: propagate host/domain cluster identity through the
+    * link graph, then cap or gate per community.
+    *
+    * Scale shape: edges staged once, hash-partitioned on src (the per-hop
+    * join key); each hop is one edge join + one (node, label)-keyed count
+    * + one window keyed on node (no single reducer — the q132 rule) + one
+    * node left-join; the label frame re-roots every 8 hops (lineage
+    * guard). Output: one row per COMMUNITY — label, size, rn (by size
+    * desc, label asc), top `topK`.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var lab = nodes.withColumn("lab", col("node"))
+    for (i <- 1 to iters) {
+      val cnt = e
+        .join(lab.select(col("node").as("src"), col("lab")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val pick = cnt.withColumn("rn",
+          row_number().over(Window.partitionBy(col("node"))
+            .orderBy(col("c").desc, col("lab"))))
+        .where(col("rn") === 1)
+        .select(col("node"), col("lab").as("new_lab"))
+      lab = lab.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      if (i % 8 == 0 && i < iters) lab = lab.localCheckpoint()
+    }
+    val sizes = lab.groupBy("lab").agg(count(lit(1)).as("size"))
+    val top = sizes.orderBy(col("size").desc, col("lab")).limit(topK)
+    top.withColumn("rn",
+        row_number().over(Window.orderBy(col("size").desc, col("lab"))))
+      .select(col("lab"), col("size"), col("rn"))
+  }
 }

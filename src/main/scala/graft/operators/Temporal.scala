@@ -84,4 +84,45 @@ object Temporal {
       .where(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Half-life recency scoring in exact integer arithmetic — the
+    * freshness-weighted engagement signal a curation/ranking pipeline
+    * computes per user/host/source ("how active, discounted by age"),
+    * with the usual exp(−λ·age) replaced by the power-of-two decay it
+    * approximates: each event contributes
+    *
+    *   scale >> min(ageDays div halfLifeDays, 62)
+    *
+    * relative to the fixed `anchorUs` (events after the anchor clamp to
+    * age 0; the shift cap keeps the result well-defined past 62
+    * half-lives). Integer shifts + sums are associative-commutative, so
+    * the score is bit-identical under any partitioning and engine — the
+    * pageRankInt exactness rule; float exponentials could never sit in
+    * the hash gate.
+    *
+    * Scale shape: one codegen projection (epoch diff, div, shift) + one
+    * keyed aggregation — no window, no join, no driver state. The anchor
+    * is a caller-supplied literal, NOT a computed max(ts) (that would add
+    * a corpus scan + broadcast and make the score non-reproducible across
+    * runs as data arrives).
+    *
+    * Output: key, n_events, score (Σ contributions), freshest_days
+    * (min age).
+    */
+  def recencyScore(events: DataFrame, keyCol: String, tsCol: String,
+      anchorUs: Long, halfLifeDays: Int, scale: Long = 1000000L): DataFrame = {
+    require(halfLifeDays >= 1, "recencyScore: halfLifeDays must be >= 1")
+    require(scale > 0, "recencyScore: scale must be positive")
+    val ageDays = greatest(lit(0L),
+      expr(s"(${anchorUs}L - unix_micros(${tsCol})) div 86400000000L"))
+    events
+      .select(col(keyCol), ageDays.as("age_days"))
+      .withColumn("halvings",
+        least(expr(s"age_days div ${halfLifeDays}L"), lit(62L)).cast("int"))
+      .withColumn("contrib", expr(s"shiftright(${scale}L, halvings)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).as("score"),
+        min(col("age_days")).as("freshest_days"))
+  }
 }

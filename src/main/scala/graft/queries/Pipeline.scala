@@ -2153,6 +2153,75 @@ object Pipeline {
     Graph.hitsInt(edges, iters = 2, topK = 20).orderBy("rn")
   }
 
+  /** Deterministic label propagation (q147): synchronous LPA with the
+    * total (count desc, label asc) tie-break over the symmetrized
+    * customer–supplier graph (q131's edges — LPA wants the undirected
+    * neighborhood). Three hops, each replayed by the oracle as
+    * count → windowed pick → coalesce; output is community sizes.
+    */
+  val q147 = Q(
+    "q147_label_propagation", {
+      def iterCte(prev: String, i: Int): String =
+        s"""c$i AS (SELECT e.dst AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+           |p$i AS (SELECT node, lab AS new_lab FROM (
+           |    SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+           |      ORDER BY c DESC, lab) AS rn FROM c$i) WHERE rn = 1),
+           |l$i AS (SELECT prev.node, COALESCE(p$i.new_lab, prev.lab) AS lab
+           |  FROM $prev prev LEFT JOIN p$i ON prev.node = p$i.node)""".stripMargin
+      s"""WITH eraw AS (SELECT DISTINCT o.o_custkey * 2 AS cu,
+         |    l.l_suppkey * 2 + 1 AS su
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  WHERE l.l_quantity > 48),
+         |e AS (SELECT cu AS src, su AS dst FROM eraw
+         |      UNION ALL SELECT su AS src, cu AS dst FROM eraw),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |l0 AS (SELECT node, node AS lab FROM n),
+         |${iterCte("l0", 1)},
+         |${iterCte("l1", 2)},
+         |${iterCte("l2", 3)}
+         |SELECT lab, size, rn FROM (
+         |  SELECT lab, size, CAST(ROW_NUMBER() OVER (ORDER BY size DESC, lab)
+         |    AS INT) AS rn
+         |  FROM (SELECT lab, CAST(COUNT(*) AS BIGINT) AS size FROM l3 GROUP BY 1))
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }) { (s, dir) =>
+    val ed = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_quantity") > 48)
+      .select((col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val edges = ed.select(col("cu").as("src"), col("su").as("dst"))
+      .union(ed.select(col("su").as("src"), col("cu").as("dst")))
+    Graph.labelPropagation(edges, iters = 3, topK = 20).orderBy("rn")
+  }
+
+  /** Recency-decayed engagement score (q148): power-of-two half-life
+    * weighting per user over the events table — exp-decay's exact
+    * integer stand-in (score = Σ 10⁶ >> age_in_half_lives, anchor
+    * 2024-02-01T00:00:00Z, half-life 7 days). One projection + one keyed
+    * aggregate; the oracle replays the epoch math and the shift.
+    */
+  val q148 = Q(
+    "q148_recency_score",
+    """WITH ev AS (SELECT user_id,
+      |    GREATEST(CAST(0 AS BIGINT),
+      |      (1706745600000000 - epoch_us(ts)) // 86400000000) AS age_days
+      |  FROM events),
+      |c AS (SELECT user_id, age_days,
+      |    (CAST(1000000 AS BIGINT) >> CAST(LEAST(age_days // 7, 62) AS INT))
+      |      AS contrib FROM ev)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(contrib) AS BIGINT) AS score,
+      |  CAST(MIN(age_days) AS BIGINT) AS freshest_days
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.Temporal.recencyScore(t(s, dir, "events"),
+        "user_id", "ts", anchorUs = 1706745600000000L, halfLifeDays = 7)
+      .orderBy("user_id")
+  }
+
   /** OOV-bigram LM gate (q145): the integerized KenLM-perplexity filter —
     * score every document by how many of its word transitions never occur
     * in a reference slice (doc_id % 7 = 0 stands in for the "clean"
@@ -2732,5 +2801,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }

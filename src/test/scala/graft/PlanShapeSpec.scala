@@ -183,6 +183,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj.nonEmpty && bnlj.forall(_.contains("BuildRight, Cross")), p)
   }
 
+  test("q147 label propagation: per-hop pick window is keyed on node, never a single reducer; no cartesian") {
+    val p = plan("q147_label_propagation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // every Window must be hash-partitioned (the per-node pick), except
+    // the final rank window which runs over <= topK rows post-TakeOrdered
+    assert(!p.replaceFirst("Window", "").contains("SinglePartition, Window"), p)
+  }
+
+  test("q148 recency score is one projection + one keyed aggregate: no join, no window, no Generate") {
+    val p = plan("q148_recency_score")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("Generate"), p)
+  }
+
   test("q145 OOV-bigram gate: bigram build is per-row codegen — no window, no cartesian; joins are keyed") {
     val p = plan("q145_oov_bigram_gate")
     assert(!p.contains("CartesianProduct"), p)

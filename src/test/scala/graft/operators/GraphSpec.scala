@@ -129,6 +129,35 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("label propagation: hand-run sync updates with the (count desc, label asc) tie-break") {
+    // triangle {1,2,3} + pendant 4 <- 3, all edges symmetrized
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 3L, 3L -> 1L,
+      3L -> 4L, 4L -> 3L)
+    // l0 = identity. hop1 (all neighbor counts are 1 -> min label wins):
+    //   1 <- {2,3} -> 2;  2 <- {1,3} -> 1;  3 <- {1,2,4} -> 1;  4 <- {3} -> 3
+    // hop2: 1 <- {lab(2)=1, lab(3)=1} -> 1 (count 2); 2 <- {2,1} -> 1 (tie -> 1)
+    //   3 <- {2,1,3} -> 1 (tie -> 1);  4 <- {1} -> 1
+    // hop3: everyone <- all-1 neighborhoods -> 1; single community of 4
+    val out = Graph.labelPropagation(e, iters = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 4L, 1)))
+  }
+
+  test("label propagation: two disconnected triangles stay two communities; partition independent") {
+    // odd cycles converge under sync updates (2-cycles oscillate by design
+    // — the paper's async order is what damps them; fixed hops replay
+    // whatever state the hop count lands on, deterministically)
+    def tri(a: Long, b: Long, c: Long) =
+      Seq(a -> b, b -> a, b -> c, c -> b, a -> c, c -> a)
+    val base = edges(tri(1L, 2L, 3L) ++ tri(10L, 11L, 12L): _*)
+    val a = Graph.labelPropagation(base, iters = 4, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    val b = Graph.labelPropagation(base.repartition(5), iters = 4, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.map(r => (r(0), r(1))).toSet == Set((1L, 3L), (10L, 3L)))
+  }
+
   test("HITS max-normalization keeps the leader at exactly `scale` and pure hubs at auth 0") {
     val out = Graph.hitsInt(edges(1L -> 2L, 3L -> 2L, 3L -> 4L), iters = 4, topK = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

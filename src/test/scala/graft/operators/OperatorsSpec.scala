@@ -435,4 +435,26 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(uncapped.toSeq == Seq((1L, 2L)))
   }
+
+  test("recencyScore: hand-computed half-life shifts, future clamp, shift cap") {
+    import java.sql.Timestamp
+    // anchor = 100 days after epoch; half-life 10 days; scale 1000000
+    val anchorUs = 100L * 86400000000L
+    def ts(day: Long) = new Timestamp(day * 86400000L)
+    val ev = Seq(
+      (1L, ts(100)),  // age 0   -> 0 halvings -> 1000000
+      (1L, ts(85)),   // age 15  -> 1 halving  -> 500000
+      (1L, ts(59)),   // age 41  -> 4 halvings -> 62500
+      (2L, ts(101)),  // future  -> clamps to age 0 -> 1000000
+      (3L, ts(-900))  // age 1000 -> capped 62 halvings -> 0
+    ).toDF("user_id", "ts")
+    val r = Temporal.recencyScore(ev, "user_id", "ts", anchorUs,
+        halfLifeDays = 10)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 1562500L, 0L),
+      (2L, 1L, 1000000L, 0L),
+      (3L, 1L, 0L, 1000L)))
+  }
 }
