@@ -213,8 +213,16 @@ object Graph {
       val hmax = hraw.agg(max(col("s")).as("m"))
       h = hraw.crossJoin(broadcast(hmax))
         .select(col("node"), expr(s"(s * ${scale}L) div m").as("h"))
-      // lineage guard — see pageRankInt
-      if (i % 8 == 0 && i < iters) { a = a.localCheckpoint(); h = h.localCheckpoint() }
+      // Unlike pageRankInt (whose rank frame is referenced ONCE per hop),
+      // each HITS half-step references the previous frame twice (the raw
+      // sum feeds both its own max and the next join) — and Spark logical
+      // plans are trees, not DAGs, so the un-checkpointed subtree
+      // DUPLICATES per reference and the plan grows exponentially with
+      // iters (measured: 2 hops cost 4.7 s vs 3-hop PageRank's 2.7 s at
+      // sf0.1). Re-rooting both node-sized frames every hop keeps the
+      // plan linear; the materialization is one (long, long) row per node.
+      a = a.localCheckpoint()
+      h = h.localCheckpoint()
     }
     val scored = nodes
       .join(a, Seq("node"), "left")
