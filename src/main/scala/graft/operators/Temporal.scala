@@ -85,6 +85,45 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Batch sessionization with an idle-gap rule — the per-event session
+    * ASSIGNMENT complement to the streaming session window
+    * (`StreamingOps.sessionCounts` aggregates; this labels, so sessions
+    * can join back to their events for funnel/attribution work). The
+    * classic lag-then-running-sum shape: a session break is a gap >
+    * `gapUs` from the previous event of the same key (first event breaks
+    * by definition), and the session ordinal is the running count of
+    * breaks. All arithmetic is epoch-µs integers (the q50/q98 rule);
+    * (ts, id) is the total order so ties cannot flip engines.
+    *
+    * Scale shape: both windows are keyed on `keyCol` (hash-partitioned,
+    * no single reducer — the q132 rule) over the SAME (key, ts, id) sort,
+    * so Catalyst plans ONE exchange + ONE sort reused by both; the
+    * per-session rollup is one more keyed aggregation. Skew bound is
+    * per-key event count, same as any per-entity window.
+    *
+    * Output: one row per session — key, session_seq (1-based), n_events,
+    * start_us, end_us, duration_us.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, "sessionize: gapUs must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(idCol))
+    val withBreaks = events
+      .select(col(keyCol), col(idCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBreaks.groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   /** Half-life recency scoring in exact integer arithmetic — the
     * freshness-weighted engagement signal a curation/ranking pipeline
     * computes per user/host/source ("how active, discounted by age"),

@@ -2198,6 +2198,32 @@ object Pipeline {
     Graph.labelPropagation(edges, iters = 3, topK = 20).orderBy("rn")
   }
 
+  /** Batch sessionization (q149): idle-gap session assignment per user
+    * (30-minute rule) with per-session rollups — the labeling complement
+    * to the streaming session window (q104 aggregates, this labels).
+    * Lag + running-sum over one keyed sort; epoch-µs exact.
+    */
+  val q149 = Q(
+    "q149_sessionize",
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |b AS (SELECT user_id, event_id, us,
+      |    CASE WHEN LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM b)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Temporal.sessionize(t(s, dir, "events"),
+        "user_id", "ts", "event_id", gapUs = 1800000000L)
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Recency-decayed engagement score (q148): power-of-two half-life
     * weighting per user over the events table — exp-decay's exact
     * integer stand-in (score = Σ 10⁶ >> age_in_half_lives, anchor
@@ -2801,5 +2827,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

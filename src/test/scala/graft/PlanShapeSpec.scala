@@ -201,6 +201,15 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("Generate"), p)
   }
 
+  test("q149 sessionize: both windows keyed on user_id over ONE reused sort, never a single reducer") {
+    val p = plan("q149_sessionize")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+    // lag + running-sum share the (user_id, us, event_id) sort: exactly
+    // one sort below the window pair plus the terminal oracle orderBy
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q145 OOV-bigram gate: bigram build is per-row codegen — no window, no cartesian; joins are keyed") {
     val p = plan("q145_oov_bigram_gate")
     assert(!p.contains("CartesianProduct"), p)

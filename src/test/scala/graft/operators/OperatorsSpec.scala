@@ -436,6 +436,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped.toSeq == Seq((1L, 2L)))
   }
 
+  test("sessionize: idle-gap breaks, 1-based ordinals, per-session rollups, tie order") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0)),    // session 1
+      (1L, 11L, ts(60)),   // +60s  same session (gap 100s)
+      (1L, 12L, ts(200)),  // +140s -> break, session 2
+      (1L, 13L, ts(200)),  // same ts as 12 -> tie broken by id, same session
+      (2L, 20L, ts(5))     // separate key
+    ).toDF("user_id", "event_id", "ts")
+    val r = Temporal.sessionize(ev, "user_id", "ts", "event_id",
+        gapUs = 100L * 1000000L)
+      .orderBy("user_id", "session_seq").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, 60000000L),  // events 10,11; 60 s span
+      (1L, 2L, 2L, 0L),         // events 12,13 at the same instant
+      (2L, 1L, 1L, 0L)))
+  }
+
   test("recencyScore: hand-computed half-life shifts, future clamp, shift cap") {
     import java.sql.Timestamp
     // anchor = 100 days after epoch; half-life 10 days; scale 1000000
