@@ -514,6 +514,28 @@ object TextAnalysis {
       .withColumn("short_frac", col("n_short") / col("n_docs"))
   }
 
+  /** Per-group quality cap — "keep the best `k` documents per domain /
+    * source / host", the domination guard every curation mix applies so a
+    * single prolific source cannot swamp the corpus (C4 and Gopher both
+    * cap per-host contributions). Rank is (rankCol DESC, idCol ASC) so an
+    * integer rank column (e.g. distinct-token count, an int quality
+    * grade) keeps the output engine-exact; ties cannot flip.
+    *
+    * Scale shape: ONE keyed window (hash-partitioned on the group — the
+    * q132 no-single-reducer rule); parallelism is #groups and the per-task
+    * sort is bounded by the largest group. For a pathologically hot group
+    * pre-filter with a cheap gate first (the stratifiedSample note).
+    * Output: the input columns + cap_rank (1-based within the group).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, rankCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "capPerGroup: k must be >= 1")
+    df.withColumn("cap_rank",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(rankCol).desc, col(idCol))))
+      .where(col("cap_rank") <= k)
+  }
+
   /** Integerized language-model quality gate: score each document by its
     * OUT-OF-VOCABULARY BIGRAM rate against a reference corpus — the exact
     * analogue of the KenLM-perplexity filter every production pretraining

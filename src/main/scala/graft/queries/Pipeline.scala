@@ -2198,6 +2198,27 @@ object Pipeline {
     Graph.labelPropagation(edges, iters = 3, topK = 20).orderBy("rn")
   }
 
+  /** Per-source quality cap (q150): keep the 10 highest-distinct-token
+    * documents per source — the per-host domination guard (C4/Gopher cap
+    * rule) ranked by an integer key so the cut is engine-exact.
+    */
+  val q150 = Q(
+    "q150_cap_per_source",
+    """WITH sc AS (SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
+      |  FROM documents)
+      |SELECT doc_id, source, n_uniq, cap_rank FROM (
+      |  SELECT doc_id, source, n_uniq,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_uniq DESC, doc_id) AS INT) AS cap_rank
+      |  FROM sc)
+      |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin) { (s, dir) =>
+    val sc = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(array_distinct(split(col("text"), " "))).as("n_uniq"))
+    TextAnalysis.capPerGroup(sc, "source", "n_uniq", "doc_id", k = 10)
+      .orderBy("source", "cap_rank")
+  }
+
   /** Batch sessionization (q149): idle-gap session assignment per user
     * (30-minute rule) with per-session rollups — the labeling complement
     * to the streaming session window (q104 aggregates, this labels).
@@ -2827,5 +2848,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

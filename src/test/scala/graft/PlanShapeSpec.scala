@@ -210,6 +210,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q150 per-source cap: the window is keyed on source, never a single reducer; no join") {
+    val p = plan("q150_cap_per_source")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
   test("q145 OOV-bigram gate: bigram build is per-row codegen — no window, no cartesian; joins are keyed") {
     val p = plan("q145_oov_bigram_gate")
     assert(!p.contains("CartesianProduct"), p)

@@ -193,6 +193,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again.toSeq == expect)
   }
 
+  test("capPerGroup: per-group cut at k, rank desc with id tie-break, groups independent") {
+    val df = Seq(
+      (1L, "a", 5), (2L, "a", 9), (3L, "a", 9), (4L, "a", 1),
+      (5L, "b", 2)).toDF("doc_id", "source", "score")
+    val r = TextAnalysis.capPerGroup(df, "source", "score", "doc_id", k = 2)
+      .orderBy("source", "cap_rank").collect()
+      .map(x => (x.getString(1), x.getLong(0), x.getInt(3)))
+    // a: 9→doc2 (tie id), 9→doc3; doc1/doc4 cut. b: lone doc survives.
+    assert(r.toSeq == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
   test("weightedSample: heavier rows win more often across salts (the bias property)") {
     val df = (1L to 200L).map(i => (i, if (i <= 100) 1L else 10L)).toDF("doc_id", "w")
     val wins = (1 to 10).map { s0 =>
