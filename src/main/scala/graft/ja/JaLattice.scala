@@ -78,7 +78,10 @@ private[ja] object JaCosts {
   // suffix, particle, generic verb — is priced prohibitively so the stem can
   // never tear an unknown kanji compound (高台, 高見) the way a generic
   // AdjGaru single-kanji entry would (the round-7 guard this class replaces)
-  final val NumClasses = 26
+  final val AuxCaus = 26 // causative/passive auxiliary stems (せ/させ/れ/
+  // られ families): generic Aux in every context EXCEPT after a particle,
+  // where the bare stem is ungrammatical (×の+せ) — see classOf
+  final val NumClasses = 27
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
@@ -91,6 +94,17 @@ private[ja] object JaCosts {
         e.surface == "ず") AuxMasu // ず is 未然-only: the same non-連用 fences
       // (×は+ず must not steal the formal noun はず; ×が+ず must not steal
       // ずれる's stem — round-12 batch-10 replay)
+      else if (e.base == "せる" || e.base == "させる" ||
+        e.base == "れる" || e.base == "られる") AuxCaus
+      // causative/passive auxiliaries: a particle can never precede the
+      // bare stem, and at the generic Aux cost the chain の+せ+て
+      // (500+900+500) silently swallowed the ichidan 連用 のせ(→のせる) —
+      // round-13 batch 33 probe. NOT the AuxMasu fence (its Sahen/Noun
+      // cells would break the grammatical 調整+させ/乾燥+させ sv-noun
+      // causatives, replay-measured): a dedicated Aux mirror whose ONLY
+      // divergence is a +1500 Particle cell — enough that の+せ loses to
+      // a real dictionary verb, small enough that の+せ+い still beats
+      // emitting the unknown run せい (the sid-335 pin).
       else if (e.surface == "ない" || e.surface == "なく" ||
         e.surface == "なかっ" || e.surface == "なけれ") AuxNai
       else if (e.surface == "です" || e.surface == "でし" ||
@@ -387,6 +401,25 @@ private[ja] object JaCosts {
         x += 1
       }
       m(AuxU)(AuxU) = m(Aux)(Aux) }
+    // AuxCaus (causative/passive せ/させ/れ/られ): exact row/column mirror
+    // of the generic Aux class they were split from, with ONE divergent
+    // cell — Particle→AuxCaus pays +1500 (×の+せ must lose to a real verb
+    // reading like のせ(→のせる), while の+せ+い must still beat emitting
+    // the unknown run せい; replay-measured window, batch 33)
+    locally { var x = 0
+      while (x < NumClasses) {
+        if (x != AuxCaus) {
+          m(AuxCaus)(x) = m(Aux)(x)
+          m(x)(AuxCaus) = m(x)(Aux)
+        }
+        x += 1
+      }
+      m(AuxCaus)(AuxCaus) = m(Aux)(Aux) }
+    m(Particle)(AuxCaus) = m(Particle)(Aux) + 1500
+    // unlike the AuxU ウ音便 case (kept, ADVICE r12) there is no classical
+    // reading that licenses a causative stem after a single-kanji adjective
+    // 語幹 — re-block the mirror-inherited cell explicitly
+    m(AdjGaru1)(AuxCaus) = 8000
     // AdjGaru1 + う: the mirror loop above copied the -400 Aux license into
     // the AuxU column of the otherwise-blocked single-kanji stem row. ADVICE
     // r12 flagged the inheritance as silent; it is KEPT deliberately — the

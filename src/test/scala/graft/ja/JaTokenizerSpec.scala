@@ -208,6 +208,21 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(t.tokenize("荷物が重すぎれば分けて運ぶ。").toSeq == Seq("荷物", "重い", "すぎる", "分ける", "運ぶ"))
   }
 
+  test("AuxCaus fence: particle+bare causative loses to the verb reading; sv-noun causatives and のせい unaffected (round 13)") {
+    val t = new JaTokenizer()
+    // ×を+の+せ+て must not swallow the ichidan 連用 のせ(→のせる)
+    assert(t.tokenize("荷物をのせて運んだ。").toSeq == Seq("荷物", "のせる", "運ぶ"))
+    // sv-noun causatives stay on the generic Aux cells (the AuxMasu-fence
+    // alternative broke these, replay-measured)
+    assert(t.tokenize("会議の日程を調整させていただきます。").toSeq ==
+      Seq("会議", "日程", "調整", "いただく"))
+    // の+せ+い must still beat emitting the unknown run せい (sid 335 class)
+    assert(t.tokenize("飛行機の出発が天候のせいで遅れた。").toSeq ==
+      Seq("飛行機", "出発", "天候", "遅れる"))
+    // verb-未然 + passive/causative keeps lemmatizing
+    assert(t.tokenize("先生に褒められた。").toSeq == Seq("先生", "褒める"))
+  }
+
   test("AuxTa fence: past た never attaches to a bare noun, copula still does") {
     val t = new JaTokenizer()
     // ×組み立て(noun)+た must lose to the derived verb 組み立てる
