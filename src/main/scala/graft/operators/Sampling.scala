@@ -161,6 +161,48 @@ object Sampling {
         expr("sum(cnt * w) div sum(cnt)").as("score"))
   }
 
+  /** Temperature-scaled source mixing (the mT5/multilingual α-sampling
+    * rule, Xue et al. 2021 §3.1 with α = 1/2): sample quotas proportional
+    * to |source|^α so large sources are damped and small sources
+    * up-weighted, the standard fix for a web mix where one domain is 100×
+    * another. α = 1/2 is computed as an EXACT integer square root —
+    * float `sqrt` can be off by one ULP near perfect squares and an
+    * engine disagreement there flips a whole quota — via floor(sqrt)
+    * followed by a two-sided integer correction, identical in Spark and
+    * the DuckDB oracle. Quotas use floor division (quota_i =
+    * k·isqrt(n_i) div Σ isqrt(n_j)), so Σ quotas ≤ k; rows are then
+    * picked per source by the [[stratifiedSample]] hash order.
+    *
+    * Scale shape: one count aggregation (#sources rows) broadcast back,
+    * one keyed rank window per source, no collect. Output: the sampled
+    * rows with (n_source, isq, quota, sample_rank).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+      k: Int, salt: String = "temp"): DataFrame = {
+    require(k >= 1, "temperatureSample: k must be >= 1")
+    def isqrt(c: Column): Column = {
+      val f = floor(sqrt(c.cast("double"))).cast("long")
+      // two-sided correction: float sqrt may land one off near squares
+      val up = when((f + 1) * (f + 1) <= c, f + 1).otherwise(f)
+      when(up * up > c, up - 1).otherwise(up)
+    }
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("isq", isqrt(col("n_source")))
+    val tot = counts.agg(sum(col("isq")).as("isq_tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"(${k}L * isq) div isq_tot"))
+      .select(col(sourceCol), col("n_source"), col("isq"), col("quota"))
+    val key = graft_hash64(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("smp_key", key)
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol)).orderBy(col("smp_key"), col(idCol))))
+      .where(col("sample_rank") <= col("quota"))
+      .drop("smp_key")
+  }
+
   /** Deterministic weighted sampling without replacement — the integerized
     * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws the
     * uniform key hash(id:salt) ∈ [0, 2³⁰·931…) and is ranked by

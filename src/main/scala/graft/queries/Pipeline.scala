@@ -2198,6 +2198,40 @@ object Pipeline {
     Graph.labelPropagation(edges, iters = 3, topK = 20).orderBy("rn")
   }
 
+  /** Temperature-scaled source mix (q151): α = 1/2 sampling quotas
+    * (mT5 rule) with an exact integer square root — float sqrt near a
+    * perfect square could flip a quota between engines, so both sides
+    * apply the same two-sided floor correction. Per-source pick by the
+    * deterministic hash order.
+    */
+  val q151 = Q(
+    "q151_temperature_mix",
+    s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+       |  FROM documents GROUP BY 1),
+       |i0 AS (SELECT source, n_source,
+       |    CAST(FLOOR(SQRT(CAST(n_source AS DOUBLE))) AS BIGINT) AS f FROM c),
+       |i1 AS (SELECT source, n_source,
+       |    CASE WHEN (f+1)*(f+1) <= n_source THEN f+1 ELSE f END AS u FROM i0),
+       |isq AS (SELECT source, n_source,
+       |    CASE WHEN u*u > n_source THEN u-1 ELSE u END AS isq FROM i1),
+       |q AS (SELECT source, n_source, isq,
+       |    (100 * isq) // (SELECT SUM(isq) FROM isq) AS quota FROM isq),
+       |r AS (SELECT d.doc_id, d.source, q.n_source, q.isq, q.quota,
+       |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY
+       |      ${hashSql("CAST(d.doc_id AS VARCHAR) || ':temp'")}, d.doc_id)
+       |      AS sample_rank
+       |  FROM documents d JOIN q ON d.source = q.source)
+       |SELECT doc_id, source, n_source, isq, quota,
+       |  CAST(sample_rank AS INT) AS sample_rank
+       |FROM r WHERE sample_rank <= quota ORDER BY source, sample_rank""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 100)
+      .select(col("doc_id"), col("source"), col("n_source"), col("isq"),
+        col("quota"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
   /** Per-source quality cap (q150): keep the 10 highest-distinct-token
     * documents per source — the per-host domination guard (C4/Gopher cap
     * rule) ranked by an integer key so the cut is engine-exact.
@@ -2848,5 +2882,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }

@@ -217,6 +217,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), p)
   }
 
+  test("q151 temperature mix: quotas broadcast back to the corpus; rank window keyed on source") {
+    val p = plan("q151_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // quota frame joins broadcast
+    // the corpus-side rank window must be keyed on source; the only
+    // single-partition exchange is the one-row Σisqrt scalar aggregate
+    // (#sources rows in, one row out), and the only nested loop is its
+    // broadcast — never the corpus
+    assert(p.contains("hashpartitioning(source"), p)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("BuildRight, Cross")), p)
+    assert(!"Window \\[row_number[^\\n]*\\n[^\\n]*SinglePartition".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q145 OOV-bigram gate: bigram build is per-row codegen — no window, no cartesian; joins are keyed") {
     val p = plan("q145_oov_bigram_gate")
     assert(!p.contains("CartesianProduct"), p)

@@ -204,6 +204,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
   }
 
+  test("temperatureSample: sqrt damping, exact isqrt at perfect squares, quota floor") {
+    // sources: a=100 rows, b=25, c=4 -> isqrt 10, 5, 2 (all perfect
+    // squares — the float-correction hot spot); k=17 -> quotas
+    // 17*10/17=10, 17*5/17=5, 17*2/17=2
+    val rows = (1L to 100L).map((_, "a")) ++ (101L to 125L).map((_, "b")) ++
+      (126L to 129L).map((_, "c"))
+    val df = rows.toDF("doc_id", "source")
+    val r = Sampling.temperatureSample(df, "doc_id", "source", k = 17)
+      .collect()
+    // join output leads with the key: (source, doc_id, n_source, isq, quota, sample_rank)
+    val bySource = r.groupBy(_.getString(0)).map { case (s, g) => s -> g.length }
+    assert(bySource == Map("a" -> 10, "b" -> 5, "c" -> 2))
+    // proportional sampling would give c ~0.5 rows; sqrt damping gives 2 —
+    // and the big source is capped well under its 76% share
+    val quotas = r.map(x => (x.getString(0), x.getLong(4))).toMap
+    assert(quotas == Map("a" -> 10L, "b" -> 5L, "c" -> 2L))
+    // deterministic under repartitioning
+    val again = Sampling.temperatureSample(df.repartition(7), "doc_id", "source", k = 17)
+      .collect().map(_.getLong(1)).sorted
+    assert(again.sameElements(r.map(_.getLong(1)).sorted))
+  }
+
   test("weightedSample: heavier rows win more often across salts (the bias property)") {
     val df = (1L to 200L).map(i => (i, if (i <= 100) 1L else 10L)).toDF("doc_id", "w")
     val wins = (1 to 10).map { s0 =>
