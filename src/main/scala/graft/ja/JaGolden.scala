@@ -232,6 +232,22 @@ object JaGolden {
   lazy val heldoutCorpus13: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus13.tsv")
 
+  /** Fourteenth blind held-out set (pre-registered round 13 behind the
+    * registration-time disjointness check, evaluated later in round 13
+    * BEFORE any further dictionary/lattice change; topics disjoint from
+    * the post-registration probe batches 32-33, so no per-topic caveat).
+    * First-run 21/40 (52.5%) — the lowest since set 4; all 19 diffs were
+    * lexeme-level (0 lattice bugs, 5th consecutive clean-lattice set):
+    * the register mix was dense in two-kanji lexicalized compounds the
+    * derivation layer cannot invent (熊手, 海水, 手話, 砂岩, 水平線,
+    * 霧笛, 灯台守, …). 2 author amendments (よく→よい, golden-pinned
+    * five times), 17 genuine gaps fixed incl. the 暮らし noun→deverbal
+    * retirement — itemized in the resource header. Pinned at 40/40;
+    * drives q152.
+    */
+  lazy val heldoutCorpus14: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus14.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -271,6 +287,8 @@ object JaGolden {
     literalTable(heldoutCorpus12.map { case (sid, _, toks) => (sid, toks) })
   def heldout13OracleSql: String =
     literalTable(heldoutCorpus13.map { case (sid, _, toks) => (sid, toks) })
+  def heldout14OracleSql: String =
+    literalTable(heldoutCorpus14.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
