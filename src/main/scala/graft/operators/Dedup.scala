@@ -158,6 +158,79 @@ object Dedup {
         col("containment_a"), col("containment_b"))
   }
 
+  /** Exact set-similarity self-join (word-token Jaccard ≥ num/den) via
+    * AllPairs/PPJoin prefix filtering (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW'08). Complements the
+    * approximate stack: q31's shingle-Jaccard generates a candidate for
+    * EVERY shared shingle and q32's LSH is probabilistic; this operator is
+    * exact AND candidate-bounded — a pair is generated only when the two
+    * docs share a token in their PREFIXES (the p = n − ⌈t·n⌉ + 1 globally
+    * rarest tokens of each doc), which completeness of the prefix filter
+    * guarantees is sufficient for every pair with Jaccard ≥ t.
+    *
+    * Scale shape: token df is aggregated (one token-keyed shuffle, never
+    * collected — billions of tokens at 100 TB), rarity ranks are per-doc
+    * windows (id-keyed), the candidate join keys ONLY on prefix tokens —
+    * Σdf² over the rare tail instead of over every token — with the
+    * length filter den·min(n_a,n_b) ≥ num·max(n_a,n_b) applied inside the
+    * join, and verification joins the candidate set (id-keyed, bounded)
+    * back to sorted token arrays: full token sets never ride the
+    * quadratic shuffle (the SemDeDup rule). The threshold is a rational
+    * num/den and every gate is integer cross-multiplication, so the
+    * kept-pair set is engine-exact vs a brute-force oracle.
+    *
+    * `maxTokenDocFreq` drops corpus-wide tokens from the representation
+    * (the q31 `maxShingleDocFreq` convention — both engine and oracle
+    * apply the same cap, and Jaccard is computed on the capped sets).
+    */
+  def setSimilarityJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int,
+      maxTokenDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val all = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val kept =
+      if (maxTokenDocFreq == Int.MaxValue) all
+      else {
+        val hot = all.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxTokenDocFreq).select(col("tok"))
+        all.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
+    // read by the df agg, the rank join, the size agg, and verification
+    val toks = stage(kept)
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val rarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // prefix length p = n − ⌈num·n/den⌉ + 1, all-integer
+    val pref = toks.join(dfreq, Seq("tok"))
+      .withColumn("rnk", row_number().over(rarity))
+      .join(sizes, Seq("id"))
+      .where(col("rnk") <=
+        col("n") - floor((lit(num) * col("n") + lit(den - 1)) / lit(den)) + lit(1))
+      .select(col("id"), col("tok"), col("n"))
+    val a = pref.select(col("id").as("id_a"), col("tok"), col("n").as("n_a"))
+    val b = pref.select(col("id").as("id_b"), col("tok"), col("n").as("n_b"))
+    val cand = a.join(b, Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        lit(den) * col("n_a") >= lit(num) * col("n_b") &&
+        lit(den) * col("n_b") >= lit(num) * col("n_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val arrs = toks.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tok"))).as("tks"), count(lit(1)).as("n"))
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("tks").as("tks_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("tks").as("tks_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tks_a"), col("tks_b"))).cast("long"))
+      .where(lit(den) * col("inter") >= lit(num) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
   /** MinHash signatures: one row per doc, columns m0..m{n-1} where
     * m_i = min over shingles of (a_i·h + b_i) mod P. Computed as n
     * min-aggregates in a single hash aggregation (partial map-side combine

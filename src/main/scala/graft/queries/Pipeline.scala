@@ -2638,6 +2638,30 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Exact word-token Jaccard self-join at t = 1/2 via AllPairs/PPJoin
+    * prefix filtering (engine side); the oracle brute-forces every
+    * shared-token pair — an independent derivation, so a prefix-filter
+    * completeness bug (a missed pair) would hash-mismatch.
+    */
+  val q153 = Q(
+    "q153_set_similarity_join",
+    """WITH tk0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+      |hot AS (SELECT tok FROM tk0 GROUP BY tok HAVING COUNT(*) > 100),
+      |tk AS (SELECT * FROM tk0 WHERE tok NOT IN (SELECT tok FROM hot)),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM tk GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
+      |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE 2 * inter >= sa.n + sb.n - inter
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.setSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
+      num = 1, den = 2, maxTokenDocFreq = 100).orderBy("id_a", "id_b")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2893,5 +2917,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }

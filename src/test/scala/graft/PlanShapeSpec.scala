@@ -247,4 +247,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // (a corpus-wide single-reducer rank before any truncation)
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
   }
+
+  test("q153 set-similarity join: candidates meet on token equi-keys, rarity window keyed per doc") {
+    val p = plan("q153_set_similarity_join")
+    // candidate generation and verification are all equi-joins — any
+    // nested-loop would mean the prefix filter degenerated to pair space
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the rarity rank is a per-doc window, never a single reducer
+    assert(!p.contains("SinglePartition"), p)
+  }
 }

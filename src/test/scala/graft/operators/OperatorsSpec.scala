@@ -51,6 +51,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("setSimilarityJoin: exact token-Jaccard pairs at t=1/2 with hand-computed values") {
+    // sets: 1={a..h}, 2={a..h}, 3={a..g,x}, 4={q..z}
+    // J(1,2)=1, J(1,3)=J(2,3)=7/9 (inter 7, union 9), J(*,4)=0
+    val pairs = Dedup.setSimilarityJoin(docs, "doc_id", "text", num = 1, den = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(pairs.toSeq == Seq(
+      (1L, 2L, 8L, 1.0), (1L, 3L, 7L, 7.0 / 9), (2L, 3L, 7L, 7.0 / 9)))
+  }
+
+  test("setSimilarityJoin: prefix filter is complete vs brute force on a randomized corpus") {
+    // 30 docs over a 12-token vocab: dense overlap stresses the prefix
+    // bound (every J>=2/3 pair must still share a prefix token)
+    val rng = new scala.util.Random(7)
+    val vocab = ('a' to 'l').map(_.toString)
+    val rdocs = (1L to 30L).map { i =>
+      (i, rng.shuffle(vocab).take(4 + rng.nextInt(6)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(rdocs, "doc_id", "text", num = 2, den = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = rdocs.collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSet)).toSeq
+    val expect = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size
+      if 3 * inter >= 2 * (si.size + sj.size - inter)
+    } yield (i, j)).toSet
+    assert(got == expect)
+  }
+
+  test("setSimilarityJoin: hot-token cap computes jaccard on the capped sets") {
+    val hotDocs = Seq(
+      (1L, "z a b c"), (2L, "z a b d"), (3L, "z e f g"), (4L, "z h i j"))
+      .toDF("doc_id", "text") // z in all 4 docs
+    // capped at df<=3: z dropped; sets {a,b,c}/{a,b,d} → J=1/2 kept
+    val capped = Dedup.setSimilarityJoin(hotDocs, "doc_id", "text",
+      num = 1, den = 2, maxTokenDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(capped.toSeq == Seq((1L, 2L, 3L))) // n_b=3: z not counted
+    // uncapped: {z,a,b,c}/{z,a,b,d} → J=3/5 ≥ 1/2 and z-only overlaps stay 0-ish
+    val un = Dedup.setSimilarityJoin(hotDocs, "doc_id", "text", num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(un.toSeq == Seq((1L, 2L)))
+  }
+
   test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
     // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
     // doc has 2 shingles, one of which (the hot one) appears in all 30
