@@ -203,6 +203,66 @@ object Sampling {
       .drop("smp_key")
   }
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining",
+    * ICLR 2023): distribute a total document budget across sources as
+    * uniformly as possible, capping each source at `maxEpochs` passes over
+    * its data — the epoch-capped complement to [[temperatureSample]]'s
+    * proportional α-scaling. The paper's per-source loop is replaced by a
+    * closed form: with caps sorted ascending, the capped set is exactly
+    * the prefix where cap_i·(k−i+1) ≤ B − Σ_{j<i}cap_j (if the test fails
+    * at i it fails at every j > i: cap_j·r_j ≥ cap_i·r_i − cap_i >
+    * R_i − cap_i = R_j), and the survivors share the remainder by integer
+    * division, the first (rem mod m) sources in (cap, source) order taking
+    * one extra — fully integer, so the allocation is engine-exact.
+    *
+    * Scale shape: every allocation window runs over the per-source COUNT
+    * frame (≤ #sources rows — the q151 rule: the only single-partition
+    * exchange is this tiny frame, never the corpus); quotas broadcast
+    * back and the per-source pick is the stratified hash-rank window
+    * keyed on source. With maxEpochs > 1 a rare source's quota may exceed
+    * its row count: sample_rank covers each row at most once and the
+    * emitted quota records the full allocation (callers replicate
+    * quota div n_source epochs + remainder downstream).
+    */
+  def unimaxSample(df: DataFrame, idCol: String, sourceCol: String,
+      budget: Long, maxEpochs: Int = 1, salt: String = "unimax"): DataFrame = {
+    require(budget >= 0, "unimaxSample: budget must be >= 0")
+    require(maxEpochs >= 1, "unimaxSample: maxEpochs must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("cap", col("n_source") * lit(maxEpochs.toLong))
+    val byCap = W.orderBy(col("cap"), col(sourceCol))
+    val full = W.partitionBy()
+    val quotas = counts
+      .withColumn("k", count(lit(1)).over(full))
+      .withColumn("idx", row_number().over(byCap))
+      .withColumn("cum_prev", coalesce(
+        sum(col("cap")).over(byCap.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("is_capped",
+        col("cap") * (col("k") - col("idx") + lit(1)) <= lit(budget) - col("cum_prev"))
+      .withColumn("urank", sum(when(col("is_capped"), lit(0L)).otherwise(lit(1L)))
+        .over(byCap.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("rem",
+        lit(budget) - sum(when(col("is_capped"), col("cap")).otherwise(lit(0L))).over(full))
+      .withColumn("m",
+        col("k") - sum(when(col("is_capped"), lit(1L)).otherwise(lit(0L))).over(full))
+      // the otherwise-branch is never taken when m = 0 (everything capped),
+      // so the division cannot hit zero at runtime
+      .withColumn("quota", when(col("is_capped"), col("cap")).otherwise(
+        expr("rem div m") + when(col("urank") <= expr("rem % m"), lit(1L)).otherwise(lit(0L))))
+      .select(col(sourceCol), col("n_source"), col("cap"), col("quota"))
+    val key = graft_hash64(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("smp_key", key)
+      .withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol)).orderBy(col("smp_key"), col(idCol))))
+      .where(col("sample_rank") <= least(col("quota"), col("n_source")))
+      .drop("smp_key")
+  }
+
   /** Deterministic weighted sampling without replacement — the integerized
     * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws the
     * uniform key hash(id:salt) ∈ [0, 2³⁰·931…) and is ranked by

@@ -2662,6 +2662,61 @@ object Pipeline {
       num = 1, den = 2, maxTokenDocFreq = 100).orderBy("id_a", "id_b")
   }
 
+  /** UniMax budget allocation over derived non-uniform strata (the raw
+    * sources are deliberately uniform in the testdata, which makes
+    * waterfilling degenerate): suffix < 3 keeps its own stratum (25 docs
+    * each at sf0.01), the rest merge by parity into two large strata
+    * (200/225). Budget 304 exercises all three branches — capped prefix
+    * (the three smalls), integer fair share for the two survivors, and
+    * the rem-mod extra (+1 to the first uncapped in (cap, stratum)
+    * order).
+    */
+  val q154 = Q(
+    "q154_unimax_mix",
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN CAST(substr(source, 4) AS INT) < 3
+       |         THEN CAST(substr(source, 4) AS INT)
+       |         ELSE 3 + CAST(substr(source, 4) AS INT) % 2 END AS stratum
+       |  FROM documents),
+       |c AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_source,
+       |    CAST(COUNT(*) AS BIGINT) AS cap FROM d GROUP BY 1),
+       |w AS (SELECT stratum, n_source, cap,
+       |    COUNT(*) OVER () AS k,
+       |    ROW_NUMBER() OVER (ORDER BY cap, stratum) AS idx,
+       |    COALESCE(SUM(cap) OVER (ORDER BY cap, stratum
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |  FROM c),
+       |f AS (SELECT *, cap * (k - idx + 1) <= 304 - cum_prev AS is_capped FROM w),
+       |g AS (SELECT *,
+       |    SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER (ORDER BY cap, stratum
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urank,
+       |    304 - SUM(CASE WHEN is_capped THEN cap ELSE 0 END) OVER () AS rem,
+       |    k - SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS m
+       |  FROM f),
+       |q AS (SELECT stratum, n_source, cap,
+       |    CASE WHEN is_capped THEN cap
+       |         ELSE rem // m + CASE WHEN urank <= rem % m THEN 1 ELSE 0 END
+       |    END AS quota
+       |  FROM g),
+       |r AS (SELECT d.doc_id, d.stratum, q.n_source, q.cap, q.quota,
+       |    ROW_NUMBER() OVER (PARTITION BY d.stratum ORDER BY
+       |      ${hashSql("CAST(d.doc_id AS VARCHAR) || ':unimax'")}, d.doc_id)
+       |      AS sample_rank
+       |  FROM d JOIN q ON d.stratum = q.stratum)
+       |SELECT doc_id, stratum, n_source, cap, quota,
+       |  CAST(sample_rank AS INT) AS sample_rank
+       |FROM r WHERE sample_rank <= LEAST(quota, n_source)
+       |ORDER BY stratum, sample_rank""".stripMargin) { (s, dir) =>
+    val sfx = substring(col("source"), 4, 10).cast("int")
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      when(sfx < 3, sfx).otherwise(lit(3) + pmod(sfx, lit(2))).as("stratum"))
+    graft.operators.Sampling.unimaxSample(base, "doc_id", "stratum",
+        budget = 304L, maxEpochs = 1)
+      .select(col("doc_id"), col("stratum"), col("n_source"), col("cap"),
+        col("quota"), col("sample_rank"))
+      .orderBy("stratum", "sample_rank")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2917,5 +2972,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
 }

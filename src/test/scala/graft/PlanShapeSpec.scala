@@ -248,6 +248,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
   }
 
+  test("q154 unimax: allocation stays on the tiny count frame, corpus rank window keyed on stratum") {
+    val p = plan("q154_unimax_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // quota frame joins broadcast
+    // the corpus-side sample_rank window must be keyed on stratum; the
+    // single-partition windows of the waterfilling closed form run over
+    // the per-stratum COUNT frame (<= #strata rows), which sits above a
+    // HashAggregate — i.e. after the corpus has already been reduced
+    assert(p.contains("hashpartitioning(stratum"), p)
+  }
+
   test("q153 set-similarity join: candidates meet on token equi-keys, rarity window keyed per doc") {
     val p = plan("q153_set_similarity_join")
     // candidate generation and verification are all equi-joins — any

@@ -95,6 +95,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(un.toSeq == Seq((1L, 2L)))
   }
 
+  test("unimaxSample: waterfilling quotas — capped prefix, fair share, mod-remainder extra") {
+    // sources: s1 has 2 rows, s2 has 5, s3 has 6; budget 9, epochs 1
+    // caps asc [2,5,6]: 2*3=6<=9 → capped; 5*2=10<=7? no; 6*1<=7? no
+    // rem=7, m=2 → 3 each, rem%m=1 → first uncapped (s2) gets 4
+    val rows = (1 to 2).map(i => (s"a$i", "s1")) ++
+      (1 to 5).map(i => (s"b$i", "s2")) ++ (1 to 6).map(i => (s"c$i", "s3"))
+    val df = rows.toDF("id", "src")
+    val r = Sampling.unimaxSample(df, "id", "src", budget = 9L)
+    val quotas = r.select("src", "quota").distinct().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(quotas == Map("s1" -> 2L, "s2" -> 4L, "s3" -> 3L))
+    val taken = r.groupBy("src").count().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(taken == Map("s1" -> 2L, "s2" -> 4L, "s3" -> 3L))
+  }
+
+  test("unimaxSample: budget above total caps leaves everything capped (no division by zero)") {
+    val df = Seq(("a", "s1"), ("b", "s1"), ("c", "s2")).toDF("id", "src")
+    val r = Sampling.unimaxSample(df, "id", "src", budget = 100L)
+    val quotas = r.select("src", "quota").distinct().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(quotas == Map("s1" -> 2L, "s2" -> 1L))
+    assert(r.count() == 3)
+  }
+
+  test("unimaxSample: maxEpochs lifts the cap but sample_rank covers each row once") {
+    // s1 has 2 rows, cap at 2 epochs = 4; budget 6, s2 has 4 rows cap 8
+    // caps asc [4,8]: 4*2=8<=6? no → uncapped: rem=6 m=2 → 3 each, mod 0
+    val df = (Seq(("a", "s1"), ("b", "s1")) ++
+      (1 to 4).map(i => (s"c$i", "s2"))).toDF("id", "src")
+    val r = Sampling.unimaxSample(df, "id", "src", budget = 6L, maxEpochs = 2)
+    val quotas = r.select("src", "quota").distinct().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(quotas == Map("s1" -> 3L, "s2" -> 3L))
+    // s1's quota 3 exceeds its 2 rows: both rows emitted once (epoch
+    // replication is the caller's job), s2 contributes 3 of 4
+    val taken = r.groupBy("src").count().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(taken == Map("s1" -> 2L, "s2" -> 3L))
+  }
+
   test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
     // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
     // doc has 2 shingles, one of which (the hot one) appears in all 30
