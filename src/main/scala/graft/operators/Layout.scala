@@ -64,6 +64,58 @@ object Layout {
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 
+  /** Hilbert-curve key over two already-quantized non-negative columns
+    * (each in [0, 2^bits)) — the better-locality companion to
+    * [[mortonKey]]: Morton's bit-interleave takes long diagonal jumps at
+    * quadrant boundaries (adjacent keys can be 2^b cells apart), while the
+    * Hilbert curve is a space-filling path whose CONSECUTIVE keys are
+    * always Manhattan-adjacent cells, so range-partitioning by the key
+    * yields tighter per-file bounding boxes and better parquet min/max
+    * pruning on both dimensions (the classic Faloutsos/Roseman result;
+    * curve mapping per Hilbert's construction, top-down quadrant
+    * recursion).
+    *
+    * Implementation: a fold over the bit levels s = 2^(bits-1) … 1 with
+    * state (d, x, y) — per level the quadrant pair (rx, ry) contributes
+    * s²·((3·rx) xor ry) to the key and the remaining low bits are rotated
+    * into canonical orientation (ry = 0: flip both by the all-ones mask
+    * when rx = 1, then swap x/y). The all-integer fold is a codegen-
+    * evaluated `aggregate` over a literal level array — per-row, no
+    * shuffle, engine-exact (the DuckDB oracle unrolls the same levels).
+    */
+  def hilbertKey(xq: Column, yq: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"hilbert: 2 x $bits bits must fit a signed key")
+    val mask = lit((1L << bits) - 1)
+    val levels = array(((bits - 1) to 0 by -1).map(i => lit(1L << i)): _*)
+    val init = struct(lit(0L).as("d"), xq.cast("long").as("x"), yq.cast("long").as("y"))
+    aggregate(levels, init, (acc, s) => {
+      val x = acc.getField("x"); val y = acc.getField("y"); val d = acc.getField("d")
+      val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val d2 = d + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+      val fx = when(ry === 0 && rx === 1, mask - x).otherwise(x)
+      val fy = when(ry === 0 && rx === 1, mask - y).otherwise(y)
+      struct(d2.as("d"),
+        when(ry === 0, fy).otherwise(fx).as("x"),
+        when(ry === 0, fx).otherwise(fy).as("y"))
+    }).getField("d")
+  }
+
+  /** Append an `hkey` Hilbert key over two numeric columns, quantized
+    * against their global min/max (the [[withZorderKey]] shape: one
+    * broadcast stats row, then a per-row projection).
+    */
+  def withHilbertKey(df: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame = {
+    val stats = df.agg(
+      min(col(xCol)).as("__min_x"), max(col(xCol)).as("__max_x"),
+      min(col(yCol)).as("__min_y"), max(col(yCol)).as("__max_y"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("hkey", hilbertKey(
+        quantize(col(xCol), col("__min_x"), col("__max_x"), bits),
+        quantize(col(yCol), col("__min_y"), col("__max_y"), bits), bits))
+      .drop("__min_x", "__max_x", "__min_y", "__max_y")
+  }
+
   /** Z-order the frame for writing: key, range-repartition, sort within
     * partitions — every output file covers a tight hyper-rectangle of the
     * `cols` space, so parquet min/max stats prune multi-dimensionally.

@@ -2717,6 +2717,45 @@ object Pipeline {
       .orderBy("stratum", "sample_rank")
   }
 
+  /** Hilbert layout key (q155): the q118 Z-order companion on the same
+    * quantized (o_custkey, o_totalprice) pair. The oracle unrolls the
+    * 16 fold levels as chained CTEs — per level the quadrant term
+    * s²·xor(3·rx, ry) accrues and the low bits rotate (flip by the
+    * all-ones mask when rx=1 ∧ ry=0, then swap).
+    */
+  val q155 = Q(
+    "q155_hilbert_key", {
+      val mask = 65535L
+      val levels = (0 until 16).map { i =>
+        val s = 1L << (15 - i)
+        val rx = s"CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END"
+        val ry = s"CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END"
+        s"""l${i + 1} AS (SELECT o_orderkey,
+           |  d$i + CAST(${s * s} AS BIGINT) * xor(3 * ($rx), ($ry)) AS d${i + 1},
+           |  CASE WHEN (y$i & $s) > 0 THEN x$i
+           |       WHEN (x$i & $s) > 0 THEN $mask - y$i ELSE y$i END AS x${i + 1},
+           |  CASE WHEN (y$i & $s) > 0 THEN y$i
+           |       WHEN (x$i & $s) > 0 THEN $mask - x$i ELSE x$i END AS y${i + 1}
+           |  FROM l$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT MIN(o_custkey) mn1, MAX(o_custkey) mx1,
+         |  MIN(o_totalprice) mn2, MAX(o_totalprice) mx2 FROM orders),
+         |l0 AS (SELECT o_orderkey, CAST(0 AS BIGINT) AS d0,
+         |  CASE WHEN mx1 <= mn1 THEN 0 ELSE CAST(FLOOR(
+         |    (CAST(o_custkey AS DOUBLE) - CAST(mn1 AS DOUBLE))
+         |    / (CAST(mx1 AS DOUBLE) - CAST(mn1 AS DOUBLE)) * 65535.0) AS BIGINT) END AS x0,
+         |  CASE WHEN mx2 <= mn2 THEN 0 ELSE CAST(FLOOR(
+         |    (CAST(o_totalprice AS DOUBLE) - CAST(mn2 AS DOUBLE))
+         |    / (CAST(mx2 AS DOUBLE) - CAST(mn2 AS DOUBLE)) * 65535.0) AS BIGINT) END AS y0
+         |  FROM orders, s),
+         |$levels
+         |SELECT o_orderkey, d16 AS hkey FROM l16 ORDER BY o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    Layout.withHilbertKey(t(s, dir, "orders"), "o_custkey", "o_totalprice", bits = 16)
+      .select(col("o_orderkey"), col("hkey"))
+      .orderBy("o_orderkey")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -2972,5 +3011,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
 }

@@ -259,6 +259,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(stratum"), p)
   }
 
+  test("q155 hilbert key is a per-row projection: the only nested loop is the one-row stats broadcast") {
+    val p = plan("q155_hilbert_key")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("BuildRight, Cross")), p)
+    assert(!p.contains("Generate"), p) // the level fold is an expression, not a row expander
+  }
+
   test("q153 set-similarity join: candidates meet on token equi-keys, rarity window keyed per doc") {
     val p = plan("q153_set_similarity_join")
     // candidate generation and verification are all equi-joins — any

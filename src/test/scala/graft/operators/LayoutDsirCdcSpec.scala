@@ -65,6 +65,33 @@ class LayoutDsirCdcSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertKey: bijection over the full 16x16 grid with Manhattan-adjacent consecutive cells") {
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val r = cells.toDF("x", "y")
+      .withColumn("d", Layout.hilbertKey(col("x"), col("y"), bits = 4))
+      .collect().map(row => (row.getAs[Long]("d"), (row.getInt(0), row.getInt(1))))
+    // bijection: 256 distinct keys covering [0, 256)
+    assert(r.map(_._1).sorted.toSeq == (0L until 256L))
+    // the defining Hilbert property: walking the curve in key order moves
+    // exactly one cell at a time (Morton fails this at quadrant jumps)
+    val byD = r.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // canonical order-1 orientation scaled up: (0,0) starts, (15,0) ends
+    assert(byD.head == ((0, 0)) && byD.last == ((15, 0)))
+  }
+
+  test("withHilbertKey: constant column degenerates to a 1-D walk, key bounded") {
+    val df = (0 until 32).map(i => (i.toLong, 7.0)).toDF("a", "b")
+    val r = Layout.withHilbertKey(df, "a", "b", bits = 4)
+      .select("a", "hkey").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.forall { case (_, k) => k >= 0 && k < 256 })
+    // quantized b is constant 0 → the walk visits distinct keys per a-bin
+    assert(r.map(_._2).distinct.length == 16)
+  }
+
   // ---- DSIR importance scoring ----
 
   test("importanceScore: target-only features score scale, raw-only score 0") {
