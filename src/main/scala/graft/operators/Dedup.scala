@@ -688,6 +688,57 @@ object Dedup {
       .distinct() // a pair found by both passes dedupes on (ka, kb, dist)
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter, "A
+    * Theory for Record Linkage", JASA 1969) over blocked candidate pairs:
+    * each field comparison contributes its agreement weight
+    * (log₂ m/u, positive) or disagreement weight (log₂ (1−m)/(1−u),
+    * negative) and the pair's total score classifies link / possible /
+    * non-link. Weights here are caller-supplied INTEGERS (scaled
+    * log-odds) so the score sum and the threshold cut are engine-exact —
+    * the float-LLR formulation would tie-flip between engines.
+    *
+    * Complements [[fuzzyMatchBlocked]]: that operator answers "are these
+    * strings within edit distance k"; this one fuses evidence across
+    * MULTIPLE fields with per-field reliability weights, the standard
+    * formulation for entity resolution over structured records.
+    *
+    * Scale shape (the q125 lesson applied): candidates meet on the block
+    * key with the probe side explicitly repartitioned on it — scoring
+    * cost lives in the join OUTPUT, which AQE cannot see — and blocks
+    * over `maxBlockSize` are dropped via a broadcast anti-join (the
+    * degenerate-block control; recall for their members needs a second
+    * blocking pass, exactly as in fuzzyMatchBlocked). Field agreement is
+    * null-safe (`<=>`): two NULLs agree, NULL vs value disagrees.
+    *
+    * `fields` maps field name → (agreeWeight, disagreeWeight).
+    */
+  def linkageScore(
+      df: DataFrame, idCol: String, blockCol: String,
+      fields: Seq[(String, Int, Int)], minScore: Int,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    require(fields.nonEmpty, "linkageScore needs at least one field")
+    val cols = Seq(col(idCol).as("lk_id"), col(blockCol).as("lk_b")) ++
+      fields.map { case (f, _, _) => col(f) }
+    val base = stage(df.select(cols: _*))
+    val pruned =
+      if (maxBlockSize == Int.MaxValue) base
+      else {
+        val hot = base.groupBy(col("lk_b")).agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBlockSize).select(col("lk_b"))
+        base.join(broadcast(hot), Seq("lk_b"), "left_anti")
+      }
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val score = fields.map { case (f, wa, wd) =>
+      when(col(s"a.$f") <=> col(s"b.$f"), lit(wa.toLong)).otherwise(lit(wd.toLong))
+    }.reduce(_ + _)
+    pruned.repartition(parts, col("lk_b")).as("a")
+      .join(pruned.as("b"),
+        col("a.lk_b") === col("b.lk_b") && col("a.lk_id") < col("b.lk_id"))
+      .select(col("a.lk_id").as("id_a"), col("b.lk_id").as("id_b"),
+        col("a.lk_b").as("block"), score.as("score"))
+      .where(col("score") >= minScore)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540): coarse
     * k-means clustering bounds the pairwise search, then inside each

@@ -2756,6 +2756,40 @@ object Pipeline {
       .orderBy("o_orderkey")
   }
 
+  /** Fellegi–Sunter linkage over customers blocked by nation: integer
+    * log-odds weights (segment +3/−2, balance band +2/−1, name tail
+    * +1/0), threshold 5 — which structurally requires segment AND band
+    * agreement. The balance band offsets before the integer division
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors: they differ on negatives, so the band is computed on a
+    * shifted non-negative value in BOTH engines.
+    */
+  val q156 = Q(
+    "q156_linkage_score",
+    """WITH c AS (SELECT c_custkey, c_nationkey cc, c_mktsegment,
+      |    (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000 AS bal_band,
+      |    substr(c_name, length(c_name), 1) AS name_tail FROM customer)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.cc AS block,
+      |  CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE -2 END
+      |     + CASE WHEN a.bal_band = b.bal_band THEN 2 ELSE -1 END
+      |     + CASE WHEN a.name_tail = b.name_tail THEN 1 ELSE 0 END AS BIGINT) AS score
+      |FROM c a JOIN c b ON a.cc = b.cc AND a.c_custkey < b.c_custkey
+      |WHERE CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE -2 END
+      |    + CASE WHEN a.bal_band = b.bal_band THEN 2 ELSE -1 END
+      |    + CASE WHEN a.name_tail = b.name_tail THEN 1 ELSE 0 END >= 5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_nationkey").as("cc"),
+      col("c_mktsegment"),
+      expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000000) div 100000").as("bal_band"),
+      substring(col("c_name"), -1, 1).as("name_tail"))
+    Dedup.linkageScore(base, "c_custkey", "cc",
+        Seq(("c_mktsegment", 3, -2), ("bal_band", 2, -1), ("name_tail", 1, 0)),
+        minScore = 5)
+      .orderBy("id_a", "id_b")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3011,5 +3045,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }

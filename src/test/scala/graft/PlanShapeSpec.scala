@@ -267,6 +267,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p) // the level fold is an expression, not a row expander
   }
 
+  test("q156 linkage: candidates meet on the block equi-key with the probe repartitioned on it") {
+    val p = plan("q156_linkage_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the q125 rule: scoring cost lives in the join output — the explicit
+    // block-key repartition must survive into the plan
+    assert(p.contains("hashpartitioning(lk_b"), p)
+  }
+
   test("q153 set-similarity join: candidates meet on token equi-keys, rarity window keyed per doc") {
     val p = plan("q153_set_similarity_join")
     // candidate generation and verification are all equi-joins — any

@@ -136,6 +136,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(taken == Map("s1" -> 2L, "s2" -> 3L))
   }
 
+  test("linkageScore: integer FS weights sum per field, null-safe agreement, threshold cut") {
+    val recs = Seq(
+      (1L, "b1", "x", "p"), (2L, "b1", "x", "p"),     // agree both: 3+2=5
+      (3L, "b1", "x", "q"), (4L, "b1", "y", "p"),     // partial agreements
+      (5L, "b2", null, "p"), (6L, "b2", null, "p"),   // null<=>null agrees
+      (7L, "b3", "x", "p"))                            // lone block: no pair
+      .toDF("id", "blk", "f1", "f2")
+    val r = Dedup.linkageScore(recs, "id", "blk",
+      Seq(("f1", 3, -2), ("f2", 2, -1)), minScore = Int.MinValue)
+      .orderBy("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 5L), (1L, 3L, 2L), (1L, 4L, 0L),
+      (2L, 3L, 2L), (2L, 4L, 0L), (3L, 4L, -3L),
+      (5L, 6L, 5L)))
+    val cut = Dedup.linkageScore(recs, "id", "blk",
+      Seq(("f1", 3, -2), ("f2", 2, -1)), minScore = 5).count()
+    assert(cut == 2)
+  }
+
+  test("linkageScore: maxBlockSize drops degenerate blocks") {
+    val recs = (1L to 10L).map(i => (i, "hot", "x", "p")) ++
+      Seq((11L, "ok", "x", "p"), (12L, "ok", "x", "p"))
+    val df = recs.toDF("id", "blk", "f1", "f2")
+    val r = Dedup.linkageScore(df, "id", "blk",
+      Seq(("f1", 1, 0)), minScore = 0, maxBlockSize = 5)
+      .select("id_a").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(11L))
+  }
+
   test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
     // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
     // doc has 2 shingles, one of which (the hot one) appears in all 30
