@@ -536,6 +536,39 @@ object TextAnalysis {
       .where(col("cap_rank") <= k)
   }
 
+  /** Multi-phrase tagging — the FlashText/Aho-Corasick use case (topic
+    * tagging, blocklists, PII term lists) reformulated as a token-anchored
+    * candidate join instead of a per-row automaton: scanning every
+    * document against every phrase is O(docs × phrases) UDF work, but a
+    * phrase can only start where its FIRST token occurs, so candidates =
+    * posexploded tokens ⋈ broadcast(phrase list keyed by anchor token),
+    * then one id-keyed join back verifies the full slice. At 100 TB the
+    * explode is the only corpus-sized stage (one Generate, no shuffle —
+    * the anchor join broadcasts), and verification carries the token
+    * array only for candidate rows.
+    *
+    * `phrases`: (tag, space-separated phrase). Output: one row per match
+    * (id, tag, phrase, pos) with pos 1-based.
+    */
+  def phraseTag(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)]): DataFrame = {
+    require(phrases.nonEmpty, "phraseTag needs at least one phrase")
+    require(phrases.forall(_._2.nonEmpty), "phraseTag: empty phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ph = phrases.map { case (tag, p) =>
+      val pt = p.split(" ", -1); (tag, p, pt.head, pt.length)
+    }.toDF("tag", "phrase", "anchor", "plen")
+    val docs = df.select(col(idCol).as("id"), toks(col(textCol)).as("tks"))
+    val cand = docs
+      .select(col("id"), posexplode(col("tks")).as(Seq("pos", "tok")))
+      .join(broadcast(ph), col("tok") === col("anchor"))
+      .select(col("id"), col("pos"), col("tag"), col("phrase"), col("plen"))
+    cand.join(docs, Seq("id"))
+      .where(concat_ws(" ", slice(col("tks"), col("pos") + 1, col("plen"))) === col("phrase"))
+      .select(col("id"), col("tag"), col("phrase"), (col("pos") + 1).as("pos"))
+  }
+
   /** Integerized language-model quality gate: score each document by its
     * OUT-OF-VOCABULARY BIGRAM rate against a reference corpus — the exact
     * analogue of the KenLM-perplexity filter every production pretraining

@@ -2790,6 +2790,31 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Multi-phrase tagging (q157): five phrases incl. a 3-token one. The
+    * oracle brute-slices every position (no anchor pre-filter) — an
+    * independent derivation, so an anchor-join bug that drops or
+    * duplicates a candidate hash-mismatches.
+    */
+  val q157 = Q(
+    "q157_phrase_tag",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |ph(tag, phrase, plen) AS (VALUES
+      |  ('join', 'hash join', 2), ('join', 'sort merge', 2),
+      |  ('join', 'sort merge join', 3), ('scan', 'table scan', 2),
+      |  ('streaming', 'stream window', 2)),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tk),
+      |m AS (SELECT doc_id, tag, phrase, i FROM pos JOIN ph
+      |  ON array_to_string(list_slice(t, i, i + plen - 1), ' ') = phrase)
+      |SELECT doc_id, tag, phrase, CAST(i AS INT) AS pos
+      |FROM m ORDER BY doc_id, pos, tag, phrase""".stripMargin) { (s, dir) =>
+    graft.operators.TextAnalysis.phraseTag(t(s, dir, "documents"), "doc_id", "text",
+        Seq(("join", "hash join"), ("join", "sort merge"),
+          ("join", "sort merge join"), ("scan", "table scan"),
+          ("streaming", "stream window")))
+      .select(col("id").as("doc_id"), col("tag"), col("phrase"), col("pos"))
+      .orderBy("doc_id", "pos", "tag", "phrase")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3045,5 +3070,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

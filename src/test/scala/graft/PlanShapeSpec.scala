@@ -276,6 +276,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lk_b"), p)
   }
 
+  test("q157 phrase tag: anchor join broadcasts the phrase list, verify join keyed on id") {
+    val p = plan("q157_phrase_tag")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the phrase list, never the corpus
+  }
+
   test("q153 set-similarity join: candidates meet on token equi-keys, rarity window keyed per doc") {
     val p = plan("q153_set_similarity_join")
     // candidate generation and verification are all equi-joins — any

@@ -166,6 +166,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(11L))
   }
 
+  test("phraseTag: finds all occurrences, overlapping phrases, 1-based positions") {
+    val d = Seq(
+      (1L, "a b c a b"),     // "a b" at 1 and 4; "a b c" at 1
+      (2L, "x a y b"),       // anchors present, phrases absent
+      (3L, "b c"))           // no anchor match for "a ..."
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.phraseTag(d, "doc_id", "text",
+        Seq(("t1", "a b"), ("t2", "a b c")))
+      .orderBy("id", "pos", "tag").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(3)))
+    assert(r.toSeq == Seq((1L, "t1", 1), (1L, "t2", 1), (1L, "t1", 4)))
+  }
+
   test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
     // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
     // doc has 2 shingles, one of which (the hot one) appears in all 30
