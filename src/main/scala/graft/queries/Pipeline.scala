@@ -2815,6 +2815,60 @@ object Pipeline {
       .orderBy("doc_id", "pos", "tag", "phrase")
   }
 
+  /** Embedding outlier gate (q158): operator COMPOSITION — the q128 IVF
+    * fit + shuffle-free assignment, per-vector micro-cosine to the
+    * assigned centroid (floor(cos·10⁶), the q71 integerization rule), and
+    * the q133 exact-MAD gate grouped per cluster. The real curation step
+    * this models: drop vectors far from every cluster (corrupt embeds,
+    * wrong-modality rows) before they poison ANN recall.
+    */
+  val q158 = Q(
+    "q158_embed_outlier_gate",
+    s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id % 7 = 0
+       |           ORDER BY vec_id LIMIT 65536),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 4)),
+       |${ivfIterSql("c0", 1)},
+       |${ivfIterSql("c1", 2)},
+       |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |         FROM embeddings),
+       |asg AS (SELECT vec_id, cid, cs FROM (
+       |         SELECT corp.vec_id, c2.cid, ${cosSql("corp.v", "c2.c")} AS cs,
+       |           ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+       |             ORDER BY ${cosSql("corp.v", "c2.c")} DESC NULLS LAST, c2.cid) rn
+       |         FROM corp CROSS JOIN c2) WHERE rn = 1),
+       |r AS (SELECT cid, CAST(FLOOR(cs * 1000000) AS BIGINT) AS v FROM asg),
+       |cnts AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnts),
+       |cum AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM cnts),
+       |med AS (SELECT MIN(v) AS med FROM cum CROSS JOIN tot
+       |        WHERE c >= (n + 1) // 2),
+       |dev AS (SELECT ABS(v - med) AS d, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |        FROM cnts CROSS JOIN med GROUP BY 1),
+       |cum2 AS (SELECT d, CAST(SUM(cnt) OVER (ORDER BY d
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM dev),
+       |mad AS (SELECT MIN(d) AS mad FROM cum2 CROSS JOIN tot
+       |        WHERE c >= (n + 1) // 2)
+       |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(CASE WHEN ABS(v - med) > 5 * mad THEN 1 END) AS BIGINT)
+       |    AS n_outliers,
+       |  MAX(med) AS med, MAX(mad) AS mad
+       |FROM r CROSS JOIN med CROSS JOIN mad
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    val m = IvfIndex.fit(emb.where(col("vec_id") % 7 === 0), nlist = 4, iters = 2)
+    val scored = IvfIndex.assign(emb, m)
+      .join(broadcast(m.toDF(s)), Seq("cid"))
+      .select(col("cid"),
+        floor(graft.functions.cosine_sim(col("embedding"), col("centroid"))
+          * lit(1000000d)).cast("long").as("qcos"))
+    Robust.madOutlierReport(scored, "qcos", mult = 5, groupCols = Seq("cid"))
+      .orderBy("cid")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3070,5 +3124,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }

@@ -283,6 +283,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p) // the phrase list, never the corpus
   }
 
+  test("q158 embed outlier gate: assignment is a projection; only broadcast one-row/centroid frames nest") {
+    val p = plan("q158_embed_outlier_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("BuildRight, Cross")), p)
+  }
+
   test("q153 set-similarity join: candidates meet on token equi-keys, rarity window keyed per doc") {
     val p = plan("q153_set_similarity_join")
     // candidate generation and verification are all equi-joins — any
