@@ -183,4 +183,28 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  /** Hilbert-curve index of a quantized (x, y) cell at the given order:
+    * top-down quadrant walk — per level s the pair (rx, ry) contributes
+    * s²·((3·rx) xor ry) and the low bits rotate into canonical
+    * orientation (ry = 0: all-ones-mask flip when rx = 1, then swap).
+    * The imperative loop is the codegen-friendly form of the same fold
+    * the DuckDB oracle unrolls as CTE levels.
+    */
+  def hilbert(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = mask - x; y = mask - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

@@ -190,3 +190,32 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** `hilbert_index(x, y)` → bigint: Hilbert-curve index of a quantized
+  * non-negative (x, y) pair at order `bits` (each coordinate < 2^bits).
+  * A pure per-row projection participating in whole-stage codegen via the
+  * static kernel — the `aggregate`-HOF fold formulation of the same walk
+  * evaluates the lambda interpreted per row per level (measured ~30× on
+  * the q155 scan). Semantics pinned by LayoutDsirCdcSpec's full-grid
+  * bijection + Manhattan-adjacency test.
+  */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+
+  require(bits >= 1 && 2 * bits <= 62, "hilbert_index: 2 x bits must fit a signed key")
+  override def prettyName: String = "hilbert_index"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects two bigint arguments")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(Kernels.hilbert(l.asInstanceOf[Long], r.asInstanceOf[Long], bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.Kernels.hilbert($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -72,6 +72,12 @@ object functions {
   def simhash64(text: Column, bits: Int): Column =
     toCol(graft.expr.SimHash64(toExpr(text), bits))
 
+  /** Hilbert-curve index of a quantized non-negative (x, y) pair at order
+    * `bits` (codegen'd static kernel; see graft.expr.HilbertIndex).
+    */
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    toCol(graft.expr.HilbertIndex(toExpr(x.cast("long")), toExpr(y.cast("long")), bits))
+
   /** Index of the cosine-nearest centroid (shuffle-free per-row argmax over
     * plan-embedded centroids; see graft.expr.NearestCentroid).
     */

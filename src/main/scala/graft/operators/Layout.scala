@@ -75,31 +75,20 @@ object Layout {
     * curve mapping per Hilbert's construction, top-down quadrant
     * recursion).
     *
-    * Implementation: a fold over the bit levels s = 2^(bits-1) … 1 with
-    * state (d, x, y) — per level the quadrant pair (rx, ry) contributes
-    * s²·((3·rx) xor ry) to the key and the remaining low bits are rotated
-    * into canonical orientation (ry = 0: flip both by the all-ones mask
-    * when rx = 1, then swap x/y). The all-integer fold is a codegen-
-    * evaluated `aggregate` over a literal level array — per-row, no
-    * shuffle, engine-exact (the DuckDB oracle unrolls the same levels).
+    * Implementation: a top-down quadrant walk over the bit levels
+    * s = 2^(bits-1) … 1 with state (d, x, y) — per level the quadrant
+    * pair (rx, ry) contributes s²·((3·rx) xor ry) to the key and the
+    * remaining low bits are rotated into canonical orientation (ry = 0:
+    * flip both by the all-ones mask when rx = 1, then swap x/y). Runs as
+    * the codegen'd static kernel `graft.expr.HilbertIndex` — per-row, no
+    * shuffle, engine-exact (the DuckDB oracle unrolls the same levels as
+    * CTEs). The first cut expressed the walk as an `aggregate` HOF fold:
+    * identical semantics, but the lambda evaluates interpreted per row
+    * per level (~30× slower on the q155 scan) — kernel-vs-HOF is the
+    * measured difference, recorded here so the fold form doesn't return.
     */
-  def hilbertKey(xq: Column, yq: Column, bits: Int): Column = {
-    require(bits >= 1 && 2 * bits <= 62, s"hilbert: 2 x $bits bits must fit a signed key")
-    val mask = lit((1L << bits) - 1)
-    val levels = array(((bits - 1) to 0 by -1).map(i => lit(1L << i)): _*)
-    val init = struct(lit(0L).as("d"), xq.cast("long").as("x"), yq.cast("long").as("y"))
-    aggregate(levels, init, (acc, s) => {
-      val x = acc.getField("x"); val y = acc.getField("y"); val d = acc.getField("d")
-      val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-      val d2 = d + s * s * (lit(3L) * rx).bitwiseXOR(ry)
-      val fx = when(ry === 0 && rx === 1, mask - x).otherwise(x)
-      val fy = when(ry === 0 && rx === 1, mask - y).otherwise(y)
-      struct(d2.as("d"),
-        when(ry === 0, fy).otherwise(fx).as("x"),
-        when(ry === 0, fx).otherwise(fy).as("y"))
-    }).getField("d")
-  }
+  def hilbertKey(xq: Column, yq: Column, bits: Int): Column =
+    graft.functions.hilbert_index(xq, yq, bits)
 
   /** Append an `hkey` Hilbert key over two numeric columns, quantized
     * against their global min/max (the [[withZorderKey]] shape: one
