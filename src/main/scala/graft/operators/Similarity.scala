@@ -173,4 +173,51 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** k-center greedy coreset selection (Gonzalez 1985, the 2-approximation
+    * for the k-center objective; Sener & Savarese ICLR'18 as the
+    * active-learning/data-selection baseline): seed with the minimum id,
+    * then repeatedly pick the vector FARTHEST from the selected set —
+    * argmin over max-cosine-to-centers, ties by id — so the selection
+    * spreads over the embedding space's extremes instead of its densest
+    * cluster (what random/stratified sampling returns).
+    *
+    * Scale shape: the classic trick keeps a running `best` (max cosine to
+    * any selected center) updated INCREMENTALLY — adding a center is one
+    * `greatest(best, cos(v, center))` projection over the staged corpus,
+    * never a |S|-way join — and each selection is one TakeOrdered(1).
+    * Driver round-trips: exactly k single-row collects (bounded,
+    * documented — this is an inherently sequential greedy). Determinism:
+    * IEEE cosine + the (best asc, id asc) total order, so selection is
+    * engine-exact (the oracle unrolls the same k steps as CTEs).
+    *
+    * Output: one row per selected center — (sel_order, vec_id, far_cos)
+    * where far_cos is the max cosine to the previously selected centers
+    * at selection time (1-indexed seed has far_cos NULL).
+    */
+  def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "kCenterGreedy: k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = base.orderBy("vec_id").limit(1).collect()(0)
+    var selected = List((1, seed.getLong(0), Option.empty[Double]))
+    def centerEmb(row: org.apache.spark.sql.Row): Column =
+      typedlit(row.getSeq[Float](1))
+    var scored = base.withColumn("best",
+      coalesce(cosine_sim(col("embedding"), centerEmb(seed)), lit(-2d)))
+    var chosenIds = Set(seed.getLong(0))
+    (2 to k).foreach { i =>
+      val next = scored.where(!col("vec_id").isInCollection(chosenIds))
+        .orderBy(col("best"), col("vec_id")).limit(1).collect()(0)
+      selected ::= ((i, next.getLong(0), Some(next.getDouble(2))))
+      chosenIds += next.getLong(0)
+      scored = scored.withColumn("best",
+        greatest(col("best"),
+          coalesce(cosine_sim(col("embedding"), centerEmb(next)), lit(-2d))))
+    }
+    selected.reverse.map { case (o, id, f) => (o, id, f) }
+      .toDF("sel_order", "vec_id", "far_cos")
+  }
 }

@@ -2869,6 +2869,39 @@ object Pipeline {
       .orderBy("cid")
   }
 
+  /** k-center greedy coreset (q159): 4 centers over the embeddings table.
+    * The oracle unrolls the greedy's k steps as CTE pairs (b_i keeps the
+    * running max-cosine, s_i takes the (best asc, vec_id asc) argmin
+    * outside the selected set) — same IEEE cosine, same total order.
+    */
+  val q159 = Q(
+    "q159_kcenter_coreset", {
+      val steps = (2 to 4).map { i =>
+        val prevSel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS (SELECT vec_id, v, best FROM b${i - 1}
+           |  WHERE vec_id NOT IN ($prevSel)
+           |  ORDER BY best, vec_id LIMIT 1),
+           |b$i AS (SELECT b.vec_id, b.v,
+           |    GREATEST(b.best, COALESCE(${cosSql("b.v", s"s$i.v")}, -2.0)) AS best
+           |  FROM b${i - 1} b, s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH corp AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s1 AS (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 1),
+         |b1 AS (SELECT c.vec_id, c.v,
+         |    COALESCE(${cosSql("c.v", "s1.v")}, -2.0) AS best FROM corp c, s1),
+         |$steps
+         |SELECT CAST(1 AS INT) AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS far_cos FROM s1
+         |UNION ALL SELECT 2, vec_id, best FROM s2
+         |UNION ALL SELECT 3, vec_id, best FROM s3
+         |UNION ALL SELECT 4, vec_id, best FROM s4
+         |ORDER BY sel_order""".stripMargin
+    }) { (s, dir) =>
+    graft.Graft.register(s)
+    Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 4)
+      .orderBy("sel_order")
+  }
+
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus5.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3124,5 +3157,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

@@ -179,6 +179,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, "t1", 1), (1L, "t2", 1), (1L, "t1", 4)))
   }
 
+  test("kCenterGreedy: seeds at min id, then picks the geometric extremes") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),     // seed (min id)
+      (2L, Array(1f, 0.01f)),  // near-duplicate of the seed — never picked
+      (3L, Array(-1f, 0f)),    // opposite: farthest from seed
+      (4L, Array(0f, 1f)))     // orthogonal: farthest from {1, 3}
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kCenterGreedy(vecs, k = 3)
+      .orderBy("sel_order").collect()
+      .map(x => (x.getInt(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1, 1L), (2, 3L), (3, 4L)))
+    // far_cos grows monotonically: each center is less far than the last
+    val f = Similarity.kCenterGreedy(vecs, k = 3).orderBy("sel_order")
+      .collect().drop(1).map(_.getDouble(2))
+    assert(f.sliding(2).forall(p => p(0) <= p(1)), f.toSeq.toString)
+  }
+
   test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
     // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
     // doc has 2 shingles, one of which (the hot one) appears in all 30
