@@ -65,6 +65,39 @@ object Robust {
     * filter; at 100 TB the stats pass reduces to domain-sized partials
     * map-side, so the second scan dominates and pipelines into the agg.
     */
+  /** Exact per-group trimmed mean: drop the lowest and highest
+    * ⌊n·permille/1000⌋ rows of each group by value order, average the
+    * rest — the robust location estimate between mean (trim 0) and median
+    * (trim 500). All-integer trim counts over a (value, tiebreak) total
+    * order make the kept SET engine-exact; the emitted sum is an exact
+    * integer and the mean is one IEEE division of it (the q42 rule:
+    * floats only as a final presentation step over exact integers).
+    *
+    * Scale shape: ONE keyed window (hash-partitioned on the group — the
+    * q132 no-single-reducer rule) + one shrinking aggregate. `tieCols`
+    * must make the order total (equal values are interchangeable for the
+    * SUM, but a total order keeps row-level plans replayable).
+    */
+  def trimmedMeanReport(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      permille: Int, tieCols: Seq[String]): DataFrame = {
+    require(permille >= 0 && permille < 500, "trimmedMeanReport: permille in [0, 500)")
+    require(groupCols.nonEmpty && tieCols.nonEmpty, "trimmedMeanReport: need group and tie columns")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__tm_v", col(valueCol).cast("long"))
+      .withColumn("__tm_rn", row_number().over(w))
+      .withColumn("__tm_n", count(lit(1)).over(grp))
+      .withColumn("__tm_t", expr(s"(__tm_n * $permille) div 1000"))
+      .where(col("__tm_rn") > col("__tm_t") && col("__tm_rn") <= col("__tm_n") - col("__tm_t"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__tm_n")).as("n_rows"),
+        count(lit(1)).as("n_kept"),
+        sum(col("__tm_v")).as("sum_kept"))
+      .withColumn("trimmed_mean",
+        col("sum_kept").cast("double") / col("n_kept").cast("double"))
+  }
+
   def madOutlierReport(df: DataFrame, valueCol: String, mult: Long,
       groupCols: Seq[String]): DataFrame = {
     require(mult >= 1, "madOutlierReport: mult must be >= 1")

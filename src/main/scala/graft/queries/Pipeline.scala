@@ -2767,7 +2767,7 @@ object Pipeline {
   val q156 = Q(
     "q156_linkage_score",
     """WITH c AS (SELECT c_custkey, c_nationkey cc, c_mktsegment,
-      |    (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000 AS bal_band,
+      |    (CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000000) // 100000 AS bal_band,
       |    substr(c_name, length(c_name), 1) AS name_tail FROM customer)
       |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.cc AS block,
       |  CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE -2 END
@@ -2782,7 +2782,7 @@ object Pipeline {
       col("c_custkey"),
       col("c_nationkey").as("cc"),
       col("c_mktsegment"),
-      expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000000) div 100000").as("bal_band"),
+      expr("(CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 100000000) div 100000").as("bal_band"),
       substring(col("c_name"), -1, 1).as("name_tail"))
     Dedup.linkageScore(base, "c_custkey", "cc",
         Seq(("c_mktsegment", 3, -2), ("bal_band", 2, -1), ("name_tail", 1, 0)),
@@ -2900,6 +2900,34 @@ object Pipeline {
     graft.Graft.register(s)
     Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 4)
       .orderBy("sel_order")
+  }
+
+  /** Per-flag 5% trimmed mean of extended price in exact cents (q160).
+    * Both engines trim over the same (cents, orderkey, linenumber) total
+    * order; the kept-set sum is exact and the mean is its one IEEE
+    * division.
+    */
+  val q160 = Q(
+    "q160_trimmed_mean",
+    """WITH r AS (SELECT l_returnflag AS grp,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+      |    l_orderkey, l_linenumber FROM lineitem),
+      |w AS (SELECT grp, v,
+      |    ROW_NUMBER() OVER (PARTITION BY grp
+      |      ORDER BY v, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY grp) AS n FROM r),
+      |k AS (SELECT grp, v, n FROM w
+      |  WHERE rn > (n * 50) // 1000 AND rn <= n - (n * 50) // 1000)
+      |SELECT grp, MAX(n) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  SUM(v) AS sum_kept,
+      |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+      |FROM k GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val r = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+      floor(col("l_extendedprice") * 100).cast("long").as("v"),
+      col("l_orderkey"), col("l_linenumber"))
+    Robust.trimmedMeanReport(r, "v", Seq("grp"), permille = 50,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("grp")
   }
 
   val q113 = Q("q113_tokenize_ja_heldout5", graft.ja.JaGolden.heldout5OracleSql) { (s, dir) =>
@@ -3157,5 +3185,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }

@@ -74,4 +74,31 @@ class RobustSpec extends AnyFunSuite {
     val b = Robust.madStats(df(xs).repartition(11), "v").head().toSeq
     assert(a == b)
   }
+
+  test("trimmedMeanReport: trims exactly floor(n*p/1000) from each tail per group") {
+    import spark.implicits._
+    // g1: values 1..10, trim 10% → t=1 → keep 2..9, sum 44, mean 5.5
+    // g2: 3 rows, trim 10% → t=0 → keep all
+    val rows = (1 to 10).map(i => ("g1", i.toLong, i)) ++
+      Seq(("g2", 100L, 1), ("g2", 200L, 2), ("g2", 900L, 3))
+    val d = rows.toDF("grp", "v", "id")
+    val r = Robust.trimmedMeanReport(d, "v", Seq("grp"), permille = 100,
+        tieCols = Seq("id"))
+      .orderBy("grp").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("g1", 10L, 8L, 44L, 5.5), ("g2", 3L, 3L, 1200L, 400.0)))
+  }
+
+  test("trimmedMeanReport: trim 0 is the plain mean; outlier falls in the trimmed tail") {
+    import spark.implicits._
+    val d = (Seq.fill(9)(10L) :+ 10000L).zipWithIndex
+      .map { case (v, i) => ("g", v, i) }.toDF("grp", "v", "id")
+    val plain = Robust.trimmedMeanReport(d, "v", Seq("grp"), 0, Seq("id"))
+      .collect()(0).getDouble(4)
+    val trimmed = Robust.trimmedMeanReport(d, "v", Seq("grp"), 100, Seq("id"))
+      .collect()(0).getDouble(4)
+    assert(plain == 1009.0)
+    assert(trimmed == 10.0)
+  }
 }
