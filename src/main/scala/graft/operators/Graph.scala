@@ -198,6 +198,18 @@ object Graph {
     val nodes = eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // Enforce the documented overflow bound instead of trusting it: every
+    // hop's raw sum is ≤ maxdeg·scale (normalized scores are ≤ scale) and
+    // the normalize multiplies by scale again, so maxdeg·scale² must fit a
+    // signed long or the (s * scale) product silently wraps and corrupts
+    // ranks (ADVICE r13). One one-row aggregate over the already-staged
+    // edges; fails fast with the actual degree in the message.
+    val maxDeg = eBySrc.groupBy(col("src")).count()
+      .union(eByDst.groupBy(col("dst")).count())
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    require(maxDeg <= Long.MaxValue / scale / scale,
+      s"hitsInt: max degree $maxDeg overflows at scale=$scale " +
+        s"(need maxdeg <= ${Long.MaxValue / scale / scale}); lower `scale`")
     var h = nodes.withColumn("h", lit(scale))
     var a: DataFrame = null
     for (i <- 1 to iters) {

@@ -82,9 +82,19 @@ object Robust {
       permille: Int, tieCols: Seq[String]): DataFrame = {
     require(permille >= 0 && permille < 500, "trimmedMeanReport: permille in [0, 500)")
     require(groupCols.nonEmpty && tieCols.nonEmpty, "trimmedMeanReport: need group and tie columns")
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    // The trim boundary and the sum must see the SAME values: a fractional
+    // valueCol would rank on doubles but sum silently-truncated longs
+    // (ADVICE r13). Integral types only; callers integerize first (the
+    // repo's FLOOR convention, q160).
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"trimmedMeanReport: valueCol '$valueCol' must be integral (got $other); " +
+          "FLOOR-integerize (e.g. cents) before calling")
+    }
     val grp = Window.partitionBy(groupCols.map(col): _*)
+    val w = grp.orderBy((col("__tm_v") +: tieCols.map(col)): _*)
     df.withColumn("__tm_v", col(valueCol).cast("long"))
       .withColumn("__tm_rn", row_number().over(w))
       .withColumn("__tm_n", count(lit(1)).over(grp))

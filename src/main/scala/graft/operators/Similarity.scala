@@ -199,7 +199,13 @@ object Similarity {
     require(k >= 1, "kCenterGreedy: k must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Degenerate vectors (null / zero-norm) have null cosine to everything;
+    // coalescing that to -2 would make corrupt rows the "farthest" points and
+    // guarantee their selection as centers (ADVICE r13). Filter them out of
+    // the candidate pool up front — the oracle applies the same gate.
     val base = corpus.select(col("vec_id"), col("embedding"))
+      .where(col("embedding").isNotNull &&
+        cosine_sim(col("embedding"), col("embedding")).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = base.orderBy("vec_id").limit(1).collect()(0)
     var selected = List((1, seed.getLong(0), Option.empty[Double]))

@@ -2215,7 +2215,7 @@ object Pipeline {
        |isq AS (SELECT source, n_source,
        |    CASE WHEN u*u > n_source THEN u-1 ELSE u END AS isq FROM i1),
        |q AS (SELECT source, n_source, isq,
-       |    (100 * isq) // (SELECT SUM(isq) FROM isq) AS quota FROM isq),
+       |    CAST((100 * isq) // (SELECT SUM(isq) FROM isq) AS BIGINT) AS quota FROM isq),
        |r AS (SELECT d.doc_id, d.source, q.n_source, q.isq, q.quota,
        |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY
        |      ${hashSql("CAST(d.doc_id AS VARCHAR) || ':temp'")}, d.doc_id)
@@ -2694,9 +2694,9 @@ object Pipeline {
        |    k - SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS m
        |  FROM f),
        |q AS (SELECT stratum, n_source, cap,
-       |    CASE WHEN is_capped THEN cap
+       |    CAST(CASE WHEN is_capped THEN cap
        |         ELSE rem // m + CASE WHEN urank <= rem % m THEN 1 ELSE 0 END
-       |    END AS quota
+       |    END AS BIGINT) AS quota
        |  FROM g),
        |r AS (SELECT d.doc_id, d.stratum, q.n_source, q.cap, q.quota,
        |    ROW_NUMBER() OVER (PARTITION BY d.stratum ORDER BY
@@ -2885,8 +2885,10 @@ object Pipeline {
            |    GREATEST(b.best, COALESCE(${cosSql("b.v", s"s$i.v")}, -2.0)) AS best
            |  FROM b${i - 1} b, s$i)""".stripMargin
       }.mkString(",\n")
-      s"""WITH corp AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH corp AS (SELECT vec_id, v FROM (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |  WHERE v IS NOT NULL
+         |    AND list_reduce(list_transform(v, x -> x * x), (u, w) -> u + w) > 0),
          |s1 AS (SELECT vec_id, v FROM corp ORDER BY vec_id LIMIT 1),
          |b1 AS (SELECT c.vec_id, c.v,
          |    COALESCE(${cosSql("c.v", "s1.v")}, -2.0) AS best FROM corp c, s1),
@@ -2919,7 +2921,7 @@ object Pipeline {
       |k AS (SELECT grp, v, n FROM w
       |  WHERE rn > (n * 50) // 1000 AND rn <= n - (n * 50) // 1000)
       |SELECT grp, MAX(n) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_kept,
-      |  SUM(v) AS sum_kept,
+      |  CAST(SUM(v) AS BIGINT) AS sum_kept,
       |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
       |FROM k GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
     val r = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
