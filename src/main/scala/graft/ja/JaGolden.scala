@@ -248,6 +248,20 @@ object JaGolden {
   lazy val heldoutCorpus14: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus14.tsv")
 
+  /** Fifteenth blind held-out set (pre-registered round 13 behind the
+    * registration-time disjointness check, evaluated round 14 BEFORE any
+    * round-14 dictionary/lattice change). First-run 25/40 (62.5%); all
+    * 15 diffs lexeme-level (0 lattice bugs — 6th consecutive clean-
+    * lattice set). 4 author amendments, each against a standing pin
+    * (窓|側, += 息, 同時に lexicalized adverb, 使い方 -> 使う|方); 12
+    * genuine gaps fixed; TWO planned fixes then REJECTED by the golden
+    * replay gate (非常口 — golden pins 非常|口; 折り返し retirement —
+    * golden pins the adverb) and the set amended to the pins — itemized
+    * in the resource header. Pinned at 40/40; drives q161.
+    */
+  lazy val heldoutCorpus15: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus15.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -289,6 +303,8 @@ object JaGolden {
     literalTable(heldoutCorpus13.map { case (sid, _, toks) => (sid, toks) })
   def heldout14OracleSql: String =
     literalTable(heldoutCorpus14.map { case (sid, _, toks) => (sid, toks) })
+  def heldout15OracleSql: String =
+    literalTable(heldoutCorpus15.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
