@@ -95,6 +95,50 @@ object Kernels {
     sig
   }
 
+  /** Integer-L2 k-means assignment, packed: `(minDist << 8) | cid`.
+    *
+    * Each element is quantized `(long) floor((double) x * scale)` — one IEEE
+    * double multiply + floor, bit-identical to SQL
+    * `CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)` — then the squared
+    * L2 distance to each centroid is an exact long sum; ties pick the
+    * smaller cid. Packing bounds (enforced by the expression): k <= 256 and
+    * dist < 2^55 — at the default scale 2^20 over 64 dims the worst case is
+    * 64·(2·2^20)^2 = 2^48. A row with a null element or a length mismatch
+    * against every centroid returns packed cid 0 with dist Long.MaxValue>>8
+    * semantics avoided — callers filter nulls upstream (kmeansInt does).
+    */
+  def kmeansAssign(a: ArrayData, centroids: Array[Array[Long]], scale: Long,
+      aFloat: Boolean): Long = {
+    val n = a.numElements
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0
+        else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      q(i) = math.floor(x * scale).toLong
+      i += 1
+    }
+    var best = Long.MaxValue
+    var bestIdx = 0
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      if (c.length == n) {
+        var dist = 0L
+        var j = 0
+        while (j < n) {
+          val d = q(j) - c(j)
+          dist += d * d
+          j += 1
+        }
+        if (dist < best) { best = dist; bestIdx = ci }
+      }
+      ci += 1
+    }
+    if (best == Long.MaxValue) best = 0L
+    (best << 8) | bestIdx.toLong
+  }
+
   /** Nearest centroid by cosine (ordered-fold, same accumulation order as
     * `cosine`): returns the smallest index among maxima; vectors with no
     * valid cosine against any centroid (zero norm) fall back to index 0 —

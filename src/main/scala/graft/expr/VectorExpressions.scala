@@ -118,6 +118,40 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `kmeans_assign(emb)` → bigint: packed `(squared-L2-dist << 8) | cid`
+  * against plan-embedded integer-quantized centroids — the shuffle-free
+  * E-step of [[graft.operators.Clustering.kmeansInt]]: a per-row argmin
+  * needs no crossJoin, no window, no exchange, and the all-integer distance
+  * keeps the whole iteration on the exact-hash oracle gate. Unpack with
+  * `packed & 255` (cid) and `packed >> 8` (dist).
+  */
+case class KmeansAssign(child: Expression, centroids: Array[Array[Long]], scale: Long)
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty && centroids.length <= 256,
+    "kmeans_assign: need 1..256 centroids (cid packs into 8 bits)")
+  override def prettyName: String = "kmeans_assign"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName expects an array<float|double> argument")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Kernels.kmeansAssign(
+      v.asInstanceOf[ArrayData], centroids, scale, isFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.kmeansAssign($c, $cRef, ${scale}L, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `l2_normalize(a) → array<double>`: unit-normalize with the norm computed
   * once per row (codegen'd kernel); zero vector passes through, null
   * element → null.

@@ -81,6 +81,10 @@ object functions {
   /** Index of the cosine-nearest centroid (shuffle-free per-row argmax over
     * plan-embedded centroids; see graft.expr.NearestCentroid).
     */
+  /** Packed integer-L2 k-means assignment (see graft.expr.KmeansAssign). */
+  def kmeans_assign(emb: Column, centroids: Array[Array[Long]], scale: Long): Column =
+    toCol(graft.expr.KmeansAssign(toExpr(emb), centroids, scale))
+
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
     toCol(graft.expr.NearestCentroid(toExpr(emb), centroids))
 

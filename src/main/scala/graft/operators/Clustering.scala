@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.kmeans_assign
+
+/** Exact distributed k-means over an embedding column, in scaled integer
+  * arithmetic — the full-corpus complement to [[IvfIndex.fit]]'s
+  * sample-bounded driver-side Lloyd: here the E-step (assignment) and the
+  * M-step (per-cluster per-dimension mean) are cluster-wide operations, so
+  * the centroids are exact over ALL rows, not a 65k sample. The curation
+  * uses: corpus partitioning for per-cluster quality gates / dedup domains
+  * (the SemDeDup grouping), balanced shard assignment, and diversity-aware
+  * sampling strata.
+  *
+  * Determinism (the q42 all-integer rule): each element is quantized
+  * `floor(x · scale)` once (one IEEE double multiply — bit-identical in any
+  * engine), distances are exact long sums of squares, means are
+  * truncating integer divisions (`/` here, `//` in the DuckDB oracle), and
+  * ties pick the smaller cid — so every iteration, and therefore the final
+  * assignment, is a pure function of the input under ANY partitioning and
+  * replays on the exact-hash oracle gate with the iterations unrolled as
+  * CTEs (q162).
+  *
+  * Scale shape: per iteration ONE corpus scan — assignment is a shuffle-free
+  * codegen'd per-row argmin against plan-embedded centroids
+  * ([[graft.expr.KmeansAssign]]; no crossJoin, no window), and the M-step is
+  * a posexplode + hash aggregate over (cid, dim) — k·dims groups, collapsed
+  * map-side to k·dims partials per task, then a k·dims-row collect (driver
+  * state: k·dims longs, corpus-size-independent). At 100 TB that is `iters`
+  * sequential scans — the k-means lower bound — with zero data shuffle
+  * beyond the 256-group partial-agg exchange. Init is the first k vectors
+  * by vec_id (TakeOrdered — bounded, no RNG); empty clusters keep their
+  * previous centroid (the [[IvfIndex.fit]] rule).
+  */
+object Clustering {
+
+  /** Returns (vec_id, cid, dist): the assignment under the final centroids
+    * after `iters` full Lloyd update cycles, dist = exact squared L2 in the
+    * quantized space.
+    */
+  def kmeansInt(corpus: DataFrame, k: Int, iters: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1 && k <= 256, "kmeansInt: k in [1, 256] (cid packs into 8 bits)")
+    require(iters >= 1, "kmeansInt: iters must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+
+    def quantized(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * scale.toDouble).cast("long")
+
+    // init: first k vectors by vec_id, quantized — a bounded TakeOrdered(k)
+    val seedRows = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(seedRows.length == k, s"kmeansInt: need >= $k vectors, got ${seedRows.length}")
+    var cents: Array[Array[Long]] =
+      seedRows.map(_._2.map(x => math.floor(x * scale).toLong).toArray)
+
+    (1 to iters).foreach { _ =>
+      // one scan: E-step projection fused with the M-step explode+agg
+      val sums = base
+        .select((kmeans_assign(col("embedding"), cents, scale)
+            .bitwiseAND(lit(255L))).cast("int").as("cid"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(quantized(col("x"))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        // truncating division, NOT floorDiv: DuckDB's `//` truncates toward
+        // zero on negatives (-7 // 2 = -3), matching Scala `/` and Spark
+        // `div` — the established div pairing; the mean rule is part of the
+        // operator contract, so both engines must share it exactly
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+    }
+
+    base.select(col("vec_id"),
+        kmeans_assign(col("embedding"), cents, scale).as("__packed"))
+      .select(col("vec_id"),
+        col("__packed").bitwiseAND(lit(255L)).cast("int").as("cid"),
+        shiftright(col("__packed"), 8).as("dist"))
+  }
+}

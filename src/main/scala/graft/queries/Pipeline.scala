@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, IvfIndex, Layout, Multimodal, Privacy, Retrieval, Robust, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Graph, IvfIndex, Layout, Multimodal, Privacy, Retrieval, Robust, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -2638,6 +2638,46 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Exact distributed integer k-means (q162): k=4, 2 full Lloyd cycles
+    * over the embeddings table, assignment under the final centroids. The
+    * oracle unrolls both cycles as CTEs in the same quantized-integer
+    * arithmetic (floor-division means, tie by smaller cid), so a drift in
+    * ANY iteration — assignment, mean, empty-cluster rule — hash-fails.
+    */
+  private def kmeansIterSql(prev: String, i: Int): String =
+    s"""d$i AS (SELECT v.vec_id, c.cid,
+       |  CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM vq v JOIN $prev c ON v.d = c.d GROUP BY 1, 2),
+       |a$i AS (SELECT vec_id, cid, dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM d$i) WHERE rn = 1),
+       |m$i AS (SELECT a.cid, v.d, CAST(SUM(v.q) // COUNT(*) AS BIGINT) AS q
+       |  FROM a$i a JOIN vq v USING (vec_id) GROUP BY 1, 2),
+       |c$i AS (SELECT p.cid, p.d, COALESCE(m$i.q, p.q) AS q
+       |  FROM $prev p LEFT JOIN m$i ON p.cid = m$i.cid AND p.d = m$i.d)""".stripMargin
+
+  val q162 = Q(
+    "q162_kmeans_int",
+    s"""WITH vq AS (SELECT vec_id, d,
+       |    CAST(FLOOR(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+       |seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |c0 AS (SELECT s.cid, v.d, v.q FROM seed s JOIN vq v USING (vec_id)),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)},
+       |df AS (SELECT v.vec_id, c.cid,
+       |  CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM vq v JOIN c2 c ON v.d = c.d GROUP BY 1, 2)
+       |SELECT vec_id, CAST(cid AS INT) AS cid, dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM df) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Clustering.kmeansInt(t(s, dir, "embeddings"), k = 4, iters = 2)
+      .orderBy("vec_id")
+  }
+
   val q161 = Q("q161_tokenize_ja_heldout15", graft.ja.JaGolden.heldout15OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus15.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3198,5 +3238,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 }
