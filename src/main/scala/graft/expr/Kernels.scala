@@ -21,6 +21,37 @@ object Kernels {
     h
   }
 
+  /** Per-row character statistics `[n_chars, n_distinct, coll_num]` over
+    * Unicode code points: total count, distinct count, and the Simpson
+    * collision numerator Σ cᵢ·(cᵢ−1) — the exact count of ordered repeated
+    * pairs, the log-free diversity surrogate for a character-entropy
+    * gibberish gate (libm `ln` bits differ across engines — the
+    * TextAnalysis.tfIdfLog house rule — so Shannon entropy cannot sit on
+    * the exact-hash gate; collision probability ranks the same pathologies:
+    * low-diversity junk high, natural text mid, uniform noise low). One
+    * char pass + one bounded map iteration; all exact longs.
+    */
+  def charStats(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var coll = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      coll += c * (c - 1)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](n, counts.size.toLong, coll))
+  }
+
   /** Hashes of all k-token shingles of a space-separated text, in order,
     * duplicates included. Each shingle hash equals polyHash of the shingle
     * string "tok_i tok_{i+1} … tok_{i+k-1}" — identical to hashing the

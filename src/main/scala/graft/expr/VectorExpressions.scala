@@ -34,6 +34,30 @@ case class GraftHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `char_stats(text) → array<bigint>` = `[n_chars, n_distinct, coll_num]`
+  * over Unicode code points (see [[Kernels.charStats]]) — the per-row
+  * kernel of the character-diversity gibberish gate: one codegen'd pass,
+  * no explode, no shuffle, where the per-char groupBy formulation shuffles
+  * every character of the corpus.
+  */
+case class CharStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "char_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.charStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.charStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `shingle_hashes(text, k) → array<bigint>`: graft_hash64 of every
   * k-token shingle of a space-separated text, in order (duplicates kept —
   * follow with array_distinct for set semantics). Fuses split + slice +

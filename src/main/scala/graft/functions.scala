@@ -81,6 +81,9 @@ object functions {
   /** Index of the cosine-nearest centroid (shuffle-free per-row argmax over
     * plan-embedded centroids; see graft.expr.NearestCentroid).
     */
+  /** Per-row char stats [n, distinct, collisions] (see graft.expr.CharStats). */
+  def char_stats(text: Column): Column = toCol(graft.expr.CharStats(toExpr(text)))
+
   /** Packed integer-L2 k-means assignment (see graft.expr.KmeansAssign). */
   def kmeans_assign(emb: Column, centroids: Array[Array[Long]], scale: Long): Column =
     toCol(graft.expr.KmeansAssign(toExpr(emb), centroids, scale))

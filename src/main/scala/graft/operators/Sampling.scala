@@ -36,6 +36,35 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: the [[trainValTestSplit]] bucket
+    * rule keyed by the NEAR-DUP CLUSTER representative instead of the
+    * document id, so a near-duplicate pair can never straddle two splits —
+    * the held-out-contamination failure mode of id-keyed splits (a val doc
+    * whose near-copy sits in train leaks the answer; the reason benchmark
+    * decontamination (q53/q65) and split assignment must share the dedup
+    * graph). Documents in no cluster key by their own id (identical
+    * buckets to trainValTestSplit, so adding clustering only MOVES the
+    * near-dup minority, never reshuffles the clean majority).
+    *
+    * Scale shape: the cluster frame is pairs-sized (nearDupClusters emits
+    * only clustered docs), so the join is a broadcast of the small side
+    * onto one corpus scan; the bucket is a pure projection after that.
+    * Output: doc_id, split_key (cluster rep or self), split.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "graft"): DataFrame = {
+    require(trainPct + valPct <= 100)
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        clusters.select(col("doc_id"), col("cluster_id"))), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val b = pctBucket(col("split_key"), salt)
+    keyed.select(col("doc_id"), col("split_key"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-stratum reservoir sample: exactly min(k, |stratum|) rows per
     * stratum, selected and ordered by (hash(id:salt), id) — the balanced-
     * sampling step for mixing sources/domains/languages at fixed quotas.

@@ -195,6 +195,45 @@ object Similarity {
     * where far_cos is the max cosine to the previously selected centers
     * at selection time (1-indexed seed has far_cos NULL).
     */
+  /** Triplet mining for contrastive/metric training data: for each query
+    * vector, the HARDEST NEGATIVE (max cosine among different-label rows)
+    * and the WEAKEST POSITIVE (min cosine among same-label rows, self
+    * excluded), plus the triplet margin pos−neg — the per-anchor violation
+    * measure of the triplet loss (Schroff et al., FaceNet, CVPR 2015;
+    * "semi-hard" mining picks from exactly these two frontiers).
+    *
+    * Scale shape: ONE corpus scan — the bounded query set broadcasts, the
+    * scored frame aggregates straight to one row per query via argmax/
+    * argmin over struct ordering (the q92 pattern: max(struct(cos, −id))
+    * gives the tie-broken arg without a window), so there is no per-query
+    * sort and no second scan; the only exchange is the |queries|-group
+    * hash agg. Ties prefer the smaller vec_id on both frontiers. Zero-norm
+    * vectors (null cosine) are excluded from both frontiers.
+    *
+    * Output: qid, q_label, pos_id, pos_cos, neg_id, neg_cos, margin —
+    * queries with no same-label partner keep null pos/margin.
+    */
+  def tripletMine(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("label").as("q_label"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .select(col("vec_id").as("nid"), col("label"), col("embedding"))
+      .crossJoin(q)
+      .where(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .where(col("cos").isNotNull)
+    scored.groupBy(col("qid"), col("q_label"))
+      .agg(
+        min(when(col("label") === col("q_label"),
+          struct(col("cos"), col("nid")))).as("__pos"),
+        max(when(col("label") =!= col("q_label"),
+          struct(col("cos"), (-col("nid")).as("nid")))).as("__neg"))
+      .select(col("qid"), col("q_label"),
+        col("__pos.nid").as("pos_id"), col("__pos.cos").as("pos_cos"),
+        (-col("__neg.nid")).as("neg_id"), col("__neg.cos").as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+  }
+
   def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "kCenterGreedy: k must be >= 1")
     val spark = corpus.sparkSession

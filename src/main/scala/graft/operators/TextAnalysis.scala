@@ -618,4 +618,39 @@ object TextAnalysis {
       .withColumn("keep",
         col("n_oov") * 1000 <= lit(maxOovPermille) * col("n_bg"))
   }
+
+  /** Character-diversity gibberish gate: per document, exact code-point
+    * counts (total, distinct) and the Simpson collision numerator
+    * Σ cᵢ·(cᵢ−1) — the log-free entropy surrogate (libm `ln` bits differ
+    * across engines, the tfIdfLog house rule, so Shannon entropy cannot sit
+    * on the exact-hash gate; collision probability ranks the same
+    * pathologies). A document is flagged when its repeated-pair rate
+    * exceeds `maxCollPermille` (low-diversity junk: aaaa…, repeated
+    * boilerplate runs) or it has fewer than `minDistinct` distinct
+    * characters. `coll_ratio` is the one presentation double over the
+    * exact integers (the q42 rule).
+    *
+    * Scale shape: a single codegen'd projection ([[graft.expr.CharStats]]
+    * — one char pass per row, no explode, no shuffle, stays inside
+    * whole-stage codegen), where the per-char groupBy formulation shuffles
+    * every character of the corpus. The gate is an integer cross-multiply,
+    * so the flag itself never touches a float.
+    */
+  def charDiversityReport(df: DataFrame, idCol: String, textCol: String,
+      maxCollPermille: Long = 80, minDistinct: Long = 10): DataFrame = {
+    val st = graft.functions.char_stats(col(textCol))
+    df.select(col(idCol).as("doc_id"), st.as("__cs"))
+      .select(col("doc_id"),
+        col("__cs").getItem(0).as("n_chars"),
+        col("__cs").getItem(1).as("n_distinct"),
+        col("__cs").getItem(2).as("coll_num"))
+      .withColumn("coll_ratio",
+        when(col("n_chars") >= 2,
+          col("coll_num").cast("double") /
+            (col("n_chars") * (col("n_chars") - 1)).cast("double")))
+      .withColumn("is_gibberish",
+        (col("n_chars") >= 2 &&
+          col("coll_num") * 1000 > lit(maxCollPermille) * col("n_chars") * (col("n_chars") - 1)) ||
+          col("n_distinct") < minDistinct)
+  }
 }

@@ -2678,6 +2678,101 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Character-diversity gibberish gate (q163): exact Simpson collision
+    * counts per document — the log-free entropy surrogate (libm ln is
+    * banned from the compare path; collision probability ranks the same
+    * junk). Engine side is one codegen'd char-pass projection; the oracle
+    * re-derives the counts from a per-character groupBy.
+    */
+  val q163 = Q(
+    "q163_char_diversity",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+      |            FROM documents),
+      |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM ch GROUP BY 1, 2),
+      |st AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |         CAST(SUM(n * (n - 1)) AS BIGINT) AS coll_num
+      |       FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_chars, n_distinct, coll_num,
+      |  CASE WHEN n_chars >= 2 THEN
+      |    CAST(coll_num AS DOUBLE) / CAST(n_chars * (n_chars - 1) AS DOUBLE)
+      |  END AS coll_ratio,
+      |  (n_chars >= 2 AND coll_num * 1000 > 80 * n_chars * (n_chars - 1))
+      |    OR n_distinct < 10 AS is_gibberish
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.charDiversityReport(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Triplet mining (q164): hardest negative + weakest positive per query
+    * anchor with the triplet margin. The oracle re-derives both frontiers
+    * with rank windows (cos asc/desc, nid tie) — an independent
+    * formulation of the engine's single argmax/argmin aggregate, so a tie
+    * or null-handling drift hash-fails.
+    */
+  val q164 = Q(
+    "q164_triplet_mine",
+    s"""WITH q AS (SELECT vec_id AS qid, label AS q_label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id % 11 = 0),
+       |c AS (SELECT vec_id AS nid, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT * FROM (
+       |    SELECT q.qid, q.q_label, c.nid, c.label,
+       |      ${cosSql("q.qv", "c.v")} AS cs
+       |    FROM q CROSS JOIN c WHERE c.nid <> q.qid)
+       |  WHERE cs IS NOT NULL),
+       |pos AS (SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cs, nid) AS rn FROM s WHERE label = q_label),
+       |neg AS (SELECT qid, nid, cs, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cs DESC, nid) AS rn FROM s WHERE label <> q_label)
+       |SELECT q.qid, q.q_label, p.nid AS pos_id, p.cs AS pos_cos,
+       |  n.nid AS neg_id, n.cs AS neg_cos, p.cs - n.cs AS margin
+       |FROM q
+       |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p ON q.qid = p.qid
+       |LEFT JOIN (SELECT * FROM neg WHERE rn = 1) n ON q.qid = n.qid
+       |ORDER BY q.qid""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity.tripletMine(emb, emb.where(col("vec_id") % 11 === 0))
+      .orderBy("qid")
+  }
+
+  /** Leakage-safe split (q165): the q52 bucket rule keyed by the q67
+    * near-dup cluster representative, so near-duplicates never straddle
+    * splits. The oracle rebuilds the cluster map with the recursive-CTE
+    * components and re-derives the buckets — both halves independently.
+    */
+  val q165 = Q(
+    "q165_leakage_safe_split",
+    s"""WITH RECURSIVE $lshPairCtes,
+       |symp AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |cnodes AS (SELECT DISTINCT a AS id FROM symp),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN symp s ON s.a = r.dst),
+       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |keyed AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS split_key
+       |          FROM documents d LEFT JOIN lab USING (doc_id)),
+       |b AS (SELECT doc_id, split_key,
+       |  ${hashSql("CAST(split_key AS VARCHAR) || ':graft'")} % 100 AS bucket
+       |  FROM keyed)
+       |SELECT doc_id, split_key,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      k = 6, numHashes = 16, bands = 4, threshold = 0.5)
+    graft.operators.Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .orderBy("doc_id")
+  }
+
   val q161 = Q("q161_tokenize_ja_heldout15", graft.ja.JaGolden.heldout15OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus15.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3238,5 +3333,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
 }

@@ -67,6 +67,46 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.forall(_._2 != 2))
   }
 
+  // ---- tripletMine (lives here with the other embedding-space specs) ----
+
+  test("tripletMine: frontiers and margin on a hand-computable set") {
+    import spark.implicits._
+    // anchor 1 (label 0): positives 2 (cos≈1) and 3 (cos lower -> weakest);
+    // negatives 4 (axis 1, cos≈0) and 5 (between axes -> hardest)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val emb = Seq(
+      (1L, v(1, 0), 0), (2L, v(1, 0.01), 0), (3L, v(1, 0.3), 0),
+      (4L, v(0, 1), 1), (5L, v(1, 1), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("label"))
+    val r = Similarity.tripletMine(emb, emb.where(col("vec_id") === 1))
+      .collect()(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 0)
+    assert(r.getLong(2) == 3L, "weakest positive is the farther same-label row")
+    assert(r.getLong(4) == 5L, "hardest negative is the nearest different-label row")
+    assert(r.getDouble(6) == r.getDouble(3) - r.getDouble(5))
+  }
+
+  test("tripletMine: unique-label anchor keeps null positive frontier") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq((1L, v(1, 0), 7), (2L, v(0, 1), 1), (3L, v(1, 1), 1))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("label"))
+    val r = Similarity.tripletMine(emb, emb.where(col("vec_id") === 1)).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(6))
+    assert(r.getLong(4) == 3L)
+  }
+
+  test("tripletMine: plan has no window — one hash aggregate over the scored scan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.tripletMine(corpus, corpus.where(col("vec_id") % 11 === 0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"frontiers must aggregate, not window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+  }
+
   test("plan shape: E-step is a shuffle-free projection (no join, no window)") {
     // parquet-backed input: a local Seq relation constant-folds the whole
     // pipeline into a LocalTableScan and hides the plan under test

@@ -236,4 +236,24 @@ class CurationOpsSpec extends AnyFunSuite {
     // heavy rows (w=10) should take well over half of the 200 slots overall
     assert(wins > 120, s"heavy-weight rows won only $wins/200 slots")
   }
+
+  test("leakageSafeSplit: cluster members share one split; unclustered rows match the id split") {
+    val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two crafted clusters: {3, 17, 41} and {8, 9}
+    val clusters = Seq((3L, 3L), (17L, 3L), (41L, 3L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 50)
+    // leakage invariant: every cluster member gets the representative's split
+    assert(Set(out(3L), out(17L), out(41L)).size == 1)
+    assert(out(8L) == out(9L))
+    // unclustered rows: identical to the plain id-keyed split
+    val plain = Sampling.trainValTestSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val unclustered = (1L to 50L).toSet -- Set(3L, 17L, 41L, 8L, 9L)
+    unclustered.foreach { id =>
+      assert(out(id) == (id, plain(id)), s"doc $id moved without being clustered")
+    }
+  }
 }

@@ -171,4 +171,48 @@ class TextHygieneSpec extends AnyFunSuite {
     val b = r(1)
     assert(b.getLong(1) == 1 && b.getDouble(5) == 0.0)
   }
+
+  // ---- charDiversityReport ----
+
+  private def cdr(rows: Seq[(Long, String)]) =
+    TextAnalysis.charDiversityReport(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+  test("charDiversityReport: exact counts, hand-computed collision numerator") {
+    // "aab": n=3, distinct=2, coll = 2*1 + 1*0 = 2, ratio = 2/6
+    val r = cdr(Seq((1L, "aab")))(0)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getDouble(4) == 2.0 / 6.0)
+  }
+
+  test("charDiversityReport: code points, not UTF-16 units (surrogate pairs)") {
+    // U+1F600 twice: 2 code points (4 UTF-16 units), 1 distinct, coll 2
+    val r = cdr(Seq((1L, "😀😀")))(0)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1 && r.getLong(3) == 2)
+    assert(r.getBoolean(5)) // repeated-pair rate 1.0 and distinct < 10
+  }
+
+  test("charDiversityReport: gate flags junk, passes diverse text") {
+    val r = cdr(Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaa"),      // pure repetition
+      (2L, "The quick brown fox jumps over the lazy dog; 0123456789!")))
+    assert(r(0).getBoolean(5))
+    assert(!r(1).getBoolean(5))
+  }
+
+  test("charDiversityReport: empty and single-char rows get null ratio, no flag crash") {
+    val r = cdr(Seq((1L, ""), (2L, "x")))
+    assert(r(0).getLong(1) == 0 && r(0).isNullAt(4))
+    assert(r(1).getLong(1) == 1 && r(1).isNullAt(4))
+    // both flagged solely via the distinct-count arm (0 and 1 < 10)
+    assert(r(0).getBoolean(5) && r(1).getBoolean(5))
+  }
+
+  test("charDiversityReport: plan is a shuffle-free codegen projection") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.charDiversityReport(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+    assert(plan.contains("char_stats"), s"expected the codegen kernel:\n$plan")
+  }
 }
