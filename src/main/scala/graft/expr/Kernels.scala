@@ -126,6 +126,42 @@ object Kernels {
     sig
   }
 
+  /** ±1 random projection (Achlioptas, JCSS 2003: sign matrices preserve
+    * pairwise distances like Gaussian ones): out_j = Σ_d sign(j,d)·q_d over
+    * the floor-quantized vector, with the plan-embedded sign matrix
+    * supplied by the caller (derived from polyHash parity so the SQL
+    * oracle regenerates it exactly — no RNG). Exact longs throughout:
+    * |q| ≤ scale·max|x| and 64 terms keep the sum far from overflow at the
+    * default 2^20 scale.
+    */
+  def randProject(a: ArrayData, signs: Array[Array[Int]], scale: Long,
+      aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0
+        else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      q(i) = math.floor(x * scale).toLong
+      i += 1
+    }
+    val out = new Array[Any](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      var s = 0L
+      var d = 0
+      val m = math.min(n, row.length)
+      while (d < m) {
+        s += row(d) * q(d)
+        d += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Integer-L2 k-means assignment, packed: `(minDist << 8) | cid`.
     *
     * Each element is quantized `(long) floor((double) x * scale)` — one IEEE

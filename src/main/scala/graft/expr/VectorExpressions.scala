@@ -142,6 +142,36 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `rand_project(emb)` → array<bigint>: ±1 sign-matrix projection of the
+  * floor-quantized vector (see [[Kernels.randProject]]) — deterministic
+  * dimensionality reduction as a pure codegen'd projection: no shuffle,
+  * no per-dim explode, the 100 TB-safe shape for embedding sketches.
+  */
+case class RandProject(child: Expression, signs: Array[Array[Int]], scale: Long)
+    extends UnaryExpression {
+
+  require(signs.nonEmpty, "rand_project: need at least one output dimension")
+  override def prettyName: String = "rand_project"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName expects an array<float|double> argument")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.randProject(v.asInstanceOf[ArrayData], signs, scale, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("signs", signs, "int[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.randProject($c, $sRef, ${scale}L, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `kmeans_assign(emb)` → bigint: packed `(squared-L2-dist << 8) | cid`
   * against plan-embedded integer-quantized centroids — the shuffle-free
   * E-step of [[graft.operators.Clustering.kmeansInt]]: a per-row argmin

@@ -81,6 +81,10 @@ object functions {
   /** Index of the cosine-nearest centroid (shuffle-free per-row argmax over
     * plan-embedded centroids; see graft.expr.NearestCentroid).
     */
+  /** ±1 sign-matrix projection of a quantized vector (see graft.expr.RandProject). */
+  def rand_project(emb: Column, signs: Array[Array[Int]], scale: Long): Column =
+    toCol(graft.expr.RandProject(toExpr(emb), signs, scale))
+
   /** Per-row char stats [n, distinct, collisions] (see graft.expr.CharStats). */
   def char_stats(text: Column): Column = toCol(graft.expr.CharStats(toExpr(text)))
 

@@ -36,6 +36,37 @@ import graft.functions.kmeans_assign
   */
 object Clustering {
 
+  /** Deterministic ±1 random projection to `outDims` dimensions
+    * (Achlioptas, JCSS 2003) — the embedding-sketch step before LSH
+    * banding, coarse clustering, or shipping vectors off-cluster: 64
+    * float dims become `outDims` exact longs, 4× narrower at outDims=8.
+    * The sign matrix derives from polyHash("j:d") parity — no RNG, so the
+    * SQL oracle regenerates the identical matrix and the projection sits
+    * on the exact-hash gate.
+    *
+    * Scale shape: a single codegen'd projection ([[graft.expr.RandProject]]
+    * — no shuffle, no per-dim explode; the unnest+join formulation
+    * shuffles rows·dims). Output: vec_id, p0..p{outDims−1} as columns.
+    */
+  def randomProjection(corpus: DataFrame, outDims: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(outDims >= 1 && outDims <= 64, "randomProjection: outDims in [1, 64]")
+    val inDims = corpus.select(col("embedding")).limit(1)
+      .collect()(0).getSeq[Any](0).length
+    val signs: Array[Array[Int]] = Array.tabulate(outDims, inDims) { (j, d) =>
+      val h = graft.expr.Kernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$j:${d + 1}"))
+      if (h % 2 == 0) 1 else -1
+    }
+    // materialize the kernel ONCE per row, then extract — element_at over
+    // the raw expression would re-run the projection per output column
+    corpus.select(col("vec_id"),
+        graft.functions.rand_project(col("embedding"), signs, scale).as("__p"))
+      .select(
+        (col("vec_id") +: (0 until outDims).map(j =>
+          element_at(col("__p"), j + 1).as(s"p$j"))): _*)
+  }
+
   /** Returns (vec_id, cid, dist): the assignment under the final centroids
     * after `iters` full Lloyd update cycles, dist = exact squared L2 in the
     * quantized space.

@@ -619,6 +619,66 @@ object TextAnalysis {
         col("n_oov") * 1000 <= lit(maxOovPermille) * col("n_bg"))
   }
 
+  /** Bigram-LM fluency score with stupid backoff (Brants et al., EMNLP
+    * 2007, "Large Language Models in Machine Translation" — the backoff
+    * that drops normalization for scale) — the log-free stand-in for a
+    * perplexity filter: score each document by the MEAN scaled conditional
+    * probability of its bigrams under a reference-corpus bigram model.
+    * Seen bigram → ⌊C(w₁w₂)·S / C(w₁)⌋; unseen → the paper's α=0.4
+    * unigram backoff ⌊2·C(w₂)·S / (5·T)⌋ (exact integers — perplexity's
+    * log is banned from the compare path by the tfIdfLog house rule, and
+    * mean conditional probability ranks fluent-vs-disfluent the same way:
+    * high = predictable text, near-zero = word salad / wrong language).
+    *
+    * Scale shape: model fitting is two explode+count aggregates over the
+    * reference (vocabulary-sized results, hash-partitioned); scoring is
+    * one explode + two equi-joins keyed on the bigram/unigram string +
+    * one doc_id aggregate. At 100 TB the model side is corpus-vocabulary
+    * sized — orders smaller than the corpus — so AQE broadcasts it when it
+    * fits and hash-joins otherwise; the bigram join key would move to a
+    * 64-bit fingerprint to cut shuffle width (string keys kept here for
+    * oracle parity). One presentation double (mean_score) over exact sums.
+    */
+  def bigramFluency(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String, scale: Long = 1000000L): DataFrame = {
+    // the oovBigramGate zip_with pattern: pads the tail with null, filter
+    // drops it — safe on 0/1-token rows where sequence(1, size-1) is not
+    def bigrams(text: Column): Column = {
+      val tk = toks(text)
+      filter(
+        zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        x => x.getField("w1").isNotNull && x.getField("w2").isNotNull)
+    }
+    val uni = refDocs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = refDocs.select(explode(bigrams(col(textCol))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val tot = uni.agg(sum(col("c1")).as("t_tokens"))
+    val docBg = docs.select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val scored = docBg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        when(col("c12").isNotNull, expr(s"(c12 * ${scale}L) div c1"))
+          .otherwise(expr(s"(2 * coalesce(c2, 0L) * ${scale}L) div (5 * t_tokens)")))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("contrib")).as("score_sum")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"))
+      .withColumn("mean_score",
+        when(col("n_bigrams") > 0,
+          col("score_sum").cast("double") / col("n_bigrams").cast("double")))
+  }
+
   /** Character-diversity gibberish gate: per document, exact code-point
     * counts (total, distinct) and the Simpson collision numerator
     * Σ cᵢ·(cᵢ−1) — the log-free entropy surrogate (libm `ln` bits differ

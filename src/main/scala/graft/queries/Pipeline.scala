@@ -2773,6 +2773,74 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM fluency (q166): stupid-backoff conditional-probability
+    * scores, model fit on the even-doc_id half so the odd half exercises
+    * the unseen-bigram backoff arm. All-integer contributions; the oracle
+    * rebuilds model + scoring from per-position bigram extraction.
+    */
+  val q166 = Q(
+    "q166_bigram_fluency",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sp AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk),
+      |dbg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+      |               t[CAST(i AS INT) + 1] AS w2 FROM sp),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+      |          SELECT unnest(t) AS w FROM tk WHERE doc_id % 2 = 0) GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens FROM uni),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM dbg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |contrib AS (SELECT d.doc_id,
+      |    CASE WHEN bi.c12 IS NOT NULL THEN (bi.c12 * 1000000) // u1.c1
+      |         ELSE (2 * COALESCE(u2.c1, 0) * 1000000) // (5 * tot.t_tokens)
+      |    END AS c
+      |  FROM dbg d
+      |  LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+      |  LEFT JOIN uni u1 ON d.w1 = u1.w
+      |  LEFT JOIN uni u2 ON d.w2 = u2.w
+      |  CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |          CAST(SUM(c) AS BIGINT) AS score_sum FROM contrib GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(agg.score_sum, 0) AS score_sum,
+      |  CASE WHEN agg.n_bigrams > 0 THEN
+      |    CAST(agg.score_sum AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE)
+      |  END AS mean_score
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bigramFluency(docs, docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** ±1 random projection (q167): 64 float dims → 8 exact-long sketch
+    * columns. The oracle regenerates the polyHash-parity sign matrix as a
+    * 512-row CTE and re-derives each component from an unnest+join sum —
+    * an independent formulation of the codegen kernel's fold.
+    */
+  val q167 = Q(
+    "q167_random_projection", {
+      val pCols = (0 until 8).map(j =>
+        s"CAST(MAX(CASE WHEN j = $j THEN p END) AS BIGINT) AS p$j").mkString(",\n  ")
+      s"""WITH vq AS (SELECT vec_id, d,
+         |    CAST(FLOOR(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS e,
+         |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+         |sm AS (SELECT j, d,
+         |    CASE WHEN ${hashSql("CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2 = 0
+         |         THEN 1 ELSE -1 END AS sg
+         |  FROM (SELECT unnest(range(0, 8)) AS j),
+         |       (SELECT unnest(range(1, 65)) AS d)),
+         |proj AS (SELECT vec_id, j, SUM(sg * q) AS p
+         |  FROM vq JOIN sm USING (d) GROUP BY 1, 2)
+         |SELECT vec_id,
+         |  $pCols
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    Clustering.randomProjection(t(s, dir, "embeddings"), outDims = 8)
+      .orderBy("vec_id")
+  }
+
   val q161 = Q("q161_tokenize_ja_heldout15", graft.ja.JaGolden.heldout15OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus15.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3333,5 +3401,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
 }

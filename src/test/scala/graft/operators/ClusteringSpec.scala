@@ -67,6 +67,40 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.forall(_._2 != 2))
   }
 
+  // ---- randomProjection ----
+
+  test("randomProjection: linearity — projection of a sum is the sum of projections") {
+    import spark.implicits._
+    val a = Seq(0.5f, -0.25f, 1.0f, 0.0f)
+    val b = Seq(0.25f, 0.5f, -0.5f, 1.0f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val emb = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val r = Clustering.randomProjection(emb, outDims = 4)
+      .orderBy("vec_id").collect()
+    (1 to 4).foreach { j =>
+      // quantization floors each input separately; these inputs are exact
+      // in the quantized space (multiples of 2^-2), so linearity is exact
+      assert(r(2).getLong(j) == r(0).getLong(j) + r(1).getLong(j))
+    }
+  }
+
+  test("randomProjection: deterministic across runs and repartitioning") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Clustering.randomProjection(corpus, 8).orderBy("vec_id").collect().toSeq
+    val b = Clustering.randomProjection(corpus.repartition(13), 8)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("randomProjection: plan is a shuffle-free codegen projection") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Clustering.randomProjection(corpus, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(plan.contains("rand_project"), s"expected the codegen kernel:\n$plan")
+  }
+
   // ---- tripletMine (lives here with the other embedding-space specs) ----
 
   test("tripletMine: frontiers and margin on a hand-computable set") {

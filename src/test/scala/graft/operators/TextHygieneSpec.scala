@@ -208,6 +208,40 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(r(0).getBoolean(5) && r(1).getBoolean(5))
   }
 
+  // ---- bigramFluency ----
+
+  test("bigramFluency: seen bigrams score c12*S/c1; unseen back off to 0.4*unigram") {
+    val ref = Seq((2L, "a b a b c")).toDF("doc_id", "text")
+    // model: uni a:2 b:2 c:1 (T=5); bi (a,b):2 (b,a):1 (b,c):1
+    val docs = Seq((1L, "a b x"), (2L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluency(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: (a,b) seen -> 2*1e6/2 = 1_000_000; (b,x) unseen, x OOV ->
+    // 2*0*1e6/(5*5) = 0
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 1000000L)
+    // doc 2: (a,b)=1e6 twice, (b,a)=1*1e6/2=500000, (b,c)=1*1e6/2=500000
+    assert(r(1).getLong(1) == 4 && r(1).getLong(2) == 3000000L)
+    assert(r(1).getDouble(3) == 750000.0)
+  }
+
+  test("bigramFluency: unseen bigram of in-vocab words uses the w2 unigram count") {
+    val ref = Seq((2L, "a b c d")).toDF("doc_id", "text")
+    // (c, a): unseen but c,a in vocab -> 2*C(a)*S/(5*T) = 2*1*1e6/20 = 100000
+    val docs = Seq((1L, "c a")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluency(docs, ref, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 1 && r.getLong(2) == 100000L)
+  }
+
+  test("bigramFluency: sub-2-token docs keep zero counts and null mean") {
+    val ref = Seq((9L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluency(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    r.foreach { row =>
+      assert(row.getLong(1) == 0 && row.getLong(2) == 0 && row.isNullAt(3))
+    }
+  }
+
   test("charDiversityReport: plan is a shuffle-free codegen projection") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = TextAnalysis.charDiversityReport(corpus, "doc_id", "text")
