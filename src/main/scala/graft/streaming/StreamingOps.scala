@@ -53,6 +53,33 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment + windowed rollup — the OTHER canonical
+    * streaming join: the dimension side is a bounded static frame
+    * (re-read/broadcast per micro-batch, so dimension updates between
+    * batches are picked up), the stream side carries the watermark, and
+    * the rollup groups by (event-time window, dimension attribute). No
+    * join state is kept at all — unlike a stream-stream join, a static
+    * side needs no watermark bookkeeping — so this is the shape for
+    * enriching a 100 TB/day event stream with a vocabulary-sized
+    * dimension. Left join keeps unmatched events under a null attribute
+    * (dropping them would silently under-count the stream). The value sum
+    * follows the q22 decimal-then-double rule so the batch twin sits on
+    * the exact-hash oracle gate.
+    *
+    * `dim` columns: (user_id, segment). Works identically on a batch
+    * frame (the q103/q104 batch-twin convention — watermark is a no-op).
+    */
+  def enrichedTumblingCounts(events: DataFrame, dim: DataFrame,
+      delay: String = "30 minutes", win: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), win), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(9,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** Watermarked stream-stream interval join — the canonical streaming
     * enrichment: each left event joins right events for the same key whose
     * event time falls in [left.ts − lookback, left.ts]. Both sides carry

@@ -51,6 +51,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(!finalized.exists { case (_, et, n) => et == "click" && n == 3 })
   }
 
+  test("stream-static enrichment: dimension joins per micro-batch, unmatched keeps null segment") {
+    val dim = Seq((10L, "RETAIL"), (20L, "AUTO")).toDF("user_id", "segment")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 20L, 2.5),
+      (3L, ts("2024-01-01 12:00:00"), 99L, 4.0)) // no dim row -> null segment
+    val adv = Seq((4L, ts("2024-01-03 09:00:00"), 10L, 1.0)) // advances watermark
+    val rows = runBatches[(Long, Timestamp, Long, Double)](
+      Seq(b1, adv),
+      ds => StreamingOps.enrichedTumblingCounts(
+        ds.toDF("event_id", "ts", "user_id", "value"), dim, delay = "30 minutes"),
+      "t_enrich")
+    val got = rows.map(r => (r.getTimestamp(0).toString,
+      if (r.isNullAt(1)) null else r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00.0", "RETAIL", 1L, 1.0),
+      ("2024-01-01 00:00:00.0", "AUTO", 1L, 2.5),
+      ("2024-01-01 00:00:00.0", null, 1L, 4.0)), s"got $got")
+  }
+
   test("session_window: gap-merged sessions finalize once watermark passes") {
     val b1 = Seq(
       (7L, ts("2024-01-01 10:00:00"), "click", 0.0),
