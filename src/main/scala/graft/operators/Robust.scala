@@ -108,6 +108,55 @@ object Robust {
         col("sum_kept").cast("double") / col("n_kept").cast("double"))
   }
 
+  /** Pareto frontier over two integer objectives — the multi-objective
+    * data-selection primitive (keep documents not dominated on
+    * (quality↑, cost↓); scalarizing to one score hides the trade-off the
+    * frontier preserves). A row is dominated iff another row is ≥ in
+    * quality and ≤ in cost with at least one strict.
+    *
+    * Scale shape: two-phase. Phase 1 buckets cost into `buckets` integer
+    * ranges, takes per-bucket max quality (one tiny aggregate), and drops
+    * every row dominated by a STRICTLY-cheaper bucket's max — a
+    * conservative, provably-sound prefilter (integer bucket edges: b' < b
+    * ⇒ cost' < cost) that runs as one broadcast join + filter over the
+    * scan, eliminating the overwhelming majority at corpus scale. Phase 2
+    * runs the exact sweep over the survivors with two range-frame windows
+    * (max quality over cost < current, and over cost ≤ current) — a
+    * single-partition sort, which is safe ONLY because survivors are
+    * frontier-sized, not corpus-sized (the q132 rule, satisfied by
+    * construction). All-integer comparisons; fully deterministic.
+    *
+    * Output: doc_id, quality, cost, on_front (every input row, flagged).
+    */
+  def paretoFront(df: DataFrame, idCol: String, qualityCol: String,
+      costCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "paretoFront: need >= 2 buckets")
+    val base = df.select(col(idCol).as("doc_id"),
+      col(qualityCol).cast("long").as("q"), col(costCol).cast("long").as("c"))
+    val rng = base.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    val bucketed = base.crossJoin(broadcast(rng))
+      .withColumn("b", expr(s"((c - cmin) * ${buckets}L) div (cmax - cmin + 1)"))
+    val bmax = bucketed.groupBy("b").agg(max(col("q")).as("bq"))
+      .withColumn("prevMax", max(col("bq")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val survivors = bucketed
+      .join(broadcast(bmax.select(col("b"), col("prevMax"))), Seq("b"), "left")
+      .where(col("prevMax").isNull || col("prevMax") < col("q"))
+    val wStrict = Window.orderBy(col("c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy(col("c"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val front = survivors
+      .withColumn("mqLt", max(col("q")).over(wStrict))
+      .withColumn("mqLe", max(col("q")).over(wIncl))
+      .where(!(coalesce(col("mqLt"), lit(Long.MinValue)) >= col("q") ||
+        col("mqLe") > col("q")))
+      .select(col("doc_id"), lit(true).as("on_front"))
+    base.join(broadcast(front), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q").as("quality"), col("c").as("cost"),
+        coalesce(col("on_front"), lit(false)).as("on_front"))
+  }
+
   def madOutlierReport(df: DataFrame, valueCol: String, mult: Long,
       groupCols: Seq[String]): DataFrame = {
     require(mult >= 1, "madOutlierReport: mult must be >= 1")

@@ -101,4 +101,32 @@ class RobustSpec extends AnyFunSuite {
     assert(plain == 1009.0)
     assert(trimmed == 10.0)
   }
+
+  test("paretoFront: hand-computable frontier, duplicates both on front") {
+    import spark.implicits._
+    // front = (5,10), (8,20), (9,40); (4,10) dominated by (5,10),
+    // (8,30) by (8,20), (3,50) by all; (5,10) duplicated -> both on front
+    val df = Seq(
+      (1L, 5L, 10L), (2L, 8L, 20L), (3L, 9L, 40L),
+      (4L, 4L, 10L), (5L, 8L, 30L), (6L, 3L, 50L), (7L, 5L, 10L)
+    ).toDF("doc_id", "q", "c")
+    val got = Robust.paretoFront(df, "doc_id", "q", "c")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false, 7L -> true), s"got $got")
+  }
+
+  test("paretoFront: bucket prefilter is sound — few-bucket result equals brute force") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, i * 37 % 101, i * 53 % 97))
+    val got = Robust.paretoFront(rows.toDF("doc_id", "q", "c"), "doc_id", "q", "c",
+        buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val brute = rows.map { case (i, q, c) =>
+      i -> !rows.exists { case (_, q2, c2) =>
+        q2 >= q && c2 <= c && (q2 > q || c2 < c) }
+    }.toMap
+    assert(got == brute,
+      s"diff: ${got.toSet.diff(brute.toSet)} / ${brute.toSet.diff(got.toSet)}")
+  }
 }
