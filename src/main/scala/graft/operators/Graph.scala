@@ -198,33 +198,33 @@ object Graph {
     val nodes = eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    // Enforce the documented overflow bound instead of trusting it: every
-    // hop's raw sum is ≤ maxdeg·scale (normalized scores are ≤ scale) and
-    // the normalize multiplies by scale again, so maxdeg·scale² must fit a
-    // signed long or the (s * scale) product silently wraps and corrupts
-    // ranks (ADVICE r13). One one-row aggregate over the already-staged
-    // edges; fails fast with the actual degree in the message.
-    val maxDeg = eBySrc.groupBy(col("src")).count()
-      .union(eByDst.groupBy(col("dst")).count())
-      .agg(max(col("count"))).collect()(0).getLong(0)
-    require(maxDeg <= Long.MaxValue / scale / scale,
-      s"hitsInt: max degree $maxDeg overflows at scale=$scale " +
-        s"(need maxdeg <= ${Long.MaxValue / scale / scale}); lower `scale`")
     var h = nodes.withColumn("h", lit(scale))
     var a: DataFrame = null
     for (i <- 1 to iters) {
+      // Overflow enforcement (ADVICE r13), zero extra jobs: the documented
+      // bound maxdeg·scale² < 2⁶³ is equivalent per hop to s ≤ 2⁶³/scale
+      // for every raw sum s (scores entering a hop are ≤ scale, so
+      // s ≤ maxdeg·scale) — checked in-plan by a codegen'd raise_error
+      // branch on the exact values instead of a separate degree aggregate
+      // (the first guard version collected max degree up front and cost
+      // q144 a measured ~2 s per call).
+      val normalize = (s: String) =>
+        s"IF($s > ${Long.MaxValue / scale}L, " +
+          s"raise_error(concat('hitsInt: raw sum ', CAST($s AS STRING), " +
+          s"' overflows at scale=${scale} — lower scale')), " +
+          s"($s * ${scale}L) div m)"
       val araw = eBySrc
         .join(h.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s"))
       val amax = araw.agg(max(col("s")).as("m"))
       a = araw.crossJoin(broadcast(amax))
-        .select(col("node"), expr(s"(s * ${scale}L) div m").as("a"))
+        .select(col("node"), expr(normalize("s")).as("a"))
       val hraw = eByDst
         .join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("s"))
       val hmax = hraw.agg(max(col("s")).as("m"))
       h = hraw.crossJoin(broadcast(hmax))
-        .select(col("node"), expr(s"(s * ${scale}L) div m").as("h"))
+        .select(col("node"), expr(normalize("s")).as("h"))
       // Unlike pageRankInt (whose rank frame is referenced ONCE per hop),
       // each HITS half-step references the previous frame twice (the raw
       // sum feeds both its own max and the next join) — and Spark logical

@@ -102,6 +102,19 @@ class GraphSpec extends AnyFunSuite {
     assert(total > 0L)
   }
 
+  test("HITS: overflow guard raises instead of silently wrapping") {
+    // scale near sqrt(Long.MaxValue): the very first hop's raw sum
+    // (deg * scale) already exceeds MaxValue/scale, so the in-plan
+    // raise_error branch must fire rather than let (s * scale) wrap
+    val e = edges(1L -> 10L, 2L -> 10L)
+    val ex = intercept[Exception] {
+      Graph.hitsInt(e, iters = 1, topK = 5, scale = 3037000500L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("overflows at scale")), msgs(ex).mkString("; "))
+  }
+
   test("HITS: hand-run recurrence on a 2x2 bipartite graph") {
     val e = edges(1L -> 10L, 1L -> 11L, 2L -> 10L)
     val out = Graph.hitsInt(e, iters = 2, topK = 10)
