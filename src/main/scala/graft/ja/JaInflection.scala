@@ -73,6 +73,19 @@ object JaInflection {
     */
   final val VIntPos = "動詞-自立-意向"
 
+  /** The bare godan 未然形 (stem+a-row: 書か, まくら) carries its own POS →
+    * lattice class, for exactly the VInt reason one paradigm slot over:
+    * without an auxiliary the a-row surface is essentially never the right
+    * reading, and as generic VerbInfl it steals noun spans — round-14
+    * batch 39 added the verb まくる and its 未然 まくら immediately
+    * shadowed the noun まくら (pillow) before を, winning on the generic
+    * VerbInfl→Particle license. VMizen licenses only the 未然-attaching
+    * auxiliaries (ない/ず/せる/れる families + generic aux like ん).
+    * Ichidan stems stay generic VerbInfl — their single stem IS both 未然
+    * and 連用, so fencing them would break 食べ+た.
+    */
+  final val MizenPos = "動詞-自立-未然"
+
   /** Rows whose 音便 past is voiced (〜だ): ガ行 and the ン音便 rows. */
   private val voicedOnbinRows: Set[Char] = Set('g', 'n', 'b', 'm')
 
@@ -93,8 +106,15 @@ object JaInflection {
       // class — precedes だ/で, never た); unvoiced rows keep it in the
       // generic VerbInfl form set
       val voicedOnbin = onbin.nonEmpty && voicedOnbinRows(cls)
-      val forms = (Seq(a.toString, i.toString) ++
+      // 未然 (a-row) splits into its own class (MizenPos/VMizen) — see the
+      // MizenPos scaladoc; the generic form set keeps 連用 + unvoiced 音便
+      val forms = (Seq(i.toString) ++
         (if (onbin.nonEmpty && !voicedOnbin) Seq(onbin) else Nil)).distinct.filterNot(_ == condForm)
+      val mizenForm = a.toString
+      val mizenEntry =
+        if (mizenForm != condForm && !forms.contains(mizenForm))
+          Seq(DictEntry(stem + mizenForm, MizenPos, base, Array.empty, derived))
+        else Nil
       // 意向形 under its own class; skip when the o-row surface collides
       // with another generated form (it never does for the standard rows)
       val intForm = o.toString
@@ -114,7 +134,8 @@ object JaInflection {
       // divergence); the dictionary form is the high-frequency win.
       (DictEntry(base, pos, "", Array.empty, derived) +:
         (DictEntry(stem + condForm, CondPos, base, Array.empty, derived) +:
-          (intEntry ++ forms.map(f => DictEntry(stem + f, pos, base, Array.empty, derived)) ++
+          (intEntry ++ mizenEntry ++
+            forms.map(f => DictEntry(stem + f, pos, base, Array.empty, derived)) ++
             onbinEntry))) ++
         Seq(
           // potential verb as its own 一段 lexeme (話せる) …

@@ -81,7 +81,13 @@ private[ja] object JaCosts {
   final val AuxCaus = 26 // causative/passive auxiliary stems (せ/させ/れ/
   // られ families): generic Aux in every context EXCEPT after a particle,
   // where the bare stem is ungrammatical (×の+せ) — see classOf
-  final val NumClasses = 27
+  final val VMizen = 27 // bare godan 未然形 (書か, 言わ, まくら): licenses
+  // ONLY the 未然-attaching auxiliaries — ない (AuxNai), ず (AuxMasu),
+  // せる/れる (AuxCaus), and generic aux (ん/ぬ) — the VInt pattern one
+  // paradigm slot over. As generic VerbInfl the a-row surface stole noun
+  // spans: まくる's 未然 まくら beat the noun まくら before を (round-14
+  // batch 39). Ichidan stems stay VerbInfl (their stem IS 連用 too).
+  final val NumClasses = 28
 
   def classOf(e: DictEntry): Int = {
     val pos = e.pos
@@ -116,8 +122,14 @@ private[ja] object JaCosts {
     else if (pos == graft.ja.JaInflection.Garu1Pos) AdjGaru1
     else if (pos == graft.ja.JaInflection.VOnbinPos) VOnbin
     else if (pos == graft.ja.JaInflection.VIntPos) VInt
+    else if (pos == graft.ja.JaInflection.MizenPos) VMizen
     else if (pos.startsWith("動詞") &&
       (e.base == "すぎる" || e.surface == "すぎる")) VSugi
+    // する's irregular 未然 さ functions as the causative-passive bridge
+    // (待た+さ+れる, 発表+さ+せる): surface-dispatch it into AuxCaus so the
+    // VMizen row licenses it, keeping the する lemma (nostop semantics).
+    // As generic VerbInfl the chain rode VMizen→VerbInfl, which is fenced.
+    else if (pos.startsWith("動詞") && e.surface == "さ" && e.base == "する") AuxCaus
     else if (pos.startsWith("動詞")) { if (e.base.nonEmpty) VerbInfl else VerbTerm }
     else if (pos.startsWith("形容詞")) { if (e.base.nonEmpty) AdjInfl else AdjTerm }
     else if (pos == "名詞-数") Num
@@ -140,6 +152,7 @@ private[ja] object JaCosts {
   val contractCells: Seq[(Int, Int)] = Seq(
     (VerbCond, ParticleBa), (VerbCond, Particle), (VerbCond, Aux),
     (VerbCond, AuxTa), (Noun, AuxTa), (Sahen, AuxTa),
+    (Particle, AuxTa), (BOS, AuxTa),
     (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
     (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown),
     // The whole VOnbin attachment contract is grammar, not counts: the
@@ -169,12 +182,14 @@ private[ja] object JaCosts {
     (AdjInfl, AuxDesu), (VOnbin, AuxDesu)) ++
     (0 until NumClasses).map((AdjGaru, _)) ++ // the whole 語幹 row is grammar
     (0 until NumClasses).map((AdjGaru1, _)) ++ // …and the single-kanji row too
-    (0 until NumClasses).map((VInt, _)) // …and the bare-意向 row
+    (0 until NumClasses).map((VInt, _)) ++ // …and the bare-意向 row
+    (0 until NumClasses).map((VMizen, _)) // …and the bare-未然 row
 
   /** eos entries pinned alongside contractCells: a bare 命令形 may end a
     * region (届け！) and a dangling prefix may not — grammar, not counts.
     */
-  val contractEos: Seq[Int] = Seq(VerbCond, Prefix, AdjGaru, AdjGaru1, VOnbin, VInt)
+  val contractEos: Seq[Int] =
+    Seq(VerbCond, Prefix, AdjGaru, AdjGaru1, VOnbin, VInt, VMizen)
 
   /** Hand-assigned prior matrix: the bootstrap cost model, the fallback for
     * classes unseen in the training corpora, and the source of the
@@ -247,6 +262,11 @@ private[ja] object JaCosts {
     set(Aux, AuxTa, -300) // でし+た, だっ+た
     set(Noun, AuxTa, 800) // ×組み立て+た
     set(Sahen, AuxTa, 800) // ×発表+た (発表+し+た is the licensed path)
+    set(Particle, AuxTa, 2000) // ×を+た: like Particle→AuxMasu, no particle
+    // ever precedes the past auxiliary — unset (0) the chain を|た|たい|た
+    // beat を+たたい(→たたく)+た outright, three cheap aux tokens
+    // undercutting one verb dict cost (round-14 batch 39, kana たたく)
+    set(BOS, AuxTa, 2300) // same level as BOS→Aux/AuxMasu
     set(NounSuffix, AuxTa, 800)
     set(Num, AuxTa, 800)
     set(BOS, AuxTa, 1500)
@@ -416,6 +436,12 @@ private[ja] object JaCosts {
       }
       m(AuxCaus)(AuxCaus) = m(Aux)(Aux) }
     m(Particle)(AuxCaus) = m(Particle)(Aux) + 1500
+    // the sahen causative/passive (表示+さ+れた, 調整+さ+せて) is as
+    // canonical as the light-verb 発表+し: now that する's 未然 さ is
+    // classed AuxCaus (VMizen bridge, round 14), the cell must carry the
+    // same attraction as Sahen→VerbInfl or 表示された tears to 表|示さ+れ
+    // (replay-measured: the Aux-mirror −200 lost by exactly the 500 gap)
+    m(Sahen)(AuxCaus) = -700
     // unlike the AuxU ウ音便 case (kept, ADVICE r12) there is no classical
     // reading that licenses a causative stem after a single-kanji adjective
     // 語幹 — re-block the mirror-inherited cell explicitly
@@ -440,6 +466,23 @@ private[ja] object JaCosts {
       } }
     (0 until NumClasses).foreach(r => set(VInt, r, 8000))
     set(VInt, AuxU, -800) // 行こ+う: the one licensed attachment
+    // VMizen (bare godan 未然形): incoming edges mirror VerbInfl (copied
+    // LAST so the AuxU/AuxCaus mirror loops above are already final); the
+    // outgoing row is a grammar block except the 未然-attaching auxiliary
+    // families, each copied from the VerbInfl row it was split from —
+    // 書か+ない (AuxNai), 思わ+ず (AuxMasu; the ます half of that class
+    // never follows a true 未然 in real text), 言わ+れる/書か+せる
+    // (AuxCaus), 知ら+ん/行か+ぬ (generic Aux).
+    locally { var x = 0
+      while (x < NumClasses) {
+        if (x != VMizen) m(x)(VMizen) = m(x)(VerbInfl)
+        x += 1
+      } }
+    (0 until NumClasses).foreach(r => set(VMizen, r, 8000))
+    set(VMizen, Aux, m(VerbInfl)(Aux))
+    set(VMizen, AuxNai, m(VerbInfl)(AuxNai))
+    set(VMizen, AuxMasu, m(VerbInfl)(AuxMasu))
+    set(VMizen, AuxCaus, m(VerbInfl)(AuxCaus))
     m
   }
 
@@ -454,6 +497,8 @@ private[ja] object JaCosts {
     a(AdjGaru1) = 8000 // same, at the AdjGaru1 row's grammar-block level
     a(VInt) = 800 // a dangling bare 意向形 is at best literary imperative
     a(VOnbin) = 400 // dangling voiced 音便 stem: same as VerbInfl
+    a(VMizen) = 8000 // a bare 未然形 never ends a region (the noun homograph
+    // must win there — まくら。)
     // eos(VSugi) stays 0 (not VerbInfl's 400): the terminal すぎる and the
     // nominal dangling すぎ (飲みすぎ。) both legitimately end a region
     a
