@@ -679,6 +679,29 @@ object TextAnalysis {
           col("score_sum").cast("double") / col("n_bigrams").cast("double")))
   }
 
+  /** Vocabulary frequency spectrum: token types binned by ⌊log₂(count)⌋ —
+    * the heavy-tail diagnostic of corpus health (a natural corpus shows a
+    * smooth Zipf-like decay of types per doubling bin; boilerplate-heavy
+    * or templated corpora spike in the high bins, OCR noise in bin 0).
+    * The log is computed EXACTLY as `length(binary(count)) − 1` (Spark
+    * `conv(n,10,2)`, DuckDB `printf('%b')`) — integer-string arithmetic,
+    * not libm, so the bin edges sit on the exact-hash gate (the ilog2
+    * trick that replaces the banned float log).
+    *
+    * Scale shape: one explode + token-keyed count (the q41 shuffle), then
+    * a ≤64-group aggregate — the spectrum is log-bounded regardless of
+    * corpus size. Output: bin, n_types, n_tokens, ordered by bin.
+    */
+  def frequencySpectrum(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("bin", (length(conv(col("n"), 10, 2)) - 1).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"))
+      .orderBy("bin")
+  }
+
   /** Character-diversity gibberish gate: per document, exact code-point
     * counts (total, distinct) and the Simpson collision numerator
     * Σ cᵢ·(cᵢ−1) — the log-free entropy surrogate (libm `ln` bits differ

@@ -208,6 +208,15 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(r(0).getBoolean(5) && r(1).getBoolean(5))
   }
 
+  test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
+    // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
+    // are exactly where a float log2 could misbin
+    val df = Seq((1L, "a b b c c c d d d d")).toDF("doc_id", "text")
+    val r = TextAnalysis.frequencySpectrum(df, "text")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0, 1L, 1L), (1, 2L, 5L), (2, 1L, 4L)), s"got $r")
+  }
+
   // ---- bigramFluency ----
 
   test("bigramFluency: seen bigrams score c12*S/c1; unseen back off to 0.4*unigram") {
