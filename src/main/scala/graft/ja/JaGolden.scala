@@ -262,6 +262,21 @@ object JaGolden {
   lazy val heldoutCorpus15: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus15.tsv")
 
+  /** Sixteenth blind held-out set (pre-registered round 14 behind the
+    * disjointness check — which caught and replaced 3 verbatim collisions
+    * at registration — and evaluated the same round, the set-14 precedent;
+    * probe batches 37-39 and the VMizen lattice class landed between
+    * registration and evaluation). First-run 31/40 (77.5%) — second-best
+    * ever; 0 lattice bugs (7th consecutive clean-lattice set). 5 author
+    * amendments (巣箱/教習所/養蜂場 standing-entry-or-pin wins, 来る
+    * kanji-lemma pins, ある+また stopwords), 6 lexeme gaps fixed, and the
+    * 養蜂 add REJECTED by held-out-13 sid 8 (9th convention-wins
+    * rejection) — itemized in the resource header. Pinned at 40/40;
+    * drives q171.
+    */
+  lazy val heldoutCorpus16: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus16.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -305,6 +320,8 @@ object JaGolden {
     literalTable(heldoutCorpus14.map { case (sid, _, toks) => (sid, toks) })
   def heldout15OracleSql: String =
     literalTable(heldoutCorpus15.map { case (sid, _, toks) => (sid, toks) })
+  def heldout16OracleSql: String =
+    literalTable(heldoutCorpus16.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
