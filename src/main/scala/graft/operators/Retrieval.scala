@@ -277,4 +277,38 @@ object Retrieval {
     sel.join(broadcast(lex), Seq("doc_id"))
       .select(col("doc_id"), col("lex_rn"), col("pick"))
   }
+
+  /** Cohen's κ classifier-agreement as EXACT integer rationals (Cohen,
+    * 1960): with n pairs, a = exact agreements, and pe_num = Σ_c
+    * n_pred(c)·n_truth(c) the chance-agreement numerator,
+    *
+    *   κ = (n·a − pe_num) / (n² − pe_num)
+    *
+    * — both sides integers, so the eval metric sits on the exact-hash
+    * gate; `kappa` is the one presentation double (the evalRanking
+    * rational-only rule). The label-noise / annotator-drift audit for
+    * classifier-labeled curation (a high-accuracy classifier with κ≈0 is
+    * just predicting the majority class — accuracy alone can't see it).
+    *
+    * Scale shape: one corpus-scan aggregate + two class-keyed marginal
+    * counts (|classes| rows) joined and summed — three tiny frames
+    * cross-joined broadcast; no window, no corpus-sized shuffle.
+    * Output: one row (n, n_agree, pe_num, kappa_num, kappa_den, kappa).
+    */
+  def cohenKappa(pairs: DataFrame, predCol: String, truthCol: String): DataFrame = {
+    val base = pairs.select(col(predCol).cast("long").as("p"),
+      col(truthCol).cast("long").as("t"))
+    val totals = base.agg(count(lit(1)).as("n"),
+      count(when(col("p") === col("t"), 1)).as("n_agree"))
+    val margP = base.groupBy(col("p").as("c")).agg(count(lit(1)).as("np"))
+    val margT = base.groupBy(col("t").as("c")).agg(count(lit(1)).as("nt"))
+    val pe = margP.join(margT, Seq("c"))
+      .agg(coalesce(sum(col("np") * col("nt")), lit(0L)).as("pe_num"))
+    totals.crossJoin(broadcast(pe))
+      .withColumn("kappa_num", col("n") * col("n_agree") - col("pe_num"))
+      .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+      .withColumn("kappa",
+        when(col("kappa_den") =!= 0,
+          col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+  }
 }

@@ -124,6 +124,80 @@ object Temporal {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** First-order event-transition matrix: counts of consecutive
+    * (from_type → to_type) pairs per user journey — the Markov-chain
+    * summary behind funnel diagnostics, anomalous-flow detection, and
+    * session-model features. Consecutive = adjacent under the total
+    * (ts, id) order within a key (the sessionize tie rule, so same-instant
+    * events cannot flip engines). `rate` is the one presentation double
+    * over the exact pair/row counts: P(to | from) with the denominator
+    * counting OBSERVED transitions out of `from` (last events of a
+    * journey emit no pair and are not part of any denominator).
+    *
+    * Scale shape: one keyed lag window (hash-partitioned on the journey
+    * key — parallelism = #users, per-task sort bounded by the largest
+    * journey) + one (from, to)-keyed aggregate whose output is
+    * |event-type|² rows regardless of corpus size.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
+    val pairs = events
+      .select(col(keyCol), col(idCol), col(typeCol).as("to_type"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val fromTotals = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n_pairs")).over(fromTotals))
+      .withColumn("rate",
+        col("n_pairs").cast("double") / col("n_from").cast("double"))
+  }
+
+  /** Daily burst detection per event type: a day is a burst when its count
+    * exceeds `multNum/multDen` × the trailing `windowDays`-day calendar
+    * mean — the volume-anomaly gate (crawl storms, bot floods, pipeline
+    * replays) in exact integers: the comparison is the cross-multiply
+    * n·W·multDen > multNum·trailing, so no float mean ever exists. The
+    * trailing window is CALENDAR days (RANGE over the epoch-day integer),
+    * so silent days correctly drag the baseline down instead of being
+    * skipped; days with no baseline (nothing in the preceding W days) are
+    * not flagged.
+    *
+    * Scale shape: one (type, day) count aggregate — output is
+    * types×days-sized, corpus-size-independent — then one type-keyed
+    * range window over that small frame. The corpus is touched once.
+    */
+  def burstDays(events: DataFrame, typeCol: String, tsCol: String,
+      windowDays: Int, multNum: Long, multDen: Long = 1L): DataFrame = {
+    require(windowDays >= 1 && multNum >= 1 && multDen >= 1,
+      "burstDays: windowDays/multNum/multDen must be >= 1")
+    // integer div, not `/`: double division of epoch-µs near a midnight
+    // boundary can round up across the integer before the cast truncates
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("day", expr("__us div 86400000000L"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-windowDays.toLong, -1L)
+    // full-baseline guard: without it every early sparse day flags (a
+    // 1/day series' second day has trailing mean 1/7 and 1 > 2/7) — a
+    // burst verdict needs windowDays of observed history for the type;
+    // after that, an EMPTY trailing week genuinely is a burst (n > 0
+    // after silence), hence coalesce(trailing, 0) rather than a null gate
+    val first = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("trailing_n", sum(col("n")).over(w))
+      .withColumn("is_burst",
+        col("day") - min(col("day")).over(first) >= windowDays &&
+          col("n") * windowDays * multDen >
+            lit(multNum) * coalesce(col("trailing_n"), lit(0L)))
+  }
+
   /** Half-life recency scoring in exact integer arithmetic — the
     * freshness-weighted engagement signal a curation/ranking pipeline
     * computes per user/host/source ("how active, discounted by age"),

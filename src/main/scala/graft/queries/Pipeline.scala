@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Graph, IvfIndex, Layout, Multimodal, Privacy, Retrieval, Robust, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Graph, IvfIndex, Temporal, Layout, Multimodal, Privacy, Retrieval, Robust, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Layer-C LLM-data-pipeline operators (SURVEY.md §2-C) as oracle-checked
@@ -2900,6 +2900,93 @@ object Pipeline {
     TextAnalysis.frequencySpectrum(t(s, dir, "documents"), "text")
   }
 
+  /** Event-transition matrix (q172): Markov pair counts per user journey
+    * under the (ts, event_id) total order; oracle re-derives with LAG.
+    */
+  val q172 = Q(
+    "q172_transition_matrix",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS us FROM events),
+      |p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS from_type,
+      |      event_type AS to_type FROM e),
+      |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(SUM(n_pairs) AS BIGINT) AS n_from
+      |      FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n_pairs, t.n_from,
+      |  CAST(c.n_pairs AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS rate
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    Temporal.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Daily burst detection (q173): 7-day trailing calendar baseline,
+    * burst when n·7 > 2·trailing (exact cross-multiply). Oracle mirrors
+    * the calendar RANGE frame over the epoch-day integer.
+    */
+  val q173 = Q(
+    "q173_burst_days",
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+      |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+      |      AS trailing_n,
+      |    MIN(day) OVER (PARTITION BY event_type) AS first_day
+      |  FROM d)
+      |SELECT event_type, day, n, trailing_n,
+      |  day - first_day >= 7 AND n * 7 > 2 * COALESCE(trailing_n, 0)
+      |    AS is_burst
+      |FROM w ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    Temporal.burstDays(t(s, dir, "events"), "event_type", "ts",
+        windowDays = 7, multNum = 2)
+      .orderBy("event_type", "day")
+  }
+
+  /** Cohen's κ over the kNN classifier (q174): predictions from the q36
+    * operator on the vec_id%7 query set vs true labels, κ as exact integer
+    * rationals. The oracle replays knn + marginals independently.
+    */
+  val q174 = Q(
+    "q174_cohen_kappa",
+    s"""WITH q AS (SELECT vec_id qid, label AS truth, embedding qe
+       |           FROM embeddings WHERE vec_id % 7 = 0),
+       |c AS (SELECT vec_id nid, label, embedding ce FROM embeddings),
+       |sc AS (SELECT qid, nid, label, ${cosSql("qe", "ce")} AS cs
+       |       FROM c CROSS JOIN q WHERE nid <> qid),
+       |topk AS (SELECT qid, label FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) rn FROM sc)
+       |  WHERE rn <= 10),
+       |votes AS (SELECT qid, label, COUNT(*) votes FROM topk GROUP BY 1, 2),
+       |pred AS (SELECT qid, label AS p FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) rn
+       |  FROM votes) WHERE rn = 1),
+       |pairs AS (SELECT pred.p, q.truth AS t FROM pred JOIN q USING (qid)),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(CASE WHEN p = t THEN 1 END) AS BIGINT) AS n_agree FROM pairs),
+       |mp AS (SELECT p AS c, CAST(COUNT(*) AS BIGINT) AS np FROM pairs GROUP BY 1),
+       |mt AS (SELECT t AS c, CAST(COUNT(*) AS BIGINT) AS nt FROM pairs GROUP BY 1),
+       |pe AS (SELECT CAST(COALESCE(SUM(np * nt), 0) AS BIGINT) AS pe_num
+       |       FROM mp JOIN mt USING (c))
+       |SELECT n, n_agree, pe_num,
+       |  n * n_agree - pe_num AS kappa_num,
+       |  n * n - pe_num AS kappa_den,
+       |  CASE WHEN n * n - pe_num <> 0 THEN
+       |    CAST(n * n_agree - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE)
+       |  END AS kappa
+       |FROM tot CROSS JOIN pe""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") % 7 === 0)
+    val preds = Similarity.knnPredict(emb, queries, k = 10)
+      .join(queries.select(col("vec_id").as("qid"), col("label").as("truth")), Seq("qid"))
+    Retrieval.cohenKappa(preds, "predicted_label", "truth")
+  }
+
   val q171 = Q("q171_tokenize_ja_heldout16", graft.ja.JaGolden.heldout16OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus16.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3471,5 +3558,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }

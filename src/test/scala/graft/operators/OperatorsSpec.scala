@@ -601,6 +601,44 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("transitionMatrix: journey-local pairs, tie order, exact rates") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), "view"), (1L, 11L, ts(1), "click"),
+      (1L, 12L, ts(2), "view"), (1L, 13L, ts(2), "buy"), // tie -> id order
+      (2L, 20L, ts(0), "view"), (2L, 21L, ts(9), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = Temporal.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    // from view: ->click twice (u1, u2), ->buy once (the 12->13 tie pair)...
+    // wait: pairs are (view,click) u1, (click,view) u1, (view,buy) u1, (view,click) u2
+    assert(r(("view", "click")) == ((2L, 3L, 2.0 / 3)))
+    assert(r(("view", "buy")) == ((1L, 3L, 1.0 / 3)))
+    assert(r(("click", "view")) == ((1L, 1L, 1.0)))
+    assert(r.size == 3)
+  }
+
+  test("burstDays: calendar baseline, cross-multiply gate, no-baseline days unflagged") {
+    import java.sql.Timestamp
+    def ts(day: Long, k: Int) = new Timestamp(day * 86400000L + k * 1000L)
+    // type A: 1/day on days 0-6, then 10 on day 7 -> 10*7 > 2*7 burst;
+    // day 0 has no baseline -> not flagged; type B: flat, never flagged
+    val ev = (0L to 6L).map(d => (d * 100, ts(d, 0), "A")) ++
+      (1 to 10).map(k => (700L + k, ts(7, k), "A")) ++
+      (0L to 3L).map(d => (900 + d, ts(d, 0), "B"))
+    val df = ev.toDF("event_id", "ts", "event_type")
+    val r = Temporal.burstDays(df, "event_type", "ts", windowDays = 7, multNum = 2)
+      .collect().map(x => ((x.getString(0), x.getLong(1)), (x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r(("A", 0L)) == ((1L, -1L, false)), "first day: null baseline, short history")
+    assert(r(("A", 7L)) == ((10L, 7L, true)), "full baseline and 10*7 > 2*7")
+    assert(r(("A", 3L)) == ((1L, 3L, false)), "sparse early day gated by the history guard")
+    assert(!r.filterKeys(_._1 == "B").values.exists(_._3), "short series never flags")
+  }
+
   test("recencyScore: hand-computed half-life shifts, future clamp, shift cap") {
     import java.sql.Timestamp
     // anchor = 100 days after epoch; half-life 10 days; scale 1000000

@@ -203,4 +203,18 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(2) -> r.getInt(1)).toMap
     assert(out == Map(1 -> 1, 2 -> 2, 3 -> 3), out)
   }
+
+  test("cohenKappa: hand-computed rationals; majority-class predictor gets kappa 0") {
+    import spark.implicits._
+    // n=4, agree=3; marginals pred {0:3, 1:1}, truth {0:2, 1:2}
+    // pe_num = 3*2 + 1*2 = 8; num = 4*3-8 = 4; den = 16-8 = 8; kappa 0.5
+    val pairs = Seq((0, 0), (0, 0), (0, 1), (1, 1)).toDF("p", "t")
+    val r = Retrieval.cohenKappa(pairs, "p", "t").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 8L)))
+    assert((r.getLong(3), r.getLong(4)) == ((4L, 8L)) && r.getDouble(5) == 0.5)
+    // always-predict-0 over a 50/50 truth: accuracy 0.5 but kappa exactly 0
+    val maj = Seq((0, 0), (0, 0), (0, 1), (0, 1)).toDF("p", "t")
+    val m = Retrieval.cohenKappa(maj, "p", "t").collect()(0)
+    assert(m.getLong(3) == 0L && m.getDouble(5) == 0.0)
+  }
 }
