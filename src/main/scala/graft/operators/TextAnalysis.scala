@@ -702,6 +702,40 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Token-distribution drift between two corpus snapshots, in integer
+    * parts-per-million: for each token, rate₁ = ⌊n₁·10⁶/T₁⌋ and rate₂ =
+    * ⌊n₂·10⁶/T₂⌋ (T = snapshot token totals), drift = rate₁ − rate₂ —
+    * the distribution-shift monitor between crawls/epochs (vocabulary
+    * churn, topic drift, a scraper suddenly ingesting a new boilerplate).
+    * All-integer: the χ²/KL formulations either overflow 64-bit cross
+    * products or need the banned log; ppm-rate differences rank the same
+    * movers and stay exact. Top `k` by (|drift| desc, token asc).
+    *
+    * Scale shape: two token-keyed counts + one full-outer join on token +
+    * a one-row total broadcast each; the top-k is a TakeOrdered over the
+    * vocabulary-sized frame. Corpus scanned once per snapshot.
+    */
+  def tokenDrift(snapA: DataFrame, snapB: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    def counts(df: DataFrame, n: String, t: String) = {
+      val c = df.select(explode(toks(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(n))
+      (c, c.agg(sum(col(n)).as(t)))
+    }
+    val (ca, ta) = counts(snapA, "n1", "t1")
+    val (cb, tb) = counts(snapB, "n2", "t2")
+    ca.join(cb, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("tok"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        expr("(coalesce(n1, 0L) * 1000000L) div t1").as("ppm1"),
+        expr("(coalesce(n2, 0L) * 1000000L) div t2").as("ppm2"))
+      .withColumn("drift", col("ppm1") - col("ppm2"))
+      .orderBy(abs(col("drift")).desc, col("tok"))
+      .limit(k)
+  }
+
   /** Character-diversity gibberish gate: per document, exact code-point
     * counts (total, distinct) and the Simpson collision numerator
     * Σ cᵢ·(cᵢ−1) — the log-free entropy surrogate (libm `ln` bits differ

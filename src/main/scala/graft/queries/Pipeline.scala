@@ -2987,6 +2987,32 @@ object Pipeline {
     Retrieval.cohenKappa(preds, "predicted_label", "truth")
   }
 
+  /** Token drift report (q175): ppm-rate differences between the even-
+    * and odd-doc_id snapshot halves, top 50 movers by (|drift|, token).
+    */
+  val q175 = Q(
+    "q175_token_drift",
+    """WITH a AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE doc_id % 2 = 0),
+      |b AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1 FROM a GROUP BY 1),
+      |cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n2 FROM b GROUP BY 1),
+      |ta AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1 FROM ca),
+      |tb AS (SELECT CAST(SUM(n2) AS BIGINT) AS t2 FROM cb),
+      |j AS (SELECT COALESCE(ca.tok, cb.tok) AS tok,
+      |        COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+      |      FROM ca FULL OUTER JOIN cb USING (tok)),
+      |r AS (SELECT tok, n1, n2,
+      |        (n1 * 1000000) // t1 AS ppm1, (n2 * 1000000) // t2 AS ppm2
+      |      FROM j CROSS JOIN ta CROSS JOIN tb)
+      |SELECT tok, n1, n2, ppm1, ppm2, ppm1 - ppm2 AS drift
+      |FROM r ORDER BY ABS(ppm1 - ppm2) DESC, tok LIMIT 50""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.tokenDrift(docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1), "text", k = 50)
+  }
+
   val q171 = Q("q171_tokenize_ja_heldout16", graft.ja.JaGolden.heldout16OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus16.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3558,5 +3584,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
 }

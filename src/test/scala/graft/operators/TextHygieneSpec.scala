@@ -217,6 +217,17 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(r == Seq((0, 1L, 1L), (1, 2L, 5L), (2, 1L, 4L)), s"got $r")
   }
 
+  test("tokenDrift: exact ppm rates, full-outer vocabulary, tie-broken top-k") {
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")   // T1=4: x 750000, y 250000
+    val b = Seq((2L, "x y y z z")).toDF("doc_id", "text") // T2=5: x 200000, y 400000, z 400000
+    val r = TextAnalysis.tokenDrift(a, b, "text", k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("x", 750000L, 200000L, 550000L),   // biggest mover
+      ("y", 250000L, 400000L, -150000L),  // |drift| ties with z? no: 150k vs 400k
+      ("z", 0L, 400000L, -400000L)).sortBy(t => (-math.abs(t._4), t._1)), s"got ${r.toSeq}")
+  }
+
   // ---- bigramFluency ----
 
   test("bigramFluency: seen bigrams score c12*S/c1; unseen back off to 0.4*unigram") {
