@@ -189,6 +189,45 @@ object Multimodal {
         "bits_per_sample", "n_samples")
   }
 
+  /** Audio segmentation PLAN over a binary column: one row per fixed-size
+    * sample window of each WAV payload — (seg_idx, start_sample,
+    * seg_samples, frame_bytes, seg_bytes) — the decode-free slicing step a
+    * large-scale AV pipeline runs before shipping windows to feature
+    * extractors: boundaries are pure header arithmetic (frame = channels ·
+    * bits/8), so the plan costs one header parse per row, no sample decode,
+    * and downstream readers fetch exact byte ranges. Non-WAV / null rows
+    * emit nothing (mixed-media columns are the norm). The decode behind
+    * the plan stays the documented stub — codec libs are out of scope; the
+    * batch shape (mapPartitions over the binary column, flat segment
+    * output) is the deliverable.
+    */
+  def planAudioSegments(df: DataFrame, idCol: String, binCol: String,
+      segSamples: Int): DataFrame = {
+    require(segSamples >= 1, "planAudioSegments: segSamples must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          decodeWavHeader(bytes) match {
+            case Some((ch, _, bits, n)) =>
+              val frame = ch * (bits / 8)
+              val nSegs = ((n + segSamples - 1) / segSamples).toInt
+              (0 until nSegs).map { i =>
+                val start = i.toLong * segSamples
+                val len = math.min(segSamples.toLong, n - start)
+                (id, i, start, len, frame, len * frame)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("id", "seg_idx", "start_sample", "seg_samples", "frame_bytes",
+        "seg_bytes")
+  }
+
   /** ISO BMFF / MP4 container header decode: walks the top-level box
     * sequence for `ftyp` (major brand) and `moov`, then the moov children
     * for `mvhd` (movie timescale + duration, both version 0 and 1 layouts,

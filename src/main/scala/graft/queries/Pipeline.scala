@@ -3013,6 +3013,29 @@ object Pipeline {
       docs.where(col("doc_id") % 2 === 1), "text", k = 50)
   }
 
+  /** Audio segmentation plan (q176): 256-sample windows over the fixture's
+    * two WAV payloads, boundaries from header arithmetic only. Oracle is
+    * the hand-computed literal (2ch/16-bit/1000 samples → 4 segments at
+    * frame 4; 1ch/8-bit/320 → 2 at frame 1); non-WAV rows emit nothing.
+    */
+  val q176 = Q(
+    "q176_audio_segments",
+    """SELECT * FROM (VALUES
+      |  (6, 0, 0, 256, 4, 1024), (6, 1, 256, 256, 4, 1024),
+      |  (6, 2, 512, 256, 4, 1024), (6, 3, 768, 232, 4, 928),
+      |  (7, 0, 0, 256, 1, 256), (7, 1, 256, 64, 1, 64)
+      |) AS t(id, seg_idx, start_sample, seg_samples, frame_bytes, seg_bytes)
+      |ORDER BY id, seg_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val fixture = graft.operators.MediaFixture.rows.toDF("id", "bytes")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q176_media_fixture").getAbsolutePath
+    fixture.coalesce(1).write.mode("overwrite").parquet(tmp)
+    graft.operators.Multimodal.planAudioSegments(
+        s.read.parquet(tmp), "id", "bytes", segSamples = 256)
+      .orderBy("id", "seg_idx")
+  }
+
   val q171 = Q("q171_tokenize_ja_heldout16", graft.ja.JaGolden.heldout16OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus16.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3584,5 +3607,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
 }

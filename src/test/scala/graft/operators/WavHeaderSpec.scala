@@ -63,4 +63,19 @@ class WavHeaderSpec extends AnyFunSuite {
     assert(r(1).getString(2) == "unknown" && r(1).isNullAt(4))
     assert(r(2).getString(2) == "unknown" && r(2).getInt(1) == 0)
   }
+
+  test("planAudioSegments: window arithmetic, short-tail segment, non-wav rows emit nothing") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, wav(ch = 2, rate = 8000, bits = 16, nSamples = 100)),
+      (2L, wav(ch = 1, rate = 8000, bits = 8, nSamples = 30)), // fits one window
+      (3L, "nope".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val r = Multimodal.planAudioSegments(df, "id", "media", segSamples = 40)
+      .orderBy("id", "seg_idx").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3), x.getInt(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, 0, 0L, 40L, 4, 160L), (1L, 1, 40L, 40L, 4, 160L), (1L, 2, 80L, 20L, 4, 80L),
+      (2L, 0, 0L, 30L, 1, 30L)))
+  }
 }
