@@ -65,6 +65,32 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Per-group percentile normalization in integer ppm: each row's score
+    * becomes its within-group rank position on [0, 10⁶] — the calibration
+    * step before mixing quality scores ACROSS sources (a raw 0.7 from one
+    * classifier run and a 0.7 from another are not comparable; their
+    * within-source percentiles are). ppm = (rank−1)·10⁶ div (n−1) over the
+    * (score, id) total order; single-row groups sit at 0 (documented).
+    * All-integer, so the calibrated score itself stays on the exact gate.
+    *
+    * Scale shape: ONE keyed window (rank + count share the partition
+    * frame; parallelism = #groups, per-task sort bounded by the largest
+    * group — pre-bucket a mega-group by a hash salt if one source
+    * dominates, the q150 note).
+    */
+  def percentileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val w = part.orderBy(col(scoreCol), col(idCol))
+    df.withColumn("__pn_rank", row_number().over(w))
+      .withColumn("__pn_n", count(lit(1)).over(part))
+      .withColumn("pctl_ppm",
+        when(col("__pn_n") > 1,
+          expr("((__pn_rank - 1) * 1000000L) div (__pn_n - 1)"))
+          .otherwise(lit(0L)))
+      .drop("__pn_rank", "__pn_n")
+  }
+
   /** Per-stratum reservoir sample: exactly min(k, |stratum|) rows per
     * stratum, selected and ordered by (hash(id:salt), id) — the balanced-
     * sampling step for mixing sources/domains/languages at fixed quotas.

@@ -3036,6 +3036,28 @@ object Pipeline {
       .orderBy("id", "seg_idx")
   }
 
+  /** Per-source percentile normalization (q177): distinct-token quality
+    * calibrated to within-source ppm position — the cross-source mixing
+    * prerequisite. Oracle mirrors rank/count windows and the ppm floor.
+    */
+  val q177 = Q(
+    "q177_percentile_normalize",
+    """WITH sc AS (SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS q
+      |  FROM documents)
+      |SELECT doc_id, source, q,
+      |  CAST(CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1 THEN
+      |    ((ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) - 1)
+      |      * 1000000)
+      |    // (COUNT(*) OVER (PARTITION BY source) - 1)
+      |  ELSE 0 END AS BIGINT) AS pctl_ppm
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sc = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(array_distinct(split(col("text"), " "))).as("q"))
+    graft.operators.Sampling.percentileNormalize(sc, "source", "q", "doc_id")
+      .orderBy("doc_id")
+  }
+
   val q171 = Q("q171_tokenize_ja_heldout16", graft.ja.JaGolden.heldout16OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus16.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3607,5 +3629,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
 }

@@ -237,6 +237,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(wins > 120, s"heavy-weight rows won only $wins/200 slots")
   }
 
+  test("percentileNormalize: ppm endpoints, ties by id, single-row group at 0") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 99L)).toDF("doc_id", "source", "q")
+    val r = Sampling.percentileNormalize(df, "source", "q", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // group a (n=4): ranks 1..4 -> 0, 333333, 666666, 1000000 (tie 20,20
+    // ordered by doc_id: rank 2 -> id 2, rank 3 -> id 3)
+    assert(r == Map(1L -> 0L, 2L -> 333333L, 3L -> 666666L, 4L -> 1000000L,
+      5L -> 0L), s"got $r")
+  }
+
   test("leakageSafeSplit: cluster members share one split; unclustered rows match the id split") {
     val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two crafted clusters: {3, 17, 41} and {8, 9}
