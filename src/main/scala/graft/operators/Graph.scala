@@ -153,6 +153,29 @@ object Graph {
       .select(col("node"), col("pr"), col("is_seed"), col("rn"))
   }
 
+  /** Degree spectrum: node counts per ⌊log₂(degree)⌋ doubling bin, in and
+    * out separately — the graph-health diagnostic (a natural link graph
+    * decays smoothly; a crawler trap or bot ring spikes a high bin, a
+    * disconnected ingest batch inflates bin 0). The bin is the q170
+    * string-exact ilog2 (conv to binary, length−1) — no libm at
+    * power-of-two edges.
+    *
+    * Scale shape: two keyed degree counts + a ≤64-group aggregate each;
+    * output is 2·64 rows regardless of graph size.
+    */
+  def degreeSpectrum(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    def spectrum(keyCol: String, dir: String) =
+      e.groupBy(col(keyCol).as("node")).agg(count(lit(1)).as("deg"))
+        .withColumn("bin", (length(conv(col("deg"), 10, 2)) - 1).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("n_edges"))
+        .withColumn("direction", lit(dir))
+    spectrum("src", "out").unionByName(spectrum("dst", "in"))
+      .select(col("direction"), col("bin"), col("n_nodes"), col("n_edges"))
+  }
+
   /** Fixed-iteration HITS (Kleinberg, JACM 1999) in scaled integer
     * arithmetic — the hub/authority complement to [[pageRankInt]]: on a
     * bipartite curation graph (documents→hosts, customers→suppliers,

@@ -198,6 +198,33 @@ object Temporal {
             lit(multNum) * coalesce(col("trailing_n"), lit(0L)))
   }
 
+  /** Retention cohort analysis: users bucketed by first-seen day, activity
+    * counted per (cohort_day, day_offset) — the classic retention triangle
+    * (how many of day-d's new users were still active k days later), the
+    * engagement analogue of the corpus-drift monitor. All integers: days
+    * are epoch-day `div`s, the cohort is a per-user min, offsets are
+    * differences. `n_users` counts DISTINCT active users per cell;
+    * `n_events` the raw volume.
+    *
+    * Scale shape: one per-user min aggregate (users-sized) joined back on
+    * the user key onto one (cohort, offset, user) distinct — two keyed
+    * shuffles total; output is cohorts×offsets-sized. At 100 TB the
+    * first-seen frame is the only state and it is user-cardinality
+    * bounded.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.select(col(keyCol).as("u"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("day", expr("__us div 86400000000L"))
+      .select("u", "day")
+    val firstSeen = days.groupBy("u").agg(min(col("day")).as("cohort_day"))
+    days.join(firstSeen, Seq("u"))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("u")).as("n_users"), count(lit(1)).as("n_events"))
+  }
+
   /** Half-life recency scoring in exact integer arithmetic — the
     * freshness-weighted engagement signal a curation/ranking pipeline
     * computes per user/host/source ("how active, discounted by age"),

@@ -3058,6 +3058,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Degree spectrum (q178) over the customer→supplier purchase graph
+    * (the q131 edge definition: orders×lineitem), ilog2 doubling bins.
+    */
+  val q178 = Q(
+    "q178_degree_spectrum",
+    """WITH e AS (SELECT o.o_custkey AS src, l.l_suppkey AS dst
+      |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |idg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |ob AS (SELECT 'out' AS direction,
+      |         CAST(length(printf('%b', deg)) - 1 AS INT) AS bin,
+      |         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |         CAST(SUM(deg) AS BIGINT) AS n_edges FROM od GROUP BY 2),
+      |ib AS (SELECT 'in' AS direction,
+      |         CAST(length(printf('%b', deg)) - 1 AS INT) AS bin,
+      |         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |         CAST(SUM(deg) AS BIGINT) AS n_edges FROM idg GROUP BY 2)
+      |SELECT * FROM ob UNION ALL SELECT * FROM ib
+      |ORDER BY direction, bin""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    Graph.degreeSpectrum(e).orderBy("direction", "bin")
+  }
+
+  /** Retention cohorts (q179): the classic retention triangle over the
+    * events table — first-seen day × day offset, distinct active users.
+    */
+  val q179 = Q(
+    "q179_retention_cohorts",
+    """WITH d AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day
+      |           FROM events),
+      |f AS (SELECT u, MIN(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+      |  CAST(COUNT(DISTINCT d.u) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM d JOIN f USING (u)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Temporal.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val q171 = Q("q171_tokenize_ja_heldout16", graft.ja.JaGolden.heldout16OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus16.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3629,5 +3672,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }

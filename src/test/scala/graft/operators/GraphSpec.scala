@@ -102,6 +102,17 @@ class GraphSpec extends AnyFunSuite {
     assert(total > 0L)
   }
 
+  test("degreeSpectrum: hand-computed bins across a power-of-two edge") {
+    // out-degrees: node 1 -> 4 edges (bin 2), node 2 -> 1 (bin 0);
+    // in-degrees: 10 gets 3 (bin 1), 11 gets 2 (bin 1)
+    val e = edges(1L -> 10L, 1L -> 10L, 1L -> 10L, 1L -> 11L, 2L -> 11L)
+    val r = Graph.degreeSpectrum(e).orderBy("direction", "bin").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("in", 1, 2L, 5L),
+      ("out", 0, 1L, 1L), ("out", 2, 1L, 4L)))
+  }
+
   test("HITS: overflow guard raises instead of silently wrapping") {
     // scale near sqrt(Long.MaxValue): the very first hop's raw sum
     // (deg * scale) already exceeds MaxValue/scale, so the in-plan

@@ -639,6 +639,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r.filterKeys(_._1 == "B").values.exists(_._3), "short series never flags")
   }
 
+  test("retentionCohorts: first-seen bucketing, offsets, distinct-user counts") {
+    import java.sql.Timestamp
+    def ts(day: Long, k: Int) = new Timestamp(day * 86400000L + k * 1000L)
+    val ev = Seq(
+      (1L, ts(0, 0)), (1L, ts(0, 1)), (1L, ts(2, 0)), // cohort 0: d0 twice, d2
+      (2L, ts(0, 0)), (2L, ts(1, 0)),                 // cohort 0: d0, d1
+      (3L, ts(2, 0))                                  // cohort 2: d2
+    ).toDF("user_id", "ts")
+    val r = Temporal.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      (0L, 0L) -> ((2L, 3L)), // users 1,2 active day 0; 3 events
+      (0L, 1L) -> ((1L, 1L)), // user 2 on day 1
+      (0L, 2L) -> ((1L, 1L)), // user 1 on day 2
+      (2L, 0L) -> ((1L, 1L))), s"got $r")
+  }
+
   test("recencyScore: hand-computed half-life shifts, future clamp, shift cap") {
     import java.sql.Timestamp
     // anchor = 100 days after epoch; half-life 10 days; scale 1000000
