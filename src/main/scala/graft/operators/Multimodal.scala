@@ -228,6 +228,39 @@ object Multimodal {
         "seg_bytes")
   }
 
+  /** Image patch-grid PLAN over a binary column: per image, the ViT-style
+    * `patch`×`patch` tiling derived from the header dimensions alone —
+    * (nx, ny, n_patches, pad_x, pad_y), where pad is the right/bottom
+    * fill the last partial patch needs. The pre-processing bookkeeping a
+    * vision-data pipeline computes corpus-wide BEFORE any pixel decode
+    * (sequence-length budgeting: n_patches IS the token count of a patch
+    * transformer). Non-image / null rows emit nulls (mixed-media safe).
+    */
+  def planImagePatches(df: DataFrame, idCol: String, binCol: String,
+      patch: Int): DataFrame = {
+    require(patch >= 1, "planImagePatches: patch must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          decodeImageHeader(bytes) match {
+            case Some((fmt, w, h)) =>
+              val nx = (w + patch - 1) / patch
+              val ny = (h + patch - 1) / patch
+              (id, Some(fmt), Some(w), Some(h), Some(nx), Some(ny),
+                Some(nx.toLong * ny), Some(nx * patch - w), Some(ny * patch - h))
+            case None =>
+              (id, None, None, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("id", "img_fmt", "width", "height", "nx", "ny", "n_patches",
+        "pad_x", "pad_y")
+  }
+
   /** ISO BMFF / MP4 container header decode: walks the top-level box
     * sequence for `ftyp` (major brand) and `moov`, then the moov children
     * for `mvhd` (movie timescale + duration, both version 0 and 1 layouts,

@@ -73,4 +73,18 @@ class ImageHeaderSpec extends AnyFunSuite {
     val n = "hello".length
     assert(r(3L).width == 1 + n % 64 && r(3L).height == 1 + (n * 7) % 64)
   }
+
+  test("planImagePatches: ceil grid, exact-fit padding zero, non-image nulls") {
+    import TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, png1x1),             // 1x1 -> 1 patch, pad 3,3 at patch=4
+      (2L, jpeg3x2),            // 3x2 -> 1 patch, pad 1,2
+      (3L, "nope".getBytes)).toDF("doc_id", "media")
+    val r = Multimodal.planImagePatches(d, "doc_id", "media", patch = 4)
+      .orderBy("id").collect()
+    assert(r(0).getInt(4) == 1 && r(0).getLong(6) == 1L &&
+      r(0).getInt(7) == 3 && r(0).getInt(8) == 3)
+    assert(r(1).getInt(7) == 1 && r(1).getInt(8) == 2)
+    assert(r(2).isNullAt(1) && r(2).isNullAt(6))
+  }
 }
