@@ -71,22 +71,30 @@ object Graft {
     "l2_normalize" -> (exprs =>
       graft.expr.L2Normalize(arity("l2_normalize", 1)(exprs).head)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // optimizer rules for an already-built session (the extensions path
+    // injects them at build time); idempotent across repeated register calls
+    if (!spark.experimental.extraOptimizations.contains(graft.rules.TokenCountRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.rules.TokenCountRewrite
+  }
 }
 
 /** `spark.sql.extensions` installer — same (arity-checked) builders as
   * `Graft.register`.
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Graft.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.expr", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.rules.TokenCountRewrite)
+  }
 }

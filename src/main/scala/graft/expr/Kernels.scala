@@ -126,6 +126,24 @@ object Kernels {
     sig
   }
 
+  /** Space-separated token count, equal by construction to
+    * `size(split(s, " ", -1))`: Spark's split with limit −1 keeps leading,
+    * internal, AND trailing empty strings, so the array size is exactly
+    * (number of single-space separators) + 1 — countable in one byte pass
+    * with zero allocation. ASCII space never appears inside a UTF-8
+    * multi-byte sequence, so the byte scan is code-point safe.
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var cnt = 1
+    while (i < n) {
+      if (s.getByte(i) == ' '.toByte) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** ±1 random projection (Achlioptas, JCSS 2003: sign matrices preserve
     * pairwise distances like Gaussian ones): out_j = Σ_d sign(j,d)·q_d over
     * the floor-quantized vector, with the plan-embedded sign matrix

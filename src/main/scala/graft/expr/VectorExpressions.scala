@@ -142,6 +142,31 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `token_count(text)` → int, equal by construction to
+  * `size(split(text, " ", -1))` — the allocation-free form the
+  * [[graft.rules.TokenCountRewrite]] optimizer rule substitutes: the
+  * split+size composition materializes the full token array per row only
+  * to take its length; this is one byte pass. Codegen'd.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "token_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(Kernels.tokenCount(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.tokenCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `rand_project(emb)` → array<bigint>: ±1 sign-matrix projection of the
   * floor-quantized vector (see [[Kernels.randProject]]) — deterministic
   * dimensionality reduction as a pure codegen'd projection: no shuffle,
