@@ -78,6 +78,21 @@ object Bench {
         (if (medianSpread > 2.0) "  ** CONTENDED RUN — do not snapshot **" else ""))
     }
     val spreadMap = spreads.toMap
+    // Contention canary (VERDICT r14 #3): q62's zero-arg version call does
+    // no data work — clean hosts run it in ~0.02 s, and any inflation is
+    // plan-independent ambient load, 1:1. Emitting its floor (plus the min
+    // across the five cheapest queries) in the parsed summary makes a
+    // contended driver run machine-identifiable, so >2x per-query flags can
+    // be discounted automatically instead of re-litigated every round.
+    val versionFloor = results.collectFirst {
+      case (n, v) if n.startsWith("q62") && v >= 0 => v
+    }.getOrElse(-1.0)
+    // 5th-cheapest (not cheapest): a uniform ~1 s contention floor inflates
+    // it 1:1 and a single lucky query cannot mask it.
+    val cheapFloor5 = {
+      val ok = results.map(_._2).filter(_ >= 0).sorted.take(5)
+      if (ok.isEmpty) -1.0 else ok.last
+    }
     // %f through the f-interpolator is locale-sensitive (comma decimals under
     // de_DE would corrupt the JSON); route all fixed-point formatting through
     // Locale.ROOT (ADVICE r10).
@@ -88,14 +103,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fails = results.count(_._2 < 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""median_rep_spread":${fmt(medianSpread)},"rep_spread":$sp,"sf":"$sfDir"}"""
+      s""""median_rep_spread":${fmt(medianSpread)},"rep_spread":$sp,""" +
+      s""""version_call_floor_sec":${fmt(versionFloor)},"cheap5_floor_sec":${fmt(cheapFloor5)},"sf":"$sfDir"}"""
     println(line)
     // Compact summary as the LAST stdout line: the full artifact line above
     // is ~9 KB and the driver's tail capture truncates it mid-object
     // (BENCH_r04..r10 all parsed null). This one is <200 bytes and carries
     // the headline numbers the driver needs (VERDICT r10 #3).
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""fails":$fails,"median_rep_spread":${fmt(medianSpread)},"sf":"$sfDir"}""")
+      s""""fails":$fails,"median_rep_spread":${fmt(medianSpread)},""" +
+      s""""version_call_floor_sec":${fmt(versionFloor)},"cheap5_floor_sec":${fmt(cheapFloor5)},"sf":"$sfDir"}""")
     // The driver's stdout capture truncates long lines (BENCH_r06 kept only
     // q43+), so the full per-query artifact is also persisted in-repo —
     // every query's number survives the round regardless of stdout limits.

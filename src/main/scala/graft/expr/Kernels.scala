@@ -186,21 +186,32 @@ object Kernels {
     * double multiply + floor, bit-identical to SQL
     * `CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)` — then the squared
     * L2 distance to each centroid is an exact long sum; ties pick the
-    * smaller cid. Packing bounds (enforced by the expression): k <= 256 and
-    * dist < 2^55 — at the default scale 2^20 over 64 dims the worst case is
-    * 64·(2·2^20)^2 = 2^48. A row with a null element or a length mismatch
-    * against every centroid returns packed cid 0 with dist Long.MaxValue>>8
-    * semantics avoided — callers filter nulls upstream (kmeansInt does).
+    * smaller cid. Packing bounds, BOTH enforced (ADVICE r14): k <= 256 by
+    * the expression at construction, and dist < 2^55 by `maxAbsQ` — the
+    * expression derives the largest per-element magnitude B with
+    * dims·(2B)² < 2^55, rejects centroids exceeding it at construction,
+    * and this kernel throws on any row element quantizing past it (the
+    * hitsInt in-plan-guard convention: fail loudly, never corrupt the
+    * packed value). At the default scale 2^20 over 64 dims the worst case
+    * is 64·(2·2^20)^2 = 2^48, far inside the bound. A row whose length
+    * matches NO centroid throws (plan-shape bug, not data); a row with a
+    * null element quantizes it as 0 — callers filter nulls upstream
+    * (kmeansInt does).
     */
   def kmeansAssign(a: ArrayData, centroids: Array[Array[Long]], scale: Long,
-      aFloat: Boolean): Long = {
+      maxAbsQ: Long, aFloat: Boolean): Long = {
     val n = a.numElements
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
       val x = if (a.isNullAt(i)) 0.0
         else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      q(i) = math.floor(x * scale).toLong
+      val v = math.floor(x * scale).toLong
+      if (v > maxAbsQ || v < -maxAbsQ)
+        throw new IllegalArgumentException(
+          s"kmeans_assign: |element| * scale = $v exceeds the 2^55 distance-packing bound " +
+          s"(max $maxAbsQ at these dims) — lower the scale or normalize the embeddings")
+      q(i) = v
       i += 1
     }
     var best = Long.MaxValue
@@ -220,7 +231,9 @@ object Kernels {
       }
       ci += 1
     }
-    if (best == Long.MaxValue) best = 0L
+    if (best == Long.MaxValue)
+      throw new IllegalArgumentException(
+        s"kmeans_assign: row has $n elements but no centroid has that length")
     (best << 8) | bestIdx.toLong
   }
 

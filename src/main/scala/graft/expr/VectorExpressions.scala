@@ -209,6 +209,16 @@ case class KmeansAssign(child: Expression, centroids: Array[Array[Long]], scale:
 
   require(centroids.nonEmpty && centroids.length <= 256,
     "kmeans_assign: need 1..256 centroids (cid packs into 8 bits)")
+  // dist < 2^55 packing bound (ADVICE r14): with every quantized magnitude
+  // <= B, dist <= dims·(2B)² — solve for the largest safe B at these dims.
+  // Centroids are plan constants, checked here; row elements are checked
+  // per-row by the kernel against the same bound.
+  private val maxAbsQ: Long = {
+    val dims = math.max(1, centroids.map(_.length).max)
+    (math.sqrt((1L << 55).toDouble / dims) / 2.0).toLong
+  }
+  require(centroids.forall(_.forall(c => c <= maxAbsQ && c >= -maxAbsQ)),
+    s"kmeans_assign: a centroid element exceeds the 2^55 distance-packing bound (max |q| = $maxAbsQ)")
   override def prettyName: String = "kmeans_assign"
   override def dataType: DataType = LongType
 
@@ -221,11 +231,12 @@ case class KmeansAssign(child: Expression, centroids: Array[Array[Long]], scale:
 
   override def nullSafeEval(v: Any): Any =
     java.lang.Long.valueOf(Kernels.kmeansAssign(
-      v.asInstanceOf[ArrayData], centroids, scale, isFloat))
+      v.asInstanceOf[ArrayData], centroids, scale, maxAbsQ, isFloat))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
-    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.kmeansAssign($c, $cRef, ${scale}L, $isFloat)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.Kernels.kmeansAssign($c, $cRef, ${scale}L, ${maxAbsQ}L, $isFloat)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

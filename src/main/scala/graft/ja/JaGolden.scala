@@ -277,6 +277,24 @@ object JaGolden {
   lazy val heldoutCorpus16: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus16.tsv")
 
+  /** Seventeenth blind held-out set (pre-registered round 14 behind the
+    * registration-time disjointness check, evaluated round 15 BEFORE any
+    * round-15 dictionary/lattice change). First-run 25/40 (62.5%).
+    * Adjudication: 11 lexeme gaps over 12 sentences (きのこ in three),
+    * 4 author amendments (stop-list とき, atomic パン屋 per golden 1440,
+    * deverbal 売り切れ/片付け per golden 593/1303), and the FIRST
+    * lattice-level miss since set 8 — も[Particle]+う[AuxU volitional]
+    * undercut the dictionary adverb もう; the Particle→AuxU hard block
+    * landed (plus the Particle→NounSuffix 300→800 counter fence the 切れ
+    * add exposed), and the stale round-7 "もう dropped" convention was
+    * retired as a misparse artifact (5 pins amended — ipadic classes もう
+    * 副詞 and the reference's default stop set does not contain it). sid
+    * 9's たろう volitional-conjecture reading recorded as a measured
+    * JaHomographs ledger trap. Pinned at 40/40; drives q181.
+    */
+  lazy val heldoutCorpus17: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus17.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -322,6 +340,8 @@ object JaGolden {
     literalTable(heldoutCorpus15.map { case (sid, _, toks) => (sid, toks) })
   def heldout16OracleSql: String =
     literalTable(heldoutCorpus16.map { case (sid, _, toks) => (sid, toks) })
+  def heldout17OracleSql: String =
+    literalTable(heldoutCorpus17.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

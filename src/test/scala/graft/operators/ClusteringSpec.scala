@@ -132,6 +132,62 @@ class ClusteringSpec extends AnyFunSuite {
     assert(r.getLong(4) == 3L)
   }
 
+  test("tripletMine: zero-norm anchor survives with all-null frontiers (ADVICE r14)") {
+    import spark.implicits._
+    // anchor 1 is the zero vector: cosine is null against every corpus row,
+    // so the scored frame has NO rows for it — the left join from the query
+    // frame must still emit the qid with null frontiers (the oracle's LEFT
+    // JOIN shape), not drop it.
+    val emb = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(1f, 0f), 0), (3L, Seq(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("label"))
+    val rows = Similarity.tripletMine(emb, emb.where(col("vec_id") === 1)).collect()
+    assert(rows.length == 1, "degenerate anchor must not be dropped")
+    val r = rows(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("kmeans_assign guards: packing-bound violation and length-mismatch raise (ADVICE r14)") {
+    import spark.implicits._
+    val one = Seq((1L, Seq(3.0e15f, 0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // a failure anywhere in the eval chain (task-wrapped SparkException on a
+    // real scan, bare IllegalArgumentException when the tiny local relation
+    // constant-folds) must carry the guard message
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      sb.toString
+    }
+    // |element|·scale = 3e15·2^20 ≈ 3e21 >> the 2-dim bound: must raise,
+    // not wrap the packed long
+    val overflow = intercept[Exception] {
+      one.select(graft.functions.kmeans_assign(col("embedding"),
+        Array(Array(0L, 0L)), 1L << 20)).collect()
+    }
+    assert(rootMsg(overflow).contains("packing bound"), rootMsg(overflow))
+    // row dims (2) match no centroid (3): plan-shape bug, raise not (0,0)
+    val mismatch = intercept[Exception] {
+      Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .select(graft.functions.kmeans_assign(col("embedding"),
+          Array(Array(0L, 0L, 0L)), 1L << 20)).collect()
+    }
+    assert(rootMsg(mismatch).contains("no centroid"), rootMsg(mismatch))
+    // centroid constants past the bound are rejected at construction
+    val ctor = intercept[IllegalArgumentException] {
+      graft.expr.KmeansAssign(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1.0f),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        Array(Array(Long.MaxValue / 2)), 1L << 20)
+    }
+    assert(ctor.getMessage.contains("packing bound"))
+  }
+
   test("tripletMine: plan has no window — one hash aggregate over the scored scan") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Similarity.tripletMine(corpus, corpus.where(col("vec_id") % 11 === 0))

@@ -196,6 +196,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.sliding(2).forall(p => p(0) <= p(1)), f.toSeq.toString)
   }
 
+  test("kCenterGreedy: k past the sequential-scan cap is rejected (VERDICT r14 #4)") {
+    val vecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(vecs, k = 513)
+    }
+    assert(e.getMessage.contains("sequential corpus scans"))
+  }
+
   test("ngramJaccardPairs hot-shingle cap drops corpus-wide shingles from the representation") {
     // 30 docs sharing one hot 6-gram, each with a unique 7th token: every
     // doc has 2 shingles, one of which (the hot one) appears in all 30

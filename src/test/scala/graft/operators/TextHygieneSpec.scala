@@ -208,6 +208,20 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(r(0).getBoolean(5) && r(1).getBoolean(5))
   }
 
+  test("charDiversityReport: gate threshold is exact at the permille boundary (decimal arithmetic)") {
+    // 'a'·5 + 15 distinct fillers: n=20, coll = 5·4 = 20, rate = 20/380
+    // permille ≈ 52.63. At maxCollPermille=52 the strict > flags it
+    // (20·1000 = 20000 > 52·380 = 19760); at 53 it does not (20140).
+    // Pins the ADVICE-r14 decimal rewrite to the same exact semantics as
+    // the old 64-bit cross-multiply on in-range values.
+    val doc = Seq((1L, "aaaaa" + "bcdefghijklmnop"))
+    val lo = TextAnalysis.charDiversityReport(doc.toDF("doc_id", "text"),
+      "doc_id", "text", maxCollPermille = 52).collect()(0)
+    val hi = TextAnalysis.charDiversityReport(doc.toDF("doc_id", "text"),
+      "doc_id", "text", maxCollPermille = 53).collect()(0)
+    assert(lo.getBoolean(5) && !hi.getBoolean(5))
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
