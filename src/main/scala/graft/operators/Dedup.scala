@@ -774,4 +774,66 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
   }
+
+  /** Exact duplicated-substring spans à la Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * every maximal token range whose EVERY length-`minLen` window occurs
+    * at least twice in the corpus (across documents or repeated within
+    * one — the paper's ExactSubstr criterion at window granularity). This
+    * is the substring-level generalization q108's fixed-stride spanDedup
+    * cannot express: a duplicate at an arbitrary offset shifts across
+    * stride boundaries and escapes fixed spans, but every length-≥minLen
+    * shared run contains ALL of its minLen-windows, so window-hash
+    * duplication finds it at any alignment.
+    *
+    * Algorithm (the distributed k-gram-anchored variant of the paper's
+    * suffix array — candidates-then-merge, never all-pairs):
+    *  1. one explode to token positions; each position's minLen-window is
+    *     fingerprinted md5-of-joined-slice (md5 is native and bit-identical
+    *     in both engines; the slice costs O(minLen) per position — the
+    *     rolling-hash alternative needs wraparound i64 arithmetic DuckDB
+    *     rejects, so oracle parity pins the slice form at test scale);
+    *  2. ONE hash-keyed aggregation counts window occurrences (map-side
+    *     partial combine does the heavy lifting — duplicated windows are
+    *     rare relative to the corpus);
+    *  3. a semi-join keyed on the same hash flags duplicated positions
+    *     (no text rides this shuffle — only (doc_id, pos, 16-byte md5));
+    *  4. gaps-and-islands per document (ONE doc-keyed window exchange):
+    *     flagged windows at p₁ < p₂ merge iff p₂ − p₁ ≤ minLen (their
+    *     ranges overlap or touch), and each island reports its merged
+    *     [span_start, span_end) token range.
+    *
+    * Scale shape: three keyed shuffles total (window hash ×2, doc_id ×1),
+    * state bounded by per-document size in the island stage and by the
+    * duplicated-window count in the flag stage. Returns (doc_id,
+    * span_start, span_end, span_len, n_windows) ordered within doc.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val wins = df
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - minLen)).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(minLen)))).as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2)
+    val flagged = wins.join(dupH, Seq("h"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = flagged
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"), col("n_windows"))
+  }
 }

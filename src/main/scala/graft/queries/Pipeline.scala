@@ -3135,6 +3135,44 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr at
+    * window granularity): maximal merged ranges of corpus-duplicated
+    * 20-token windows — see Dedup.exactSubstringSpans for the three-shuffle
+    * candidates-then-merge shape.
+    */
+  val q182 = Q(
+    "q182_exact_substring_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |w AS (SELECT doc_id, unnest(range(0, len(toks) - 20 + 1)) AS pos, toks
+      |      FROM t WHERE len(toks) >= 20),
+      |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 20), ' ')) AS h
+      |      FROM w),
+      |d AS (SELECT h FROM h GROUP BY h HAVING COUNT(*) >= 2),
+      |f AS (SELECT doc_id, pos FROM h WHERE h IN (SELECT h FROM d)),
+      |i AS (SELECT doc_id, pos,
+      |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM f),
+      |g AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS UNBOUNDED PRECEDING) AS isl
+      |      FROM i),
+      |spans AS (SELECT doc_id,
+      |        CAST(MIN(pos) AS BIGINT) AS span_start,
+      |        CAST(MAX(pos) + 20 AS BIGINT) AS span_end,
+      |        CAST(COUNT(*) AS BIGINT) AS n_windows
+      |      FROM g GROUP BY doc_id, isl)
+      |SELECT doc_id, span_start, span_end,
+      |       span_end - span_start AS span_len, n_windows
+      |FROM spans
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.exactSubstringSpans(
+        graft.queries.Tables.t(s, dir, "documents"), "doc_id", "text", minLen = 20)
+      .orderBy("doc_id", "span_start")
+  }
+
   val q181 = Q("q181_tokenize_ja_heldout17", graft.ja.JaGolden.heldout17OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus17.map { case (sid, sentence, _) => (sid, sentence) })
@@ -3717,5 +3755,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -550,6 +550,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert((r.getInt(1), r.getInt(2), r.getString(3)) == (3, 1, "a b"))
   }
 
+  test("exactSubstringSpans: offset-shifted duplicate found at any alignment, merged maximal") {
+    // docs 1 and 2 share the 6-token run "c d e f g h" at DIFFERENT offsets
+    // (1 vs 3) — fixed-stride spanDedup misses this at spanWords>=2; every
+    // 4-window inside the shared run duplicates, so the merged island spans
+    // exactly the run in each doc. doc 3 shares nothing 4 tokens long.
+    val d = Seq(
+      (1L, "a c d e f g h x y z"),      // run at tokens 1..6 (0-based)
+      (2L, "p q r c d e f g h w v u"),  // run at tokens 3..8
+      (3L, "a c d m f g h t k j"))      // breaks the run; no other 4-window shared
+      .toDF("doc_id", "text")
+    val r = Dedup.exactSubstringSpans(d, "doc_id", "text", minLen = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // windows of len 4 inside "c d e f g h": positions 1,2,3 in doc 1 →
+    // span [1, 7); positions 3,4,5 in doc 2 → span [3, 9)
+    assert(r.toSeq == Seq((1L, 1L, 7L, 6L, 3L), (2L, 3L, 9L, 6L, 3L)))
+  }
+
+  test("exactSubstringSpans: within-document repeat duplicates too; disjoint islands stay split") {
+    // "a b c d" occurs twice inside one document with a unique gap wider
+    // than minLen — two separate spans, each of one window
+    val d = Seq((9L, "a b c d u1 u2 u3 u4 u5 a b c d")).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringSpans(d, "doc_id", "text", minLen = 4)
+      .orderBy("span_start").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(4)))
+    assert(r.toSeq == Seq((0L, 4L, 1L), (9L, 13L, 1L)))
+  }
+
+  test("exactSubstringSpans: plan is candidates-then-merge — no cross join, one doc-keyed window") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.exactSubstringSpans(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"must never go all-pairs:\n$plan")
+    assert(plan.contains("Window"), s"expected the islands window:\n$plan")
+  }
+
   test("fuzzyMatchBlocked: prefix OR suffix block candidates, exact verify, no double-count") {
     val recs = Seq(
       (1L, "jonathan smith"),
