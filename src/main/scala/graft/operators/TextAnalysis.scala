@@ -776,4 +776,85 @@ object TextAnalysis {
             lit(maxCollPermille) * col("n_chars").cast("decimal(38,0)") * (col("n_chars") - 1)) ||
           col("n_distinct") < minDistinct)
   }
+
+  /** Byte-pair-encoding vocabulary induction (Sennrich, Haddow & Birch,
+    * ACL 2016 — the merge-table learner behind every BPE/WordPiece-family
+    * tokenizer): `steps` greedy merges of the most frequent adjacent
+    * symbol pair, ties to the lexicographically smallest pair. Returns the
+    * learned merge table — (step, left, right, merged, pair_count) — which
+    * IS the trained tokenizer artifact.
+    *
+    * Scale shape (the classic BPE factorization): ONE corpus scan builds
+    * the (word, count) table — the only corpus-sized shuffle — and every
+    * merge iteration after that touches ONLY the vocabulary-sized frame:
+    * pair counts are a map-side-combined hash agg over distinct words
+    * weighted by their counts, the argmax is one TakeOrdered(1) single-row
+    * collect per step (the kCenterGreedy bounded-collect convention, k
+    * rows total), and the merge application is a pure projection. At
+    * 100 TB the corpus is read once; iteration cost is independent of
+    * corpus size. localCheckpoint per step truncates the k-deep lineage.
+    *
+    * Exactness: symbols ride a sentinel-spaced string (" c1 c2 … "), so
+    * pair application is standard leftmost non-overlapping `replace` —
+    * bit-identical in Spark and DuckDB and exactly BPE's greedy
+    * left-to-right merge (overlapping pair COUNTS, as in the reference
+    * get_stats, come from the adjacent-pair explode). Counts are integer;
+    * ordering is (count desc, pair asc) — no floats anywhere. Characters
+    * are code points via substr; the synthetic corpus is ASCII so Spark
+    * and DuckDB substr agree (documented caveat for astral-plane text).
+    */
+  def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"bpeMerges: steps must be in [1, 64] (one single-row collect per step), got $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "),
+          expr("array_join(transform(sequence(1, char_length(w)), i -> substr(w, i, 1)), ' ')"),
+          lit(" ")).as("s"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val best = vocab
+        .select(col("cnt"), split(trim(col("s")), " ").as("a"))
+        // single-symbol words contribute no pairs; the filter also dodges
+        // Spark's descending sequence(1, 0) on them (DuckDB's range(1, 1)
+        // is empty, so the oracle needs no guard)
+        .where(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val pc = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((step, l, r, l + r, pc))
+        // Leftmost non-overlapping replace consumes the shared sentinel
+        // space between CONSECUTIVE occurrences (" a b a b " merges only
+        // the first), so apply it twice: pass 1 merges every unblocked
+        // occurrence, leaving the blocked ones isolated between fresh
+        // sentinels; pass 2 catches exactly those. Two passes reproduce
+        // BPE's greedy left-to-right merge on every run length (aaaa →
+        // [aa, aa]; aaa → [aa, a]).
+        def merge1(c: Column): Column =
+          replace(c, lit(" " + pair + " "), lit(" " + l + r + " "))
+        vocab = vocab
+          .withColumn("s", merge1(merge1(col("s"))))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
 }

@@ -222,6 +222,28 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(lo.getBoolean(5) && !hi.getBoolean(5))
   }
 
+  test("bpeMerges: the Sennrich low/lower walk — counts, tie-break, merge application") {
+    // word counts: low x3, lower x2, newest x1. Step 1: (l,o)=5 ties (o,w)=5,
+    // lexicographic pick (l,o); step 2: (lo,w)=5; step 3: (low,e)=2 ties
+    // (e,r)=2, pick (e,r).
+    val d = Seq("low low low", "lower lower", "newest").toDF("text")
+    val r = TextAnalysis.bpeMerges(d, "text", steps = 3).orderBy("step").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1, "l", "o", "lo", 5L), (2, "lo", "w", "low", 5L), (3, "e", "r", "er", 2L)))
+  }
+
+  test("bpeMerges: consecutive pair runs merge greedily left-to-right (two-pass replace)") {
+    // abab x2: (a,b) appears twice per word (overlap-counted like get_stats);
+    // after merging, the CONSECUTIVE occurrences must both apply (the
+    // single-replace bug leaves " ab a b "). aaa: greedy (a,a) -> [aa, a].
+    val d = Seq("abab abab", "aaa").toDF("text")
+    val r = TextAnalysis.bpeMerges(d, "text", steps = 3).orderBy("step").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1, "a", "b", "ab", 4L), (2, "a", "a", "aa", 2L), (3, "ab", "ab", "abab", 2L)))
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
