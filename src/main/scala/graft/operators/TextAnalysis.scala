@@ -804,10 +804,31 @@ object TextAnalysis {
     * and DuckDB substr agree (documented caveat for astral-plane text).
     */
   def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
-    require(steps >= 1 && steps <= 64,
-      s"bpeMerges: steps must be in [1, 64] (one single-row collect per step), got $steps")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeCore(df, textCol, steps)._1.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Corpus token frequencies AFTER `steps` BPE merges — the segmentation
+    * apply step for free: the learner's final vocabulary state already
+    * holds every distinct word's segmented symbol string, so corpus token
+    * frequencies are one vocabulary-sized explode weighted by word counts.
+    * No second corpus scan. Ties order (freq desc, token asc); top `k`.
+    */
+  def bpeVocabFreq(df: DataFrame, textCol: String, steps: Int, k: Int): DataFrame = {
+    require(k >= 1, s"bpeVocabFreq: k must be >= 1, got $k")
+    val (_, vocab) = bpeCore(df, textCol, steps)
+    vocab
+      .select(col("cnt"), explode(split(trim(col("s")), " ")).as("token"))
+      .groupBy("token").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
+
+  private def bpeCore(df: DataFrame, textCol: String, steps: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(steps >= 1 && steps <= 64,
+      s"bpeMerges: steps must be in [1, 64] (one single-row collect per step), got $steps")
     var vocab = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
@@ -855,6 +876,6 @@ object TextAnalysis {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+    (merges.toSeq, vocab)
   }
 }

@@ -3142,6 +3142,19 @@ object Pipeline {
     * counts, (pc DESC, pair ASC) tie-break, two-pass sentinel replace).
     */
   private def bpeOracleSql(steps: Int): String = {
+    s"""${bpeStagesSql(steps)}
+       |SELECT * FROM (${(1 to steps).map { k =>
+      s"""SELECT $k AS step, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
+         |  CAST(pc AS BIGINT) AS pair_count FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")}) ORDER BY step""".stripMargin
+  }
+
+  /** Shared WITH-clause prefix of the q183/q184 oracles: word counts,
+    * char-symbol init, and one MATERIALIZED (pairs → argmax →
+    * double-replace) stage per merge step.
+    */
+  private def bpeStagesSql(steps: Int): String = {
     val stages = (1 to steps).map { k =>
       val prev = s"v${k - 1}"
       s"""p$k AS (SELECT pair, SUM(cnt) AS pc FROM (
@@ -3157,25 +3170,34 @@ object Pipeline {
          |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS s, cnt
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to steps).map { k =>
-      s"""SELECT $k AS step, split_part(pair, ' ', 1) AS lhs,
-         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
-         |  CAST(pc AS BIGINT) AS pair_count FROM b$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
        |v0 AS MATERIALIZED (SELECT ' ' || array_to_string(
        |    list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)),
        |    ' ') || ' ' AS s, cnt FROM w),
-       |$stages
-       |SELECT * FROM ($finals) ORDER BY step""".stripMargin
+       |$stages""".stripMargin
   }
 
   /** BPE vocabulary induction (Sennrich et al. 2016): the learned merge
     * table over the documents corpus — see TextAnalysis.bpeMerges for the
     * one-corpus-scan / vocabulary-sized-iteration shape.
     */
+  /** BPE segmentation apply step for free: the learner's final vocabulary
+    * state already carries every distinct word's segmented symbols, so
+    * corpus token frequencies after 8 merges are one vocabulary-sized
+    * explode weighted by word counts — no second corpus scan.
+    */
+  val q184 = Q(
+    "q184_bpe_vocab_freq",
+    s"""${bpeStagesSql(8)}
+       |SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+       |  SELECT cnt, unnest(string_split(trim(s), ' ')) AS token FROM v8)
+       |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin) { (s, dir) =>
+    graft.operators.TextAnalysis.bpeVocabFreq(
+      graft.queries.Tables.t(s, dir, "documents"), "text", steps = 8, k = 50)
+  }
+
   val q183 = Q("q183_bpe_merges", bpeOracleSql(8)) { (s, dir) =>
     graft.operators.TextAnalysis.bpeMerges(
         graft.queries.Tables.t(s, dir, "documents"), "text", steps = 8)
@@ -3804,5 +3826,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }

@@ -244,6 +244,17 @@ class TextHygieneSpec extends AnyFunSuite {
       (1, "a", "b", "ab", 4L), (2, "a", "a", "aa", 2L), (3, "ab", "ab", "abab", 2L)))
   }
 
+  test("bpeVocabFreq: final vocabulary state yields segmented corpus token frequencies") {
+    // after the 3 merges above: low x5 -> [low]; lower x2 -> [low, er];
+    // newest x1 -> [n, e, w, e, s, t]. freq: low 5, e 2, er 2 (tie broken
+    // token asc), n/s/t/w 1 each.
+    val d = Seq("low low low", "lower lower", "newest").toDF("text")
+    val r = TextAnalysis.bpeVocabFreq(d, "text", steps = 3, k = 7).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(
+      ("low", 5L), ("e", 2L), ("er", 2L), ("n", 1L), ("s", 1L), ("t", 1L), ("w", 1L)))
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
