@@ -793,20 +793,21 @@ object Dedup {
     *     in both engines; the slice costs O(minLen) per position — the
     *     rolling-hash alternative needs wraparound i64 arithmetic DuckDB
     *     rejects, so oracle parity pins the slice form at test scale);
-    *  2. ONE hash-keyed aggregation counts window occurrences (map-side
-    *     partial combine does the heavy lifting — duplicated windows are
-    *     rare relative to the corpus);
-    *  3. a semi-join keyed on the same hash flags duplicated positions
-    *     (no text rides this shuffle — only (doc_id, pos, 16-byte md5));
-    *  4. gaps-and-islands per document (ONE doc-keyed window exchange):
+    *  2. a count window keyed on the fingerprint flags duplicated
+    *     positions in the SAME pass — the first version aggregated dupes
+    *     separately and semi-joined back, which re-computed the corpus
+    *     explode and re-shuffled it (two scans, two hash exchanges); the
+    *     window is one exchange+sort over (doc_id, pos, 16-byte md5) rows
+    *     and nothing else, and no text rides it;
+    *  3. gaps-and-islands per document (ONE doc-keyed window exchange):
     *     flagged windows at p₁ < p₂ merge iff p₂ − p₁ ≤ minLen (their
     *     ranges overlap or touch), and each island reports its merged
     *     [span_start, span_end) token range.
     *
-    * Scale shape: three keyed shuffles total (window hash ×2, doc_id ×1),
-    * state bounded by per-document size in the island stage and by the
-    * duplicated-window count in the flag stage. Returns (doc_id,
-    * span_start, span_end, span_len, n_windows) ordered within doc.
+    * Scale shape: ONE corpus scan and two keyed shuffles total (window
+    * hash, then doc_id over only the flagged survivors), state bounded by
+    * per-document size in the island stage. Returns (doc_id, span_start,
+    * span_end, span_len, n_windows) ordered within doc.
     */
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20): DataFrame = {
@@ -819,8 +820,10 @@ object Dedup {
         col("toks"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(minLen)))).as("h"))
-    val dupH = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2)
-    val flagged = wins.join(dupH, Seq("h"), "left_semi")
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val flagged = wins
+      .withColumn("c", count(lit(1)).over(byH))
+      .where(col("c") >= 2)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val islands = flagged
