@@ -295,6 +295,25 @@ object JaGolden {
   lazy val heldoutCorpus17: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus17.tsv")
 
+  /** Eighteenth blind held-out set (pre-registered round 15 behind the
+    * registration-time disjointness check — which caught and replaced 2
+    * verbatim golden collisions before any evaluation — evaluated round 16
+    * BEFORE any round-16 dictionary/lattice change). First-run 37/40
+    * (92.5%) — the best first run of all 18 sets (previous best 77.5%).
+    * Adjudication: 3 lexeme gaps (投影 sv, 明け方 adv, 白む m-row), 0
+    * author amendments (the first set where every expected line survived
+    * adjudication untouched), and TWO lattice-level findings: the
+    * AdjTerm→Adv fence (+600 — 実は stole 大きい|実|は by 300; an adverb
+    * directly after an i-adjective 基本形 mid-region implies the clause
+    * break punctuation would mark) and the VOnbin→VerbInfl/VerbTerm
+    * grammar fence (+800 — 白ん+でき(→できる)+た exactly tied the correct
+    * 白ん|で|き(→くる)|た at 2200 and won by relaxation order; the voiced
+    * 音便 stem licenses only だ/で, the same contract as VOnbin→Aux).
+    * Both replay-gated green. Pinned at 40/40; drives q186.
+    */
+  lazy val heldoutCorpus18: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus18.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -342,6 +361,8 @@ object JaGolden {
     literalTable(heldoutCorpus16.map { case (sid, _, toks) => (sid, toks) })
   def heldout17OracleSql: String =
     literalTable(heldoutCorpus17.map { case (sid, _, toks) => (sid, toks) })
+  def heldout18OracleSql: String =
+    literalTable(heldoutCorpus18.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -160,6 +160,7 @@ private[ja] object JaCosts {
     // corpus has near-zero counts in these cells and smoothing would
     // replace the engineered margins with mild ones (ADVICE r10).
     (VOnbin, AuxTa), (VOnbin, ParticleBa), (VOnbin, Aux), (VOnbin, Particle),
+    (VOnbin, VerbInfl), (VOnbin, VerbTerm),
     // The ます-paradigm attachment contract is grammar like AuxTa's: the
     // polite auxiliary is 連用形-only, so every non-連用 host cell is an
     // engineered fence a small corpus could never learn (×に+まし was
@@ -227,6 +228,13 @@ private[ja] object JaCosts {
     // the otherwise-exact cost tie with the ichidan homograph's 連用形
     // (強いる→強い), which would read 強い揺れ as ×強いる|揺れる
     set(AdjTerm, Sahen, -300) // 強い+決意: same pattern onto サ変 nouns
+    set(AdjTerm, Adv, 600) // ×大きい+実は: an adverb directly after an
+    // i-adjective 基本形 mid-region implies the clause break punctuation
+    // would mark (regions already split at 。/、, so 寒い。しかし never
+    // crosses this edge) — without the fence the lexicalized adverb 実は
+    // (2400) stole 大きい実は = 大きい|実|は (3000+500−800 = 2700) by 300
+    // (held-out-18 sid 20); at +600 the adnominal noun reading clears by
+    // 300, replay-gated
     set(AdjTerm, VerbInfl, -300) // 強い+揺れ(→揺れる): deverbal-noun use of a
     // 連用形 is the only productive AdjTerm→連用 attachment, and without the
     // cell the ×強いる|揺れる tie stands via VerbInfl→VerbInfl = 0
@@ -285,6 +293,13 @@ private[ja] object JaCosts {
     // voiced-past license (VOnbin→AuxDesu = −800, 読ん+だ)
     set(VOnbin, Particle, -300) // 泳い+で, 読ん+で
     set(VOnbin, AuxTa, 800) // ×読ん+た
+    set(VOnbin, VerbInfl, 800) // ×白ん+でき(→できる): a verb 連用形 can
+    // never directly follow the voiced 音便 stem — only だ/で attach. Unset
+    // (0) the ichidan stem でき rode the hole and 白んできた EXACTLY tied
+    // 白ん|で|き(→くる)|た (2400+600−800 = 2200 both ways), losing the te-form
+    // auxiliary くる by relaxation order (held-out-18 sid 40). Same grammar
+    // fence level as VOnbin→Aux; replay-gated.
+    set(VOnbin, VerbTerm, 800) // ×読ん+くる: same grammar, terminal form
     set(VOnbin, ParticleBa, 400) // mirrors VerbInfl (×連用+ば)
     set(VerbInfl, ParticleBa, 400) // ×連用+ば (使い+ば is ungrammatical)
     set(AdjInfl, ParticleBa, -500) // 高けれ+ば

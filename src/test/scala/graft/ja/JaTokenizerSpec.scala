@@ -244,6 +244,21 @@ class JaTokenizerSpec extends AnyFunSuite {
     assert(t.tokenize("人もいた。").toSeq == Seq("人"))
   }
 
+  test("VOnbin→VerbInfl fence: でき may not ride the voiced 音便 stem — 白んできた keeps the te-form くる (held-out-18 sid 40)") {
+    val t = new JaTokenizer()
+    // 白ん+でき(→できる)+た exactly tied 白ん|で|き(→くる)|た before the fence
+    assert(t.tokenize("東の空が白んできた。").toSeq == Seq("東", "空", "白む", "くる"))
+    // the legitimate できる readings are untouched (で is a particle host, not VOnbin)
+    assert(t.tokenize("予約ができた。").toSeq == Seq("予約"))
+  }
+
+  test("AdjTerm→Adv fence: the lexicalized adverb 実は may not steal 実+は after an adnominal adjective (held-out-18 sid 20)") {
+    val t = new JaTokenizer()
+    assert(t.tokenize("大きい実は奥の列にあった。").toSeq == Seq("大きい", "実", "奥", "列"))
+    // sentence-initial / particle-hosted 実は stays the adverb
+    assert(t.tokenize("実は昨日行った。").toSeq == Seq("実は", "昨日", "行く"))
+  }
+
   test("particle pair や+って no longer beats the verb reading やっ(→やる)+て (held-out-8 sid 4)") {
     val t = new JaTokenizer()
     assert(t.tokenize("機械がやってくれる。").toSeq == Seq("機械", "やる", "くれる"))
