@@ -8,7 +8,7 @@ object BaseAudit {
   def main(args: Array[String]): Unit = {
     val known = graft.ja.JaDictionary.embeddedEntries
       .flatMap(e => Seq(e.surface, e.base).filter(_.nonEmpty)).toSet
-    val w = new java.io.PrintWriter(args(0), "UTF-8")
+    val w = new java.io.PrintWriter(OutPath.checked(args(0)), "UTF-8")
     scala.io.Source.fromFile(args(1), "UTF-8").getLines()
       .flatMap(_.split("\\s+")).filter(_.nonEmpty)
       .filterNot(known.contains).foreach(w.println)

@@ -13,7 +13,7 @@ object KatAudit {
   def main(args: Array[String]): Unit = {
     val tok = new graft.ja.JaTokenizer()
     val surfaces = graft.ja.JaDictionary.embeddedEntries.map(_.surface).toSet
-    val w = new java.io.PrintWriter(args(0), "UTF-8")
+    val w = new java.io.PrintWriter(OutPath.checked(args(0)), "UTF-8")
     scala.io.Source.fromFile(args(1), "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).foreach { run =>
         val kind =

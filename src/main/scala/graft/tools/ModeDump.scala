@@ -9,7 +9,7 @@ import graft.ja.{JaGolden, JaMode, JaTokenizer}
 object ModeDump {
   def main(args: Array[String]): Unit = {
     val outPath = if (args.nonEmpty) args(0) else "/tmp/modedump.tsv"
-    val w = new java.io.PrintWriter(outPath, "UTF-8")
+    val w = new java.io.PrintWriter(OutPath.checked(outPath), "UTF-8")
     val normal = new JaTokenizer()
     val search = new JaTokenizer(mode = JaMode.Search)
     val ext = new JaTokenizer(mode = JaMode.Extended)

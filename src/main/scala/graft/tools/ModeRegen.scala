@@ -13,8 +13,8 @@ object ModeRegen {
   def main(args: Array[String]): Unit = {
     val search = new JaTokenizer(JaMode.Search)
     val ext = new JaTokenizer(JaMode.Extended)
-    val diff = new java.io.PrintWriter(args(1), "UTF-8")
-    val out = new java.io.PrintWriter(args(2), "UTF-8")
+    val diff = new java.io.PrintWriter(OutPath.checked(args(1)), "UTF-8")
+    val out = new java.io.PrintWriter(OutPath.checked(args(2)), "UTF-8")
     var changed = 0
     scala.io.Source.fromFile(args(0), "UTF-8").getLines().foreach { line =>
       if (line.startsWith("#") || line.trim.isEmpty || line.split("\t").length != 4)

@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object PathDump {
   def main(args: Array[String]): Unit = {
-    val w = new java.io.PrintWriter(args(0), "UTF-8")
+    val w = new java.io.PrintWriter(OutPath.checked(args(0)), "UTF-8")
     val tok = new JaTokenizer(JaMode.Normal)
     scala.io.Source.fromFile(args(1), "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).foreach { sent =>

@@ -9,7 +9,7 @@ object TokOut {
   def main(args: Array[String]): Unit = {
     val tok = new graft.ja.JaTokenizer()
     val out = new java.io.PrintWriter(
-      args.lift(1).getOrElse("target/tokout.txt"), "UTF-8")
+      OutPath.checked(args.lift(1).getOrElse("target/tokout.txt")), "UTF-8")
     scala.io.Source.fromFile(args(0), "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).foreach { s =>
         out.println(s + "\t" + tok.tokenize(s).mkString("|"))
