@@ -215,7 +215,13 @@ case class KmeansAssign(child: Expression, centroids: Array[Array[Long]], scale:
   // per-row by the kernel against the same bound.
   private val maxAbsQ: Long = {
     val dims = math.max(1, centroids.map(_.length).max)
-    (math.sqrt((1L << 55).toDouble / dims) / 2.0).toLong
+    var b = (math.sqrt((1L << 55).toDouble / dims) / 2.0).toLong
+    // strict bound (ADVICE r15): when 2^55/dims is a perfect even square
+    // (dims = 2, 8, 32, 128, …) the floor lands exactly on equality and
+    // dist == 2^55 overflows (best << 8) into the sign bit — decrement
+    // until dims·(2B)² < 2^55 (at most one step)
+    while (b > 0 && dims.toLong * (2 * b) * (2 * b) >= (1L << 55)) b -= 1
+    b
   }
   require(centroids.forall(_.forall(c => c <= maxAbsQ && c >= -maxAbsQ)),
     s"kmeans_assign: a centroid element exceeds the 2^55 distance-packing bound (max |q| = $maxAbsQ)")

@@ -777,9 +777,15 @@ object Dedup {
 
   /** Exact duplicated-substring spans à la Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499):
-    * every maximal token range whose EVERY length-`minLen` window occurs
-    * at least twice in the corpus (across documents or repeated within
-    * one — the paper's ExactSubstr criterion at window granularity). This
+    * each output span is the union of duplicated length-`minLen` windows
+    * whose [p, p+minLen) ranges overlap or touch (flagged positions merge
+    * iff p₂ − p₁ ≤ minLen) — the token ranges ExactSubstr removal would
+    * cut, where a window is "duplicated" when it occurs at least twice in
+    * the corpus (across documents or repeated within one). A merged span
+    * may contain interior windows that are NOT themselves duplicated
+    * (ADVICE r15: flagged at p and p+minLen with unique windows between
+    * merges into one range) — that is deliberate: the span covers the
+    * union of the duplicated ranges, not an every-window invariant. This
     * is the substring-level generalization q108's fixed-stride spanDedup
     * cannot express: a duplicate at an arbitrary offset shifts across
     * stride boundaries and escapes fixed spans, but every length-≥minLen
