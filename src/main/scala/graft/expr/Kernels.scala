@@ -166,6 +166,54 @@ object Kernels {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Row-level BPE apply (the inference half of the q183 learner — VERDICT
+    * r15 #3): segment every word of a space-separated text through an
+    * ordered merge table. Each word starts as its sentinel-spaced
+    * code-point form " c h a r s "; each merge (l, r) is the SAME
+    * leftmost-non-overlapping double-replace the learner uses on its
+    * vocabulary (" l r " → " lr ", applied twice — pass 1 merges every
+    * unblocked occurrence of consecutive runs, pass 2 the isolated blocked
+    * ones), so segmenting a word the learner saw reproduces its vocabulary
+    * state exactly, and a NEW word walks the identical merge chain. Output:
+    * the symbol sequence across words in order (word boundaries dissolved).
+    * O(merges × len) per row; merges ride the plan as constants — a pure
+    * codegen projection, zero shuffle at any corpus size.
+    */
+  def bpeSegment(s: UTF8String, patterns: Array[String], replacements: Array[String])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val sb = new java.lang.StringBuilder(w.length * 2 + 2)
+        sb.append(' ')
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          sb.appendCodePoint(cp).append(' ')
+          ci += Character.charCount(cp)
+        }
+        var form = sb.toString
+        var mi = 0
+        while (mi < patterns.length) {
+          form = form.replace(patterns(mi), replacements(mi))
+          form = form.replace(patterns(mi), replacements(mi))
+          mi += 1
+        }
+        val syms = form.split(" ", -1)
+        var si = 0
+        while (si < syms.length) {
+          if (syms(si).nonEmpty) out += UTF8String.fromString(syms(si))
+          si += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** SimHash signature over the space-separated token multiset, one char
     * pass per row (no explode/aggregate): bit b of the result is set iff
     * Σ_tokens (±1 by bit b of polyHash(token)) > 0. Token boundaries follow

@@ -71,6 +71,13 @@ object functions {
   def rolling_window_hashes(text: Column, win: Int): Column =
     toCol(graft.expr.RollingWindowHashes(toExpr(text), win))
 
+  /** Row-level BPE segmentation through a plan-embedded ordered merge
+    * table (codegen'd; see graft.expr.BpeSegment) — the apply half of
+    * operators.TextAnalysis.bpeMerges.
+    */
+  def bpe_segment(text: Column, merges: Array[Array[String]]): Column =
+    toCol(graft.expr.BpeSegment(toExpr(text), merges))
+
   /** Per-row SimHash signature of a space-separated text (codegen'd fused
     * split+hash+vote; see graft.expr.SimHash64). A pure projection — the
     * scale-safe replacement for explode + per-bit sum aggregation.

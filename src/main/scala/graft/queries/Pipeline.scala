@@ -3198,6 +3198,49 @@ object Pipeline {
       graft.queries.Tables.t(s, dir, "documents"), "text", steps = 8, k = 50)
   }
 
+  /** Row-level BPE apply (the inference half of the tokenizer-training
+    * story — VERDICT r15 #3): merges learned on the documents corpus
+    * (q183's exact walk, an 8-row bounded collect) are applied to
+    * genuinely NEW text (part names never seen by the learner) through the
+    * plan-embedded codegen expression graft.expr.BpeSegment — a pure
+    * projection, zero shuffle at any corpus size. The oracle re-derives
+    * every merge pick in SQL (the q183 stages) and then replays the same
+    * double-replace chain per part name, so both the learned table AND the
+    * apply semantics are independently verified.
+    */
+  val q187 = Q(
+    "q187_bpe_segment_apply",
+    s"""${bpeStagesSql(8)},
+       |a0 AS (SELECT p_partkey AS id, ' ' || array_to_string(list_transform(
+       |    list_filter(string_split(p_name, ' '), w -> length(w) > 0),
+       |    w -> array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)), ' ')),
+       |  '  ') || ' ' AS s FROM part),
+       |${(1 to 8).map { k =>
+      s"""a$k AS (SELECT id, replace(replace(s,
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' '),
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS s
+         |  FROM a${k - 1})""".stripMargin
+    }.mkString(",\n")},
+       |syms AS (SELECT id, list_filter(string_split(trim(s), ' '),
+       |           x -> length(x) > 0) AS a FROM a8)
+       |SELECT CAST(id AS BIGINT) AS id, CAST(len(a) AS BIGINT) AS n_syms,
+       |       array_to_string(list_slice(a, 1, 12), '|') AS prefix
+       |FROM syms ORDER BY id""".stripMargin) { (s, dir) =>
+    val merges = graft.operators.TextAnalysis.bpeMerges(
+        graft.queries.Tables.t(s, dir, "documents"), "text", steps = 8)
+      .orderBy("step").collect()
+      .map(r => Array(r.getString(1), r.getString(2))) // bounded: exactly 8 rows
+    graft.queries.Tables.t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("id"),
+        graft.functions.bpe_segment(col("p_name"), merges).as("syms"))
+      .select(col("id"), size(col("syms")).cast("long").as("n_syms"),
+        concat_ws("|", slice(col("syms"), 1, 12)).as("prefix"))
+      .orderBy("id")
+  }
+
   val q183 = Q("q183_bpe_merges", bpeOracleSql(8)) { (s, dir) =>
     graft.operators.TextAnalysis.bpeMerges(
         graft.queries.Tables.t(s, dir, "documents"), "text", steps = 8)
@@ -3852,5 +3895,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
 }

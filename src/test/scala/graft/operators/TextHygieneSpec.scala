@@ -255,6 +255,30 @@ class TextHygieneSpec extends AnyFunSuite {
       ("low", 5L), ("e", 2L), ("er", 2L), ("n", 1L), ("s", 1L), ("t", 1L), ("w", 1L)))
   }
 
+  test("bpe_segment: applying the learned table reproduces the learner's vocabulary state and segments new words consistently") {
+    val d = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = TextAnalysis.bpeMerges(d, "text", steps = 3).orderBy("step").collect()
+      .map(r => Array(r.getString(1), r.getString(2)))
+    def seg(t: String): Seq[String] =
+      Seq(t).toDF("t").select(graft.functions.bpe_segment(org.apache.spark.sql.functions.col("t"), merges))
+        .head().getSeq[String](0)
+    // training words reproduce the learner's final state (merges l+o, lo+w, e+r)
+    assert(seg("low") == Seq("low"))
+    assert(seg("lower") == Seq("low", "er"))
+    assert(seg("newest") == Seq("n", "e", "w", "e", "s", "t"))
+    // a NEW word walks the same chain: "slower" -> s + low + er
+    assert(seg("slower") == Seq("s", "low", "er"))
+    // multi-word text concatenates per-word segmentations in order; extra
+    // spaces contribute nothing
+    assert(seg("lower  slow") == Seq("low", "er", "s", "low"))
+    assert(seg("") == Seq())
+    // greedy two-pass semantics through the apply path: with merge (a,a),
+    // aaa -> [aa, a] (left-to-right, non-overlapping)
+    val aa = Array(Array("a", "a"))
+    assert(Seq("aaa").toDF("t").select(graft.functions.bpe_segment(org.apache.spark.sql.functions.col("t"), aa))
+      .head().getSeq[String](0) == Seq("aa", "a"))
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
