@@ -94,6 +94,9 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.rules.TokenCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.rules.TokenCountRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.rules.TokenizeOnceRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.rules.TokenizeOnceRewrite
   }
 }
 
@@ -109,5 +112,6 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.rules.TokenCountRewrite)
+    ext.injectOptimizerRule(_ => graft.rules.TokenizeOnceRewrite)
   }
 }

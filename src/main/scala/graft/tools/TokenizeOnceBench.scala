@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the TokenizeOnceRewrite win on the hazard shape — one select
+  * feeding the SAME tokenize call to both explode and a scalar consumer:
+  * without the rule the projection copy re-runs the Viterbi lattice once
+  * per exploded token; with it, once per document. Same protocol as
+  * RuleBench (cached input, 5 reps, rule appended between phases).
+  */
+object TokenizeOnceBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.register(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.rules.TokenizeOnceRewrite)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    docs.count()
+
+    def run(label: String): Unit = (1 to 5).foreach { i =>
+      val t0 = System.nanoTime()
+      val r = docs.select(
+          explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"),
+          size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+        .collect()(0)
+      println(f"[tokonce] $label run$i ${(System.nanoTime() - t0) / 1e6}%.1f ms (c=${r.getLong(0)} s=${r.getLong(1)})")
+    }
+    run("baseline ")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.rules.TokenizeOnceRewrite
+    run("rewritten")
+    spark.stop()
+  }
+}

