@@ -71,6 +71,14 @@ object functions {
   def rolling_window_hashes(text: Column, win: Int): Column =
     toCol(graft.expr.RollingWindowHashes(toExpr(text), win))
 
+  /** Sorted distinct blocklist patterns occurring in `text` — one
+    * Aho–Corasick pass regardless of pattern-list size (codegen'd; see
+    * graft.expr.AcMatch). The curation blocklist scan: O(n + matches) per
+    * row vs O(P·n) for P separate contains calls.
+    */
+  def ac_match(text: Column, patterns: Array[String]): Column =
+    toCol(graft.expr.AcMatch(toExpr(text), patterns))
+
   /** Row-level BPE segmentation through a plan-embedded ordered merge
     * table (codegen'd; see graft.expr.BpeSegment) — the apply half of
     * operators.TextAnalysis.bpeMerges.

@@ -852,4 +852,39 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"), col("n_windows"))
   }
+
+  /** The removal half of the Lee et al. 2022 ExactSubstr pipeline: cut
+    * every duplicated span [[exactSubstringSpans]] finds (BOTH copies, the
+    * paper's criterion) out of each document and reassemble the survivors.
+    *
+    * Shape: the span frame is duplicate-sized (small — only flagged
+    * ranges), aggregated doc-keyed into per-document span lists (bounded
+    * by tokens/minLen per doc), then ONE equi-join back onto the corpus
+    * and a pure lambda projection: `filter(toks, (t, i) -> no span covers
+    * i)` iterates the token ARRAY with its index (the HOF house rule —
+    * `spans` is an attribute, so the inner `exists` scans a small
+    * materialized list per token, not a recomputed expression). Documents
+    * without spans keep their text byte-identical (left join, null spans
+    * short-circuit). Returns (doc_id, n_toks, n_removed, text_dedup)
+    * ordered within doc.
+    */
+  def exactSubstringRemove(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20): DataFrame = {
+    val spanLists = exactSubstringSpans(df, idCol, textCol, minLen)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(spanLists, Seq("doc_id"), "left")
+      // two-step select so `kept` materializes once (the alias stays an
+      // attribute under the outer projection — no double filter pass)
+      .select(col("doc_id"), size(toks).cast("long").as("n_toks"),
+        when(col("spans").isNull, toks).otherwise(
+          filter(toks, (t, i) =>
+            !exists(col("spans"), sp => i >= sp("s") && i < sp("e"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_dedup"))
+  }
 }

@@ -3249,6 +3249,87 @@ object Pipeline {
       .orderBy("step")
   }
 
+  /** Blocklist term scan (the curation gate shape): which blocked terms
+    * appear in each document, via ONE Aho–Corasick pass over the text
+    * regardless of list size (graft.expr.AcMatch — plan-embedded automaton,
+    * pure codegen projection, zero shuffle). The pattern list deliberately
+    * contains overlapping entries (scan/can/an s) so the failure links and
+    * output-set propagation are exercised under the oracle gate; the DuckDB
+    * oracle mirrors with per-pattern contains.
+    */
+  val q189 = {
+    val patterns = Array("scan", "can", "an s", "slow fast", "table part",
+      "spark", "agg row", "value tab", "windows", "merge batch", "big table",
+      "a a the")
+    val lit = patterns.map(p => s"'${p}'").mkString("[", ", ", "]")
+    Q(
+      "q189_blocklist_ac_match",
+      s"""SELECT doc_id, CAST(len(m) AS BIGINT) AS n_matched,
+         |       COALESCE(array_to_string(m, '|'), '') AS matched
+         |FROM (SELECT doc_id,
+         |        list_sort(list_filter($lit, p -> contains(text, p))) AS m
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.queries.Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.ac_match(col("text"), patterns).as("m"))
+        .select(col("doc_id"), size(col("m")).cast("long").as("n_matched"),
+          concat_ws("|", col("m")).as("matched"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** The removal half of ExactSubstr (Lee et al. 2022): every duplicated
+    * span q182 finds is cut from its document (both copies, the paper's
+    * criterion) and the survivors reassembled — one duplicate-sized
+    * span-list aggregation, one doc-keyed equi-join, one lambda
+    * projection; see Dedup.exactSubstringRemove.
+    */
+  val q188 = Q(
+    "q188_exact_substring_remove",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |w AS (SELECT doc_id, unnest(range(0, len(toks) - 20 + 1)) AS pos, toks
+      |      FROM t WHERE len(toks) >= 20),
+      |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 20), ' ')) AS h
+      |      FROM w),
+      |d AS (SELECT h FROM h GROUP BY h HAVING COUNT(*) >= 2),
+      |f AS (SELECT doc_id, pos FROM h WHERE h IN (SELECT h FROM d)),
+      |i AS (SELECT doc_id, pos,
+      |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM f),
+      |g AS (SELECT doc_id, pos,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS UNBOUNDED PRECEDING) AS isl
+      |      FROM i),
+      |spans AS (SELECT doc_id,
+      |        CAST(MIN(pos) AS BIGINT) AS span_start,
+      |        CAST(MAX(pos) + 20 AS BIGINT) AS span_end
+      |      FROM g GROUP BY doc_id, isl),
+      |tokpos AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |        generate_subscripts(string_split(text, ' '), 1) AS p1
+      |      FROM documents),
+      |removed AS (SELECT DISTINCT t.doc_id, t.p1
+      |      FROM tokpos t JOIN spans s
+      |        ON t.doc_id = s.doc_id
+      |       AND t.p1 - 1 >= s.span_start AND t.p1 - 1 < s.span_end),
+      |keptagg AS (SELECT t.doc_id,
+      |        CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |        CAST(COUNT(*) FILTER (WHERE r.p1 IS NULL) AS BIGINT) AS n_kept,
+      |        string_agg(CASE WHEN r.p1 IS NULL THEN t.tok END, ' ' ORDER BY t.p1) AS text_kept
+      |      FROM tokpos t LEFT JOIN removed r
+      |        ON t.doc_id = r.doc_id AND t.p1 = r.p1
+      |      GROUP BY t.doc_id)
+      |SELECT doc_id, n_toks, n_toks - n_kept AS n_removed,
+      |       COALESCE(text_kept, '') AS text_dedup
+      |FROM keptagg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.exactSubstringRemove(
+        graft.queries.Tables.t(s, dir, "documents"), "doc_id", "text", minLen = 20)
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr at
     * window granularity): maximal merged ranges of corpus-duplicated
     * 20-token windows — see Dedup.exactSubstringSpans for the three-shuffle
@@ -3895,5 +3976,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.AcAutomaton
+
+/** Aho–Corasick blocklist scan: automaton output must equal the naive
+  * per-pattern contains result on every adversarial shape — suffix
+  * overlaps (failure links), output-set propagation (a pattern that is a
+  * proper suffix of another's prefix path), repeats, and multi-byte text.
+  */
+class AcMatchSpec extends AnyFunSuite {
+
+  private def naive(patterns: Array[String], s: String): Seq[String] =
+    patterns.filter(s.contains(_)).sorted.toSeq
+
+  private def ac(patterns: Array[String], s: String): Seq[String] = {
+    val a = new AcAutomaton(patterns)
+    a.scan(s).map(patterns(_)).sorted.toSeq
+  }
+
+  test("failure links: suffix-overlapping patterns all fire from one pass") {
+    val ps = Array("scan", "can", "an s", "n sc")
+    val s = "a scan scans"
+    assert(ac(ps, s) == naive(ps, s))
+    assert(ac(ps, s) == Seq("an s", "can", "n sc", "scan"))
+  }
+
+  test("output propagation: a pattern ending mid-path of another is still reported") {
+    // "he" ends inside the path of "hers"; "she" -> failure into "he" node
+    val ps = Array("he", "she", "his", "hers")
+    assert(ac(ps, "ushers") == naive(ps, "ushers"))
+    assert(ac(ps, "ushers") == Seq("he", "hers", "she"))
+    assert(ac(ps, "this") == Seq("his"))
+  }
+
+  test("randomized parity with naive contains over a small alphabet") {
+    val rng = new scala.util.Random(42)
+    val patterns = (1 to 20).map(_ =>
+      (1 to (1 + rng.nextInt(4))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      .distinct.toArray
+    (1 to 200).foreach { _ =>
+      val s = (1 to (5 + rng.nextInt(40))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      assert(ac(patterns, s) == naive(patterns, s), s"text '$s'")
+    }
+  }
+
+  test("multi-byte text and patterns; empty text matches nothing") {
+    val ps = Array("寿司", "司屋", "った")
+    assert(ac(ps, "駅前の寿司屋に行った") == Seq("った", "司屋", "寿司"))
+    assert(ac(ps, "") == Seq())
+  }
+
+  test("construction rejects empty and duplicate patterns") {
+    intercept[IllegalArgumentException](new AcAutomaton(Array[String]()))
+    intercept[IllegalArgumentException](new AcAutomaton(Array("a", "")))
+    intercept[IllegalArgumentException](new AcAutomaton(Array("a", "a")))
+  }
+
+  test("Spark column path: ac_match equals the filter-of-contains composition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ps = Array("table part", "scan", "can", "windows")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaAc = docs.select(col("doc_id"),
+        concat_ws("|", graft.functions.ac_match(col("text"), ps)).as("m"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaContains = docs.select(col("doc_id"),
+        concat_ws("|", sort_array(filter(
+          typedLit(ps.toSeq), p => col("text").contains(p)))).as("m"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaAc == viaContains && viaAc.nonEmpty)
+    assert(viaAc.exists(_._2.nonEmpty), "expected at least one match in sf0.001 docs")
+  }
+}

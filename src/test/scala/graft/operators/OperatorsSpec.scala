@@ -578,6 +578,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((0L, 4L, 1L), (9L, 13L, 1L)))
   }
 
+  test("exactSubstringRemove: both copies of a duplicated run are cut, surrounding text survives byte-identical") {
+    val d = Seq(
+      (1L, "a c d e f g h x y z"),      // shared run "c d e f g h" at tokens 1..6
+      (2L, "p q r c d e f g h w v u"),  // same run at tokens 3..8
+      (3L, "a c d m f g h t k j"))      // no duplicated 4-window
+      .toDF("doc_id", "text")
+    val r = Dedup.exactSubstringRemove(d, "doc_id", "text", minLen = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 10L, 6L, "a x y z"),         // span [1,7) removed
+      (2L, 12L, 6L, "p q r w v u"),     // span [3,9) removed
+      (3L, 10L, 0L, "a c d m f g h t k j"))) // untouched, byte-identical
+  }
+
+  test("exactSubstringRemove: a fully-duplicated document empties to ''") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringRemove(d, "doc_id", "text", minLen = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq((4L, 4L, ""), (4L, 4L, "")))
+  }
+
   test("exactSubstringSpans: plan is candidates-then-merge — no cross join, one doc-keyed window") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dedup.exactSubstringSpans(d, "doc_id", "text")
