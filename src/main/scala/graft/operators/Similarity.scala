@@ -18,6 +18,37 @@ import graft.functions.cosine_sim
   */
 object Similarity {
 
+  /** Truncated-embedding recall@k — the dimension-reduction decision tool
+    * (the Matryoshka question: "how much top-k fidelity survives keeping
+    * only the first `dims` of `fullDims` dimensions?"). For each query,
+    * the exact cosine top-k under the full vectors is compared with the
+    * top-k under prefix-truncated vectors (cosine is scale-invariant, so
+    * truncation needs no renormalization for RANKING purposes), and the
+    * per-query overlap count is reported — an integer, so the whole
+    * evaluation sits on the exact-hash oracle gate; only the two ranking
+    * windows use floats, with nid tie-breaks.
+    *
+    * Scale shape: two broadcast-query corpus scans (full + truncated
+    * scoring — each the shuffle-free cosineTopK shape), then a
+    * (qid, nid)-keyed join over two k·|queries|-row frames and one
+    * |queries|-sized aggregation. Queries with zero overlap surface with
+    * n_overlap = 0 (left join from the query list).
+    */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int): DataFrame = {
+    require(k >= 1 && dims >= 1, s"truncatedRecall: k and dims must be >= 1, got k=$k dims=$dims")
+    val full = cosineTopK(corpus, queries, k).select(col("qid"), col("nid"))
+    val trunc = cosineTopK(
+      corpus.withColumn("embedding", slice(col("embedding"), 1, dims)),
+      queries.withColumn("embedding", slice(col("embedding"), 1, dims)),
+      k).select(col("qid"), col("nid"))
+    val overlap = full.join(trunc, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    queries.select(col("vec_id").as("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"),
+        lit(k.toLong).as("k"))
+  }
+
   /** Exact cosine top-k neighbors for each query vector (self excluded).
     * Output: qid, nid, label, cos — deterministic (ties broken by nid).
     */

@@ -35,6 +35,14 @@ object Pipeline {
        |sizes AS (SELECT doc_id, COUNT(*) n FROM hs GROUP BY doc_id)""".stripMargin
 
   /** Ordered-reduce cosine (matches graft.expr.CosineSimilarity exactly). */
+  /** cosSql over only the first `dims` dimensions (the q190 truncation). */
+  private def cosSqlDims(a: String, b: String, dims: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, ${dims + 1}), k -> " +
+        s"CAST($x[k] AS DOUBLE) * CAST($y[k] AS DOUBLE)), (u, v) -> u + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_transform(range(1, 65), k -> " +
@@ -204,6 +212,37 @@ object Pipeline {
   }
 
   // ---- similarity search family ----
+
+  /** Truncated-embedding recall@10: how much exact-top-k fidelity survives
+    * keeping only the first 16 of 64 dims — the Matryoshka-style
+    * dimension-reduction decision measured as per-query integer overlap
+    * (Similarity.truncatedRecall; two shuffle-free broadcast scans + one
+    * tiny keyed join, so the evaluation scales like two q34s).
+    */
+  val q190 = Q(
+    "q190_truncated_recall",
+    s"""WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id nid, embedding ce FROM embeddings),
+       |scf AS (SELECT qid, nid, ${cosSql("qe", "ce")} AS cos
+       |        FROM c CROSS JOIN q WHERE nid <> qid),
+       |topf AS (SELECT qid, nid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM scf)
+       |  WHERE rn <= 10),
+       |sct AS (SELECT qid, nid, ${cosSqlDims("qe", "ce", 16)} AS cos
+       |        FROM c CROSS JOIN q WHERE nid <> qid),
+       |topt AS (SELECT qid, nid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM sct)
+       |  WHERE rn <= 10),
+       |ov AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |       FROM topf JOIN topt USING (qid, nid) GROUP BY qid)
+       |SELECT q.qid AS qid, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       CAST(10 AS BIGINT) AS k
+       |FROM q LEFT JOIN ov ON q.qid = ov.qid ORDER BY q.qid""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val emb = t(s, dir, "embeddings")
+    Similarity.truncatedRecall(emb, emb.where(col("vec_id") % 100 === 0), k = 10, dims = 16)
+      .orderBy("qid")
+  }
 
   val q34 = Q(
     "q34_embed_topk",
@@ -3976,5 +4015,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

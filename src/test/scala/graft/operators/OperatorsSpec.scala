@@ -277,6 +277,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == Seq(1L, 2L, 3L)) // cos: ~0.993, 0, -1
   }
 
+  test("truncatedRecall: overlap counted per query; a neighbor living only in the cut dims is lost") {
+    // query 0 = (1, 0, 0, 10). Full 4-dim top-2: id 1 (identical direction,
+    // cos 1) then id 2; truncated to 2 dims, id 1's prefix (0.1, 0) still
+    // aligns but id 3 (1, 0, 0, -10) becomes IDENTICAL to the query prefix
+    // and displaces id 2 — overlap drops to 1.
+    val vs = Seq(
+      (0L, Seq(1f, 0f, 0f, 10f), "q"),
+      (1L, Seq(0.1f, 0f, 0f, 1f), "a"),   // same direction as q: full cos 1
+      (2L, Seq(1f, 0.2f, 0f, 9f), "b"),   // close in full space
+      (3L, Seq(1f, 0f, 0f, -10f), "c"))   // opposite in dim 4, identical prefix
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.truncatedRecall(vs, vs.where($"vec_id" === 0), k = 2, dims = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 1L, 2L)), s"got $r") // only one of the true top-2 survives
+    // sanity: truncating to the full width loses nothing
+    val full = Similarity.truncatedRecall(vs, vs.where($"vec_id" === 0), k = 2, dims = 4)
+      .collect().map(x => x.getLong(1)).toSeq
+    assert(full == Seq(2L))
+  }
+
   test("embeddingNearDupPairs finds the near pair when tables fit the dim") {
     val r = Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 1, numTables = 3, dim = 3)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
