@@ -878,4 +878,35 @@ object TextAnalysis {
     }
     (merges.toSeq, vocab)
   }
+
+  /** Adaptive per-source token floor: gate each document against its OWN
+    * source's lower-quartile token count instead of one global constant —
+    * the curation pattern for mixed-source corpora where a fixed floor
+    * over-prunes terse sources and under-prunes verbose ones. The
+    * threshold is the EXACT order statistic at rank 1 + (n−1)·q (no
+    * interpolation — an integer token count from a real document, so the
+    * whole gate sits on the exact-hash oracle: ties broken by doc_id).
+    *
+    * Shape: one source-keyed ranking window + one source-sized threshold
+    * frame joined back (broadcast at any real source count) — two
+    * exchanges total, no skew risk beyond the source key itself. q is
+    * fourths to stay integer-exact (1 = lower quartile, 2 = median).
+    */
+  def adaptiveTokenFloor(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, quarter: Int = 1): DataFrame = {
+    require(quarter >= 1 && quarter <= 3, s"quarter must be 1..3, got $quarter")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("source"),
+      size(split(col(textCol), " ")).cast("long").as("n_toks"))
+    val w = Window.partitionBy("source").orderBy(col("n_toks").asc, col("doc_id").asc)
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+    val floors = ranked
+      .where(col("rn") === lit(1) + expr(s"((cnt - 1) * $quarter) div 4"))
+      .select(col("source"), col("n_toks").as("floor_toks"))
+    base.join(floors, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("floor_toks"),
+        (col("n_toks") >= col("floor_toks")).as("keep"))
+  }
 }

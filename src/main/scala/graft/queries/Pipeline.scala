@@ -3288,6 +3288,31 @@ object Pipeline {
       .orderBy("step")
   }
 
+  /** Adaptive per-source token floor (TextAnalysis.adaptiveTokenFloor):
+    * each document gated against its source's exact lower-quartile token
+    * count — the mixed-source curation pattern a single global floor
+    * cannot express. Integer order statistic, doc_id tie-breaks.
+    */
+  val q191 = Q(
+    "q191_adaptive_token_floor",
+    """WITH b AS (SELECT doc_id, source,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |      FROM documents),
+      |r AS (SELECT doc_id, source, n_toks,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS cnt
+      |      FROM b),
+      |fl AS (SELECT source, n_toks AS floor_toks FROM r
+      |       WHERE rn = 1 + ((cnt - 1) * 1) // 4)
+      |SELECT b.doc_id, b.source, b.n_toks, fl.floor_toks,
+      |       b.n_toks >= fl.floor_toks AS keep
+      |FROM b JOIN fl USING (source)
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.TextAnalysis.adaptiveTokenFloor(
+        graft.queries.Tables.t(s, dir, "documents"), "doc_id", "source", "text", quarter = 1)
+      .orderBy("doc_id")
+  }
+
   /** Blocklist term scan (the curation gate shape): which blocked terms
     * appear in each document, via ONE Aho–Corasick pass over the text
     * regardless of list size (graft.expr.AcMatch — plan-embedded automaton,
@@ -4015,5 +4040,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 }

@@ -279,6 +279,28 @@ class TextHygieneSpec extends AnyFunSuite {
       .head().getSeq[String](0) == Seq("aa", "a"))
   }
 
+  test("adaptiveTokenFloor: per-source exact quartile rank, tie-break by doc_id, keep is >= floor") {
+    // source a: token counts 1,2,3,4,5 -> rank 1+(5-1)/4 = 2 -> floor 2
+    // source b: counts 10,10 (tie -> doc_id order), rank 1+(2-1)/4 = 1 -> floor 10
+    val docs = Seq(
+      (1L, "a", "w"), (2L, "a", "w w"), (3L, "a", "w w w"),
+      (4L, "a", "w w w w"), (5L, "a", "w w w w w"),
+      (6L, "b", "x x x x x x x x x x"), (7L, "b", "y y y y y y y y y y"))
+      .toDF("doc_id", "src", "text")
+    val r = TextAnalysis.adaptiveTokenFloor(docs, "doc_id", "src", "text", quarter = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, false), (2L, 2L, 2L, true), (3L, 3L, 2L, true),
+      (4L, 4L, 2L, true), (5L, 5L, 2L, true),
+      (6L, 10L, 10L, true), (7L, 10L, 10L, true)))
+    // median variant: rank 1+(5-1)*2/4 = 3 -> floor 3 for source a
+    val med = TextAnalysis.adaptiveTokenFloor(docs, "doc_id", "src", "text", quarter = 2)
+      .where(org.apache.spark.sql.functions.col("source") === "a").orderBy("doc_id")
+      .collect().map(_.getLong(3)).toSeq
+    assert(med == Seq(3L, 3L, 3L, 3L, 3L))
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
