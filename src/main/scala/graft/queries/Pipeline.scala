@@ -3280,6 +3280,49 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** Per-source BPE compression (chars per symbol): the tokenizer-fit
+    * health signal — a source whose text compresses poorly under the
+    * corpus-learned merges is out-of-distribution for the tokenizer
+    * (Gopher-style quality reporting at the source granularity). Integer
+    * sums only, so the whole report sits on the exact-hash gate; the
+    * consumer divides. One corpus scan through the zero-shuffle
+    * bpe_segment projection + a |sources|-sized aggregation.
+    */
+  val q192 = Q(
+    "q192_bpe_compression_by_source",
+    s"""${bpeStagesSql(8)},
+       |a0 AS (SELECT doc_id, source, length(text) AS n_chars,
+       |    ' ' || array_to_string(list_transform(
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |    w -> array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)), ' ')),
+       |  '  ') || ' ' AS s FROM documents),
+       |${(1 to 8).map { k =>
+      s"""a$k AS (SELECT doc_id, source, n_chars, replace(replace(s,
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' '),
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS s
+         |  FROM a${k - 1})""".stripMargin
+    }.mkString(",\n")},
+       |syms AS (SELECT source, n_chars,
+       |           len(list_filter(string_split(trim(s), ' '),
+       |             x -> length(x) > 0)) AS n_syms FROM a8)
+       |SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(SUM(n_syms) AS BIGINT) AS sum_syms
+       |FROM syms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = graft.queries.Tables.t(s, dir, "documents")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", steps = 8)
+      .orderBy("step").collect()
+      .map(r => Array(r.getString(1), r.getString(2))) // bounded: exactly 8 rows
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(graft.functions.bpe_segment(col("text"), merges)).cast("long").as("n_syms"))
+      .groupBy("source")
+      .agg(sum("n_chars").as("sum_chars"), sum("n_syms").as("sum_syms"))
+      .orderBy("source")
+  }
+
   val q183 = Q("q183_bpe_merges", bpeOracleSql(8)) { (s, dir) =>
     graft.operators.TextAnalysis.bpeMerges(
         graft.queries.Tables.t(s, dir, "documents"), "text", steps = 8)
@@ -4040,5 +4083,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
 }
