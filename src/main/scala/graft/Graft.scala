@@ -68,6 +68,21 @@ object Graft {
       }
       graft.expr.ShingleHashes(e(0), k)
     }),
+    "ac_match" -> (exprs => {
+      val e = arity("ac_match", 2)(exprs)
+      val pats = e(1) match {
+        case lit if lit.foldable => lit.eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toArray[org.apache.spark.unsafe.types.UTF8String](
+              org.apache.spark.sql.types.StringType).map(_.toString)
+          case other => throw new IllegalArgumentException(
+            s"ac_match patterns must be a constant ARRAY<STRING>, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "ac_match patterns must be a constant ARRAY<STRING>")
+      }
+      graft.expr.AcMatch(e(0), pats)
+    }),
     "rolling_window_hashes" -> (exprs => {
       val e = arity("rolling_window_hashes", 2)(exprs)
       val win = e(1) match {

@@ -58,6 +58,21 @@ class AcMatchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new AcAutomaton(Array("a", "a")))
   }
 
+  test("SQL surface: ac_match(text, array(...)) with the const-array contract") {
+    val spark = TestSpark.spark
+    Graft.register(spark)
+    import spark.implicits._
+    Seq((1L, "she ushers them in")).toDF("id", "text").createOrReplaceTempView("acm_sql")
+    val r = spark.sql(
+      "SELECT ac_match(text, array('he', 'she', 'his', 'hers')) AS m FROM acm_sql")
+      .head().getSeq[String](0)
+    assert(r == Seq("he", "hers", "she"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT ac_match(text, array(text)) FROM acm_sql").collect()
+    }
+    assert(err.getMessage.contains("constant ARRAY<STRING>"), err.getMessage)
+  }
+
   test("Spark column path: ac_match equals the filter-of-contains composition") {
     val spark = TestSpark.spark
     import spark.implicits._
