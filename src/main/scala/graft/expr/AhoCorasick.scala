@@ -117,9 +117,14 @@ object AcAutomaton {
   */
 case class AcMatch(child: Expression, patterns: Array[String]) extends UnaryExpression {
 
+  // validate eagerly WITHOUT building (construction also runs on every
+  // executor deserialization — a second trie build per JVM would double
+  // init cost at large list sizes); the automaton itself builds lazily
+  // once per JVM on first eval
+  require(patterns.nonEmpty, "ac_match: empty pattern list")
+  require(patterns.forall(_.nonEmpty), "ac_match: empty pattern")
+  require(patterns.distinct.length == patterns.length, "ac_match: duplicate patterns")
   @transient private lazy val automaton = new AcAutomaton(patterns)
-  // eager validation at plan construction (the require set in AcAutomaton)
-  new AcAutomaton(patterns)
 
   override def prettyName: String = "ac_match"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

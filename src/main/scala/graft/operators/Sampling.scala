@@ -349,6 +349,40 @@ object Sampling {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("priority"), col(idCol))))
   }
+
+  /** Token-budget-constrained corpus selection: keep the best documents
+    * (greedy by a per-document integer score, descending; doc_id
+    * tie-breaks) until the cumulative token count would exceed `budget` —
+    * the "assemble the best N-token training mix" step after quality
+    * scoring. The score here is DISTINCT token count (lexical richness —
+    * integer, so the whole selection sits on the exact-hash gate); `keep`
+    * uses the strict prefix rule: a document stays iff every token of it
+    * fits, i.e. its inclusive running sum ≤ budget. Greedy-prefix, not
+    * knapsack — the standard corpus-assembly choice (documents are small
+    * vs the budget, so the LP gap is one document).
+    *
+    * Shape: one scan computes (n_toks, score) per row (pure projection),
+    * then ONE global ordering window over |docs| (id, score, n_toks)
+    * triples — the text never rides the sort — and the running sum prunes
+    * in the same window pass. At 100 TB the triples frame is ~1% of corpus
+    * bytes; if even that global sort bites, range-partition by score bucket
+    * first (the TakeOrdered generalization) — documented, not needed at
+    * test scale.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val scored = df.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("score"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    scored
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("keep", col("cum_toks") <= budget)
+      .select(col("doc_id"), col("n_toks"), col("score"), col("cum_toks"), col("keep"))
+  }
 }
 
 /** Benchmark decontamination: flag/remove training documents whose content

@@ -301,6 +301,23 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(med == Seq(3L, 3L, 3L, 3L, 3L))
   }
 
+  test("tokenBudgetSelect: greedy by distinct-token score, strict prefix keep at the budget edge") {
+    // scores (distinct toks): d1=4, d2=3, d3=3, d4=1; greedy order d1,d2,d3,d4
+    // n_toks: 4, 4, 3, 5; cumsum: 4, 8, 11, 16 — budget 11 keeps exactly d1..d3
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a a b c"), (3L, "x y z"),
+      (4L, "w w w w w")).toDF("doc_id", "text")
+    val r = Sampling.tokenBudgetSelect(docs, "doc_id", "text", budget = 11L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq((1L, 4L, true), (2L, 8L, true), (3L, 11L, true), (4L, 16L, false)))
+    // budget 10: d3's inclusive sum 11 > 10 — strict rule drops it even
+    // though 2 of its 3 tokens would fit
+    val r10 = Sampling.tokenBudgetSelect(docs, "doc_id", "text", budget = 10L)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getBoolean(4)))
+    assert(r10.toSeq == Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
