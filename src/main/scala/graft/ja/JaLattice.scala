@@ -160,7 +160,7 @@ private[ja] object JaCosts {
     // corpus has near-zero counts in these cells and smoothing would
     // replace the engineered margins with mild ones (ADVICE r10).
     (VOnbin, AuxTa), (VOnbin, ParticleBa), (VOnbin, Aux), (VOnbin, Particle),
-    (VOnbin, VerbInfl), (VOnbin, VerbTerm),
+    (VOnbin, VerbInfl), (VOnbin, VerbTerm), (Adv, AuxTa), (Adv, AuxMasu),
     // The ます-paradigm attachment contract is grammar like AuxTa's: the
     // polite auxiliary is 連用形-only, so every non-連用 host cell is an
     // engineered fence a small corpus could never learn (×に+まし was
@@ -273,6 +273,13 @@ private[ja] object JaCosts {
     set(AdjInfl, AuxTa, -500) // 高かっ+た
     set(Aux, AuxTa, -300) // でし+た, だっ+た
     set(Noun, AuxTa, 800) // ×組み立て+た
+    set(Adv, AuxTa, 2000) // ×ゆっくり+た: a bare adverb never hosts the
+    // past auxiliary — unset (0) the aux pair た+れ undercut the verb 連用
+    // たれ after a mimetic (ぽたぽた|た|れ|て read ぽたぽたたれて with no
+    // たれる; probe batch 52). Like Particle→AuxTa the fence must sit at
+    // 2000, not the 800 margin class: two ~600 aux tokens (た+れ, with the
+    // mirrored AuxTa→Aux −300 ride) undercut one 2400 verb dict cost by
+    // 400 at any margin-sized value
     set(Sahen, AuxTa, 800) // ×発表+た (発表+し+た is the licensed path)
     set(Particle, AuxTa, 2000) // ×を+た: like Particle→AuxMasu, no particle
     // ever precedes the past auxiliary — unset (0) the chain を|た|たい|た
@@ -333,6 +340,9 @@ private[ja] object JaCosts {
     set(AuxMasu, Aux, -300) // ませ+ん
     set(AuxMasu, AuxTa, -300) // まし+た
     set(Noun, AuxMasu, 800) // ×名詞+ます (です is the polite noun aux)
+    set(Adv, AuxMasu, 2000) // ×ゆっくり+ます/たい: the AuxTa fence's
+    // mirror at the same Particle-class level — the 連用形-only paradigm
+    // never attaches to a bare adverb either
     set(Sahen, AuxMasu, 800) // ×発表+ます (発表+し+ます is the licensed path)
     set(NounSuffix, AuxMasu, 800)
     set(Num, AuxMasu, 800)
