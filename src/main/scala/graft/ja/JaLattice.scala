@@ -161,6 +161,7 @@ private[ja] object JaCosts {
     // replace the engineered margins with mild ones (ADVICE r10).
     (VOnbin, AuxTa), (VOnbin, ParticleBa), (VOnbin, Aux), (VOnbin, Particle),
     (VOnbin, VerbInfl), (VOnbin, VerbTerm), (Adv, AuxTa), (Adv, AuxMasu),
+    (Particle, Aux),
     // The ます-paradigm attachment contract is grammar like AuxTa's: the
     // polite auxiliary is 連用形-only, so every non-連用 host cell is an
     // engineered fence a small corpus could never learn (×に+まし was
@@ -216,6 +217,16 @@ private[ja] object JaCosts {
     // (600+2300=2900 > 2600) while unambiguous aux-initial regions (no
     // dictionary competitor on the span) are unaffected
     set(BOS, Particle, 1200); set(BOS, Aux, 2300); set(BOS, NounSuffix, 1200)
+    set(Particle, Aux, 500) // ×か+ん: the generic-Aux residue (ん/ぬ/そう/
+    // たら…) never attaches to a bare particle — every other aux subclass
+    // already carries its own Particle fence (AuxTa/AuxMasu 2000, AuxU
+    // hard block, AuxCaus +1500, AuxDesu/AuxNai via their own cells), but
+    // the unset residue cell let と|か|ん (500+900+500+600 with no fence)
+    // undercut と+かん and swallow the kana noun かん invisibly (probe 53,
+    // the ため息 class). The margin window is tight: the noun path needs
+    // the fence above +400, while the pinned な+さい (寝なさい) and
+    // の+せ+い (のせい) function-word chains break at +800 — +500 clears
+    // かん by 100 and leaves every pin green; replay-gated.
     // canonical attachments
     set(Noun, Particle, -300); set(Particle, Noun, -200)
     set(VerbInfl, Aux, -800) // 使っ+た
@@ -474,7 +485,12 @@ private[ja] object JaCosts {
         x += 1
       }
       m(AuxCaus)(AuxCaus) = m(Aux)(Aux) }
-    m(Particle)(AuxCaus) = m(Particle)(Aux) + 1500
+    // ABSOLUTE 1500, not Particle→Aux-relative: when the generic residue
+    // cell gained its +500 fence (probe 53, ×か+ん) the relative form
+    // silently became 2000 and broke のせい's razor-thin +200 ledger
+    // margin (sid 335) — the two fences are calibrated against different
+    // competitors and must not be coupled.
+    m(Particle)(AuxCaus) = 1500
     // the sahen causative/passive (表示+さ+れた, 調整+さ+せて) is as
     // canonical as the light-verb 発表+し: now that する's 未然 さ is
     // classed AuxCaus (VMizen bridge, round 14), the cell must carry the
