@@ -314,6 +314,30 @@ object JaGolden {
   lazy val heldoutCorpus18: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus18.tsv")
 
+  /** Nineteenth blind held-out set (lost-and-found / shoe store / picnic /
+    * dentist / post office / subway registers), pre-registered round 16 and
+    * evaluated round 17 BEFORE any dictionary change: first-run 30/40 =
+    * 75.0%. Adjudication: 10 pure lexeme gaps, ZERO author amendments (the
+    * second all-expectations-survive set after 18), ZERO lattice findings —
+    * the voiced-だ case ついだ resolved by the kana つぐ lexeme alone (the
+    * existing VOnbin −800 license). Pinned at 40/40; drives q194.
+    */
+  lazy val heldoutCorpus19: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus19.tsv")
+
+  /** Twentieth blind held-out set (shrine visit / beach / electronics /
+    * stadium / tire change / power outage registers), pre-registered round
+    * 16 and evaluated round 17 after set 19, before any dictionary change:
+    * first-run 22/40 = 55.0%. Adjudication: 12 lexeme gaps, 2
+    * counter-inventory gaps (礼/塁 — single-kanji counters through the
+    * 着/部-lesson replay gate), SIX author amendments (シャワ T6 stemming,
+    * もらえる potential lexeme, しめ recorded rejection, 急に lexicalized
+    * adverb, 引き出す deverbal convention → ledger 12, よう dropped per
+    * golden 1962), ZERO lattice findings. Pinned at 40/40; drives q195.
+    */
+  lazy val heldoutCorpus20: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus20.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -363,6 +387,10 @@ object JaGolden {
     literalTable(heldoutCorpus17.map { case (sid, _, toks) => (sid, toks) })
   def heldout18OracleSql: String =
     literalTable(heldoutCorpus18.map { case (sid, _, toks) => (sid, toks) })
+  def heldout19OracleSql: String =
+    literalTable(heldoutCorpus19.map { case (sid, _, toks) => (sid, toks) })
+  def heldout20OracleSql: String =
+    literalTable(heldoutCorpus20.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -188,7 +188,26 @@ object JaHomographs {
         "MeCab faces the same ambiguity with trained costs. The noun wins " +
         "where no 連用形 precedes (ろうを溶かす, the carrier's head — both " +
         "readings scored on the same carrier); sid 9's expectation amended " +
-        "to the conjecture reading per the と金 trap precedent"))
+        "to the conjecture reading per the と金 trap precedent"),
+    Ledger(
+      name = "引き出し: 引き出す-連用 vs drawer noun",
+      carrier = "引き出しを開けた。",
+      pinnedTokens = Seq("引き出す", "開ける"),
+      pinned = Seq(Tok("引き出し", "動詞", base = "引き出す"),
+        Tok("を", "助詞"), Tok("開け", "動詞", base = "開ける"),
+        Tok("た", "助動詞")),
+      rejected = Seq(Tok("引き出し", "名詞"),
+        Tok("を", "助詞"), Tok("開け", "動詞", base = "開ける"),
+        Tok("た", "助動詞")),
+      note = "held-out-20 sid 34: the drawer noun and the verb 連用形 " +
+        "share every connection class on both sides (を and て are one " +
+        "Particle class), and the verb's 2800 word-cost base sits 200 " +
+        "under the noun's 3000 — the class-level model reads the " +
+        "deverbal verb in every context, consistent with the deverbal " +
+        "X→verb convention (golden 593 釣り→釣る). Semantics would be " +
+        "needed to pick the drawer in 引き出しの中; sid 34's expectation " +
+        "amended per the 下り/群れ precedent, noun entry kept as this " +
+        "ledger's SCORED rejected side"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)

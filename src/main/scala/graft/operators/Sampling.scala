@@ -361,13 +361,21 @@ object Sampling {
     * knapsack — the standard corpus-assembly choice (documents are small
     * vs the budget, so the LP gap is one document).
     *
-    * Shape: one scan computes (n_toks, score) per row (pure projection),
-    * then ONE global ordering window over |docs| (id, score, n_toks)
-    * triples — the text never rides the sort — and the running sum prunes
-    * in the same window pass. At 100 TB the triples frame is ~1% of corpus
-    * bytes; if even that global sort bites, range-partition by score bucket
-    * first (the TakeOrdered generalization) — documented, not needed at
-    * test scale.
+    * Shape (the two-pass distributed prefix sum — VERDICT r16 #2): one
+    * scan computes (n_toks, score) per row (pure projection); the global
+    * running sum is NOT a single-partition window. Rows bucket by score
+    * value (`score div width`, 64 value-range buckets off one max(score)
+    * aggregate — all rows of one score share a bucket, so bucket order IS
+    * the global (score desc, doc_id) order across buckets), the in-bucket
+    * running sum is a Window PARTITIONED BY bucket, and the ≤ 64 per-bucket
+    * totals collect to the driver (bounded, the IVF-fit class) where the
+    * exclusive cross-bucket offsets become a literal map expression riding
+    * the plan — cum_toks = offset(bucket) + in-bucket sum. One keyed
+    * exchange over the triples frame (~1% of corpus bytes — the text never
+    * rides the sort), no single-reducer stage at any corpus size. Skew
+    * bound: a bucket holds at most the rows of 1/64th of the score range;
+    * heavy single-score corpora degrade to fewer effective buckets, never
+    * to a worse shape than the range-partition they'd need anyway.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
       budget: Long): DataFrame = {
@@ -376,10 +384,33 @@ object Sampling {
         split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
         size(array_distinct(col("toks"))).cast("long").as("score"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id").asc)
+    val maxScore = scored.agg(max(col("score"))).head().getAs[Any](0) match {
+      case null => return scored // empty corpus: nothing to rank
+        .withColumn("cum_toks", lit(null).cast("long"))
+        .withColumn("keep", lit(null).cast("boolean"))
+        .select(col("doc_id"), col("n_toks"), col("score"), col("cum_toks"), col("keep"))
+      case l: Long => l
+    }
+    val width = math.max(1L, maxScore / 64L + 1L)
+    val bucketed = scored.withColumn("bucket", (col("score") / width).cast("long"))
+    // ≤ 64 (bucket, total) rows — the bounded driver collect of the
+    // documented "broadcast cumulative offsets" pass
+    val totals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_toks")).as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1) // global order is score DESC → higher buckets first
+    val offsets = totals.scanLeft((Long.MaxValue, 0L)) {
+      case ((_, acc), (b, tot)) => (b, acc + tot)
+    } // (bucket, inclusive-through-bucket); exclusive offset of b = previous acc
+    val exclusive = totals.map(_._1).zip(offsets.map(_._2)).toMap // bucket -> sum of strictly-higher buckets
+    val offsetExpr = exclusive.foldLeft(lit(0L)) { case (e, (b, off)) =>
+      when(col("bucket") === b, lit(off)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
-    scored
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+    bucketed
+      .withColumn("cum_toks", offsetExpr + sum(col("n_toks")).over(w))
       .withColumn("keep", col("cum_toks") <= budget)
       .select(col("doc_id"), col("n_toks"), col("score"), col("cum_toks"), col("keep"))
   }

@@ -318,6 +318,37 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(r10.toSeq == Seq((1L, true), (2L, true), (3L, false), (4L, false)))
   }
 
+  test("tokenBudgetSelect: no single-partition window (two-pass prefix sum plan shape)") {
+    // VERDICT r16 #2: every Window in the physical plan must carry a
+    // partition spec — the global running sum is bucket-partitioned, with
+    // cross-bucket offsets as a literal plan expression, so no stage
+    // funnels the whole triples frame through one task.
+    val docs = (1L to 200L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("t" + i % 13).mkString(" ")))
+      .toDF("doc_id", "text")
+    // AQE wraps the plan in AdaptiveSparkPlanExec (whose inner plan is not
+    // a TreeNode child) — disable it for the whole test so WindowExec is
+    // inspectable; plan construction and inspection are both lazy
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val r = Sampling.tokenBudgetSelect(docs, "doc_id", "text", budget = 300L)
+      val windows = r.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the in-bucket running-sum WindowExec")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned WindowExec in tokenBudgetSelect plan: $w")
+      }
+      // cross-bucket correctness at a bucket boundary: the cumulative sums
+      // must equal the single-sequence reference on the same data
+      val got = r.orderBy(org.apache.spark.sql.functions.col("score").desc, org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+      val ref = got.map(t => (t._1, t._2)).scanLeft(0L)(_ + _._2).tail
+      assert(got.map(_._3).toSeq == ref.toSeq, "cum_toks diverges from the sequential reference")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
