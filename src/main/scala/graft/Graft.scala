@@ -81,7 +81,7 @@ object Graft {
         case _ => throw new IllegalArgumentException(
           "ac_match patterns must be a constant ARRAY<STRING>")
       }
-      graft.expr.AcMatch(e(0), pats)
+      graft.expr.AcMatch(e(0), pats.toIndexedSeq)
     }),
     "rolling_window_hashes" -> (exprs => {
       val e = arity("rolling_window_hashes", 2)(exprs)

@@ -121,12 +121,17 @@ object Kernels {
     // per-token 64-bit hashes under split(" ", -1) semantics, one char pass
     val tb = new scala.collection.mutable.ArrayBuilder.ofLong
     val n = str.length
-    var h = 0L
+    // seed 1, not 0 (ADVICE r16): with h=0, U+0000 code points contribute
+    // nothing (0*131+0=0), so tokens differing only in leading NULs — and
+    // '' vs a lone-NUL token — would collide DETERMINISTICALLY before fmix64, a
+    // class the 2^-128 birthday math doesn't cover. Seeding 1 makes the
+    // polynomial injective over code-point sequences up to i64 wraparound.
+    var h = 1L
     var i = 0
     while (i <= n) {
       if (i == n || str.charAt(i) == ' ') {
         tb += fmix64(h)
-        h = 0L
+        h = 1L
         i += 1
       } else {
         val cp = str.codePointAt(i)

@@ -120,15 +120,19 @@ case class RollingWindowHashes(child: Expression, win: Int) extends UnaryExpress
   * words segment consistently. A pure codegen projection: the merge table
   * rides the plan (broadcast with the task closure), zero shuffle.
   */
-case class BpeSegment(child: Expression, merges: Array[Array[String]])
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
+  // merges is an immutable Seq of pairs, NOT Array[Array[String]]
+  // (ADVICE r16): Catalyst compares constructor args with ==, and Array
+  // equality is reference-based — an Array param defeats semanticEquals,
+  // CSE, and exchange reuse for identical calls.
   require(merges.length <= 65536, "bpe_segment: merge table capped at 65536 rows (plan-embedded)")
-  require(merges.forall(m => m.length == 2 && m(0).nonEmpty && m(1).nonEmpty),
+  require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
     "bpe_segment: every merge row must be a non-empty (left, right) pair")
   // precomputed once per plan, shared by eval and generated code
-  private val patterns: Array[String] = merges.map(m => " " + m(0) + " " + m(1) + " ")
-  private val replacements: Array[String] = merges.map(m => " " + m(0) + m(1) + " ")
+  private val patterns: Array[String] = merges.map(m => " " + m._1 + " " + m._2 + " ").toArray
+  private val replacements: Array[String] = merges.map(m => " " + m._1 + m._2 + " ").toArray
 
   override def prettyName: String = "bpe_segment"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

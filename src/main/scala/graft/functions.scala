@@ -77,14 +77,18 @@ object functions {
     * row vs O(P·n) for P separate contains calls.
     */
   def ac_match(text: Column, patterns: Array[String]): Column =
-    toCol(graft.expr.AcMatch(toExpr(text), patterns))
+    toCol(graft.expr.AcMatch(toExpr(text), patterns.toIndexedSeq))
 
   /** Row-level BPE segmentation through a plan-embedded ordered merge
     * table (codegen'd; see graft.expr.BpeSegment) — the apply half of
     * operators.TextAnalysis.bpeMerges.
     */
-  def bpe_segment(text: Column, merges: Array[Array[String]]): Column =
-    toCol(graft.expr.BpeSegment(toExpr(text), merges))
+  def bpe_segment(text: Column, merges: Array[Array[String]]): Column = {
+    require(merges.forall(_.length == 2),
+      "bpe_segment: every merge row must be a (left, right) pair")
+    toCol(graft.expr.BpeSegment(toExpr(text),
+      merges.map(m => (m(0), m(1))).toIndexedSeq))
+  }
 
   /** Per-row SimHash signature of a space-separated text (codegen'd fused
     * split+hash+vote; see graft.expr.SimHash64). A pure projection — the

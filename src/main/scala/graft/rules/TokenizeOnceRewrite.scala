@@ -27,9 +27,15 @@ import graft.expr.TokenizeJaNeologd
   * Project(child.output :+ Alias(tok) as a, child))) — the tokenize runs
   * once per input row in the injected Project; the generator explodes the
   * materialized array; downstream references read the attribute.
-  * `unrequiredChildIndex` is reset to Nil (it indexes the OLD child's
-  * output; column pruning re-derives it against the new Project). The
-  * rewritten generator is `Explode(attr)`, so the rule cannot re-fire.
+  * `unrequiredChildIndex` is computed HERE against the injected Project's
+  * output (indices the new projection never references): experimental
+  * extraOptimizations run AFTER the main optimizer batches, so column
+  * pruning will NOT re-derive it — resetting to Nil (the r16 version)
+  * kept every child column plus the materialized token array riding
+  * through GenerateExec per output row (ADVICE r16). The generator still
+  * reads the alias from its child regardless — unrequiredChildIndex only
+  * trims what Generate FORWARDS. The rewritten generator is
+  * `Explode(attr)`, so the rule cannot re-fire.
   */
 object TokenizeOnceRewrite extends Rule[LogicalPlan] {
 
@@ -42,10 +48,16 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
         }) =>
       val alias = Alias(tok, "_graft_toks")()
       val below = Project(child.output :+ alias, child)
-      val newGenerate = Generate(Explode(alias.toAttribute), Nil, outer, qualifier, genOutput, below)
       val newProjList = projList.map(_.transform {
         case t: TokenizeJaNeologd if t.semanticEquals(tok) => alias.toAttribute
       }.asInstanceOf[NamedExpression])
+      val required = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        newProjList.flatMap(_.references))
+      val unrequired = below.output.zipWithIndex.collect {
+        case (a, i) if !required.contains(a) => i
+      }
+      val newGenerate =
+        Generate(Explode(alias.toAttribute), unrequired, outer, qualifier, genOutput, below)
       Project(newProjList, newGenerate)
   }
 }

@@ -88,4 +88,45 @@ class AcMatchSpec extends AnyFunSuite {
     assert(viaAc == viaContains && viaAc.nonEmpty)
     assert(viaAc.exists(_._2.nonEmpty), "expected at least one match in sf0.001 docs")
   }
+
+  test("matchSorted uses UTF-8 binary order (sort_array semantics), not UTF-16 code-unit order") {
+    // U+FF01 (FULLWIDTH !) sits in the BMP above the surrogate range:
+    // UTF-16 natural order puts it AFTER a supplementary-plane char's
+    // surrogates... actually BEFORE — the point: "😀" (U+1F600)
+    // compares as 0xD83D in UTF-16, BELOW U+FF01; in UTF-8/code-point
+    // order U+1F600 > U+FF01. The two orders disagree on this pair
+    // (ADVICE r16).
+    val hi = "😀" // U+1F600, UTF-16 leads 0xD83D
+    val fw = "！"       // U+FF01, above the surrogate block
+    assert(hi.compareTo(fw) < 0, "precondition: UTF-16 order puts the emoji first")
+    val auto = new graft.expr.AcAutomaton(Array(hi, fw))
+    val got = graft.expr.AcAutomaton
+      .matchSorted(auto, org.apache.spark.unsafe.types.UTF8String.fromString(hi + " " + fw))
+      .array.map(_.toString).toSeq
+    assert(got == Seq(fw, hi), s"expected UTF-8 binary order (fullwidth first), got $got")
+    // and the engine order equals Spark's own sort_array on the same pair
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val viaSpark = Seq(hi + " " + fw).toDF("text")
+      .select(graft.functions.ac_match(col("text"), Array(hi, fw)).as("m"))
+      .collect().head.getSeq[String](0)
+    val viaSortArray = Seq(Seq(hi, fw)).toDF("a")
+      .select(sort_array(col("a"))).collect().head.getSeq[String](0)
+    assert(viaSpark == viaSortArray)
+  }
+
+  test("AcMatch equality is structural (Seq params): semantically identical calls compare equal") {
+    // ADVICE r16: Array params made two identical AcMatch instances
+    // reference-unequal, defeating Catalyst CSE/canonicalization
+    val a = graft.expr.AcMatch(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq("p", "q"))
+    val b = graft.expr.AcMatch(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq("p", "q"))
+    assert(a == b && a.semanticEquals(b))
+    val c = graft.expr.BpeSegment(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq(("a", "b")))
+    val d = graft.expr.BpeSegment(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq(("a", "b")))
+    assert(c == d && c.semanticEquals(d))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-time contention divert (Bench.shouldDivert): the guard that keeps a
+  * contended driver run from clobbering the committed clean
+  * bench_full.json. VERDICT r16 #3 added the per-query trigger — bursty
+  * contention leaves the version-call floor clean while inflating
+  * individual trivial queries 10-20x, so the floor canary alone misses it.
+  */
+class BenchDivertSpec extends AnyFunSuite {
+
+  private def artifact(floor: Double, spread: Double, qs: (String, Double)*): String = {
+    val q = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sp = qs.map { case (k, _) => "\"" + k + "\":1.1" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":$q,""" +
+      s""""median_rep_spread":$spread,"rep_spread":$sp,""" +
+      s""""version_call_floor_sec":$floor,"cheap5_floor_sec":0.3,"sf":"x"}"""
+  }
+
+  test("clean run against a clean prior does not divert") {
+    val prior = artifact(0.021, 1.4, "q01" -> 0.6, "q02" -> 0.4, "q03" -> 0.5,
+      "q04" -> 0.7, "q05" -> 0.3, "q62" -> 0.021)
+    val now = Seq("q01" -> 0.62, "q02" -> 0.38, "q03" -> 0.55,
+      "q04" -> 0.69, "q05" -> 0.31, "q62" -> 0.02)
+    assert(!Bench.shouldDivert(prior, versionFloor = 0.02, medianSpread = 1.3, now))
+  }
+
+  test("inflated version-call floor diverts (the r15 trigger)") {
+    val prior = artifact(0.021, 1.4, "q01" -> 0.6)
+    assert(Bench.shouldDivert(prior, versionFloor = 0.5, medianSpread = 1.3,
+      Seq("q01" -> 0.62)))
+  }
+
+  test("bursty contention diverts on >=5 shared 3x queries even with a clean floor (the r16 signature)") {
+    val prior = artifact(0.021, 1.4, "q01" -> 0.6, "q02" -> 0.4, "q03" -> 0.5,
+      "q04" -> 0.7, "q05" -> 0.3, "q06" -> 0.2, "q62" -> 0.021)
+    // floor clean (0.024 vs 0.021) but six queries at 10x — the r16 artifact shape
+    val now = Seq("q01" -> 6.0, "q02" -> 4.0, "q03" -> 5.0,
+      "q04" -> 7.0, "q05" -> 3.0, "q06" -> 2.5, "q62" -> 0.024)
+    assert(Bench.shouldDivert(prior, versionFloor = 0.024, medianSpread = 1.6, now))
+  }
+
+  test("four 3x queries do not divert (threshold is five)") {
+    val prior = artifact(0.021, 1.4, "q01" -> 0.6, "q02" -> 0.4, "q03" -> 0.5,
+      "q04" -> 0.7, "q05" -> 0.3, "q62" -> 0.021)
+    val now = Seq("q01" -> 6.0, "q02" -> 4.0, "q03" -> 5.0,
+      "q04" -> 7.0, "q05" -> 0.31, "q62" -> 0.022)
+    assert(!Bench.shouldDivert(prior, versionFloor = 0.022, medianSpread = 1.4, now))
+  }
+
+  test("sub-0.05s prior times cannot vote (noise immunity)") {
+    val prior = artifact(0.021, 1.4, "q01" -> 0.02, "q02" -> 0.02, "q03" -> 0.02,
+      "q04" -> 0.02, "q05" -> 0.02, "q62" -> 0.021)
+    val now = Seq("q01" -> 0.07, "q02" -> 0.08, "q03" -> 0.07,
+      "q04" -> 0.09, "q05" -> 0.07, "q62" -> 0.022)
+    assert(!Bench.shouldDivert(prior, versionFloor = 0.022, medianSpread = 1.4, now))
+  }
+
+  test("rep_spread keys do not leak into the per-query comparison") {
+    // rep_spread carries the same "qNN":x shape with values near 1.1; if it
+    // were parsed as prior times, these 4.0 s queries would all read as >3x
+    // and force a spurious divert
+    val prior = artifact(0.021, 1.4, "q01" -> 5.0, "q02" -> 5.0, "q03" -> 5.0,
+      "q04" -> 5.0, "q05" -> 5.0, "q62" -> 0.021)
+    val now = Seq("q01" -> 4.0, "q02" -> 4.0, "q03" -> 4.0,
+      "q04" -> 4.0, "q05" -> 4.0, "q62" -> 0.022)
+    assert(!Bench.shouldDivert(prior, versionFloor = 0.022, medianSpread = 1.4, now))
+  }
+
+  test("spread-only trigger still requires a missing prior floor") {
+    val noFloor = """{"metric":"total","value":1.0,"queries":{"q01":0.6},"median_rep_spread":1.2}"""
+    assert(Bench.shouldDivert(noFloor, versionFloor = 0.02, medianSpread = 2.5,
+      Seq("q01" -> 0.6)))
+    val withFloor = artifact(0.021, 1.2, "q01" -> 0.6)
+    assert(!Bench.shouldDivert(withFloor, versionFloor = 0.02, medianSpread = 2.5,
+      Seq("q01" -> 0.6)))
+  }
+}

@@ -169,6 +169,19 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(rolled(4)(0) == rolled(4)(9))
   }
 
+  test("rolling_window_hashes: leading-NUL tokens do not collide (nonzero seed)") {
+    // ADVICE r16: with an h=0 seed, U+0000 contributed nothing to the
+    // per-token polynomial, so NUL+'a' == 'a' and '' == NUL
+    // deterministically — a raw-web-corpus hazard outside the 2^-128
+    // birthday math. The seed-1 polynomial distinguishes all four.
+    val texts = Seq("a b", "\u0000a b", "c ", "c \u0000")
+    val heads = texts.toDF("text")
+      .select(graft.functions.rolling_window_hashes(col("text"), 2).as("h"))
+      .collect().map(_.getSeq[Array[Byte]](0).head.toSeq)
+    assert(heads(0) != heads(1), "'a b' and '\\0a b' windows must differ")
+    assert(heads(2) != heads(3), "trailing '' and trailing NUL windows must differ")
+  }
+
   test("vector helpers: dot/l2_norm/l2_normalize built-ins match cosine_sim") {
     val df = Seq((Seq(3f, 4f), Seq(4f, 3f))).toDF("a", "b")
     val r = df.select(
