@@ -464,6 +464,56 @@ object Dedup {
         col("n_docs"))
   }
 
+  /** Normalized-fingerprint dedup (the "fuzzy-exact" rung between exact
+    * md5 dedup and MinHash): casefold → strip every char outside
+    * [a-z0-9 ] → collapse whitespace runs → trim, then keep the
+    * minimum-doc_id copy per md5 of the normal form. Catches the
+    * dominant real-corpus near-dup class (case/punctuation/whitespace
+    * variants of one text) at exact-dedup cost — no shingles, no bands.
+    * Output: (doc_id, fp, keep).
+    *
+    * Scale shape: the normal form and its digest are computed in the scan
+    * projection, so only (doc_id, 32-char fp) pairs ride the ONE fp-keyed
+    * exchange; keep is min(doc_id) vs self inside the fp partition.
+    */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    val pairs = df.select(col(idCol).cast("long").as("doc_id"),
+      md5(normalized).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    pairs.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
+  /** Near-dup cluster REPRESENTATIVE selection: for every LSH/CC cluster
+    * keep the best copy by an integer quality score (distinct-token count —
+    * lexical richness, the q193 convention), score ties broken by doc_id
+    * ascending. The dedup decision real pipelines want: "drop near-dups,
+    * but keep the richest copy, not the arbitrary minimum-id one".
+    * Output: one row per CLUSTERED doc (singletons are implicitly kept and
+    * not emitted, the nearDupClusters contract) with
+    * (cluster_id, doc_id, score, n_docs, keep).
+    *
+    * Scale shape: nearDupClusters' banded-LSH + large-star/small-star CC
+    * (never all-pairs), then ONE cluster-keyed join to fetch scores and ONE
+    * cluster-partitioned rank window over the pairs-sized cluster frame —
+    * corpus text never rides either exchange.
+    */
+  def clusterRepresentatives(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 6, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, k, numHashes, bands, threshold)
+    val scores = df.select(col(idCol).cast("long").as("doc_id"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    clusters.join(scores, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("cluster_id"), col("doc_id"), col("score"), col("n_docs"), col("keep"))
+  }
+
   /** C4-style duplicated-span removal (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning", §2.2: "we discarded all but one of any
     * three-sentence span occurring more than once in the data set"): split

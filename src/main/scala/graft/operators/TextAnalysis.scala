@@ -493,6 +493,35 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Encoding-damage gate: per-document counts of U+FFFD replacement
+    * characters (the residue of every failed charset decode upstream) and
+    * of C0/DEL control characters outside \t\n\r — mojibake and
+    * binary-contamination tells no quality LM filter catches, because the
+    * damaged text still "reads" as tokens. Integer ppm densities (the
+    * corpus-wide determinism convention), gate fires when their sum
+    * reaches `ppmThreshold`. Pure built-in projection — codegen, zero
+    * shuffle at any corpus size; empty docs report 0 ppm, undamaged.
+    */
+  def encodingDamageReport(df: DataFrame, idCol: String, textCol: String,
+      ppmThreshold: Int = 1000): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nRepl = (nChars - length(regexp_replace(t, "�", ""))).cast("long")
+    val nCtrl = (nChars - length(
+      regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long")
+    df.select(
+        col(idCol).cast("long").as("doc_id"), nChars.as("n_chars"),
+        nRepl.as("n_replacement"), nCtrl.as("n_ctrl"))
+      .withColumn("replacement_ppm", // div, not /: Column./ is double division
+        when(col("n_chars") > 0, expr("n_replacement * 1000000 div n_chars"))
+          .otherwise(0L))
+      .withColumn("ctrl_ppm",
+        when(col("n_chars") > 0, expr("n_ctrl * 1000000 div n_chars"))
+          .otherwise(0L))
+      .withColumn("damaged",
+        col("replacement_ppm") + col("ctrl_ppm") >= ppmThreshold)
+  }
+
   /** Per-source corpus health report — the dashboard aggregate a curation
     * pipeline runs before/after each filtering stage: document and token
     * volume, exact-duplicate rate (on a content fingerprint, so the

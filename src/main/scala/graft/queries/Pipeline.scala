@@ -4124,9 +4124,82 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Near-dup cluster representative selection (q196): for every q67
+    * cluster keep the richest copy — score = distinct-token count, ties by
+    * doc_id (Dedup.clusterRepresentatives). The oracle re-derives the LSH
+    * pairs, the recursive-CTE components, AND the in-cluster argmax.
+    */
+  val q196 = Q(
+    "q196_cluster_representatives",
+    s"""WITH RECURSIVE $lshPairCtes,
+       |symp AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |cnodes AS (SELECT DISTINCT a AS id FROM symp),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM cnodes
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN symp s ON s.a = r.dst),
+       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab GROUP BY cluster_id),
+       |sc AS (SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+       |       FROM documents)
+       |SELECT lab.cluster_id, lab.doc_id, sc.score, cs.n_docs,
+       |  (ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+       |     ORDER BY sc.score DESC, lab.doc_id)) = 1 AS keep
+       |FROM lab JOIN cs USING (cluster_id) JOIN sc USING (doc_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Dedup.clusterRepresentatives(t(s, dir, "documents"), "doc_id", "text",
+      k = 6, numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Encoding-damage gate (q197): U+FFFD and C0/DEL control densities in
+    * integer ppm, gate at 1000 ppm combined — pure codegen projection
+    * (TextAnalysis.encodingDamageReport). DuckDB regexp_replace needs the
+    * 'g' flag to mirror Spark's replace-all default.
+    */
+  val q197 = Q(
+    "q197_encoding_damage",
+    """WITH c AS (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+      |      AS n_replacement,
+      |    CAST(length(text) - length(regexp_replace(text,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_ctrl
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_replacement, n_ctrl,
+      |  CAST(CASE WHEN n_chars > 0 THEN n_replacement * 1000000 // n_chars ELSE 0 END AS BIGINT)
+      |    AS replacement_ppm,
+      |  CAST(CASE WHEN n_chars > 0 THEN n_ctrl * 1000000 // n_chars ELSE 0 END AS BIGINT)
+      |    AS ctrl_ppm,
+      |  (CASE WHEN n_chars > 0 THEN n_replacement * 1000000 // n_chars ELSE 0 END) +
+      |  (CASE WHEN n_chars > 0 THEN n_ctrl * 1000000 // n_chars ELSE 0 END) >= 1000
+      |    AS damaged
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.encodingDamageReport(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-fingerprint dedup (q198): casefold / strip non-alnum /
+    * collapse whitespace, keep min doc_id per md5 of the normal form
+    * (Dedup.normalizedDedup) — the fuzzy-exact rung below MinHash.
+    */
+  val q198 = Q(
+    "q198_normalized_dedup",
+    """WITH fp AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+      |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.normalizedDedup(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 }

@@ -32,10 +32,21 @@ object TokenizeOnceBench {
         .collect()(0)
       println(f"[tokonce] $label run$i ${(System.nanoTime() - t0) / 1e6}%.1f ms (c=${r.getLong(0)} s=${r.getLong(1)})")
     }
+    def runFilter(label: String): Unit = (1 to 5).foreach { i =>
+      val t0 = System.nanoTime()
+      val r = docs
+        .filter(size(graft.functions.tokenize_ja_neologd(col("text"))) > 3)
+        .select(size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+        .collect()(0)
+      println(f"[tokonce-fp] $label run$i ${(System.nanoTime() - t0) / 1e6}%.1f ms (c=${r.getLong(0)} s=${r.getLong(1)})")
+    }
     run("baseline ")
+    runFilter("baseline ")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.rules.TokenizeOnceRewrite
     run("rewritten")
+    runFilter("rewritten")
     spark.stop()
   }
 }

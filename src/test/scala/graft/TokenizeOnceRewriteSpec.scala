@@ -9,7 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * input row (materialized below Generate) instead of once per exploded
   * row. Plan rewrite proof, result identity through both API shapes, and
   * non-firing guards. Measured 857 → 166 ms on the cached sf0.01
-  * documents hazard shape (graft.tools.TokenizeOnceBench, min of 5).
+  * documents hazard shape (graft.tools.TokenizeOnceBench, min of 5;
+  * re-measured 582 → 149 ms r17 after the unrequiredChildIndex fix).
+  * Round 17 added the Filter/Project second shape — the same call in the
+  * predicate and the projection, which codegen cannot CSE across
+  * operators: measured 198 → 148 ms min-of-5 on the same corpus.
   */
 class TokenizeOnceRewriteSpec extends AnyFunSuite {
   private lazy val spark = {
@@ -59,6 +63,43 @@ class TokenizeOnceRewriteSpec extends AnyFunSuite {
       .select(size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
       .queryExecution.optimizedPlan.toString
     assert(!scalarOnly.contains("_graft_toks"), scalarOnly)
+  }
+
+  private def filterHazard = docs
+    .filter(size(graft.functions.tokenize_ja_neologd(col("text"))) > 3)
+    .select(col("doc_id"),
+      size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+
+  test("filter/project shape: one tokenize call below Filter, predicate reads the attribute") {
+    val optimized = filterHazard.queryExecution.optimizedPlan.toString
+    val calls = "tokenize_ja_neologd".r.findAllIn(optimized).length
+    assert(calls == 1, s"expected exactly one tokenize call after rewrite, got $calls:\n$optimized")
+    assert(optimized.contains("_graft_toks"), s"materialized alias missing:\n$optimized")
+  }
+
+  test("filter/project shape: results identical to the staged two-step form, SQL included") {
+    val viaRule = filterHazard.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val staged = docs
+      .select(col("doc_id"), graft.functions.tokenize_ja_neologd(col("text")).as("toks"))
+      .filter(size(col("toks")) > 3)
+      .select(col("doc_id"), size(col("toks")).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaRule == staged && viaRule.nonEmpty)
+    docs.createOrReplaceTempView("tor_docs2")
+    val viaSql = spark.sql(
+      """SELECT doc_id, size(tokenize_ja_neologd(text)) AS n FROM tor_docs2
+        |WHERE size(tokenize_ja_neologd(text)) > 3 ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaSql == staged)
+  }
+
+  test("filter-only shape is left alone") {
+    val filterOnly = docs
+      .filter(size(graft.functions.tokenize_ja_neologd(col("text"))) > 3)
+      .select(col("doc_id"))
+      .queryExecution.optimizedPlan.toString
+    assert(!filterOnly.contains("_graft_toks"), filterOnly)
   }
 
   test("rule does not conflate tokenize calls over different columns") {

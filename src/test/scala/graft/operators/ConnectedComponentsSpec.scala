@@ -80,4 +80,40 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // 1,2 identical; 3 near-dups both (jaccard 0.5 ≥ 0.4); 4 unpaired → absent
     assert(r.toSeq == Seq((1L, 1L, true, 3L), (1L, 2L, false, 3L), (1L, 3L, false, 3L)))
   }
+
+  test("clusterRepresentatives keeps the richest copy, not the min id") {
+    // doc 3 has 9 distinct tokens vs 8 for docs 1/2 — it must win its
+    // cluster even though doc 1 is the canonical (min-id) label
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g h y"),
+      (4L, "q r s t u v w z")).toDF("doc_id", "text")
+    val r = Dedup.clusterRepresentatives(docs, "doc_id", "text", threshold = 0.4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 8L, 3L, false), (1L, 2L, 8L, 3L, false), (1L, 3L, 9L, 3L, true)))
+    // score tie → doc_id ascending picks the smaller id
+    val tied = Seq(
+      (7L, "a b c d e f g h"), (5L, "a b c d e f g h")).toDF("doc_id", "text")
+    val rt = Dedup.clusterRepresentatives(tied, "doc_id", "text", threshold = 0.4)
+      .orderBy("doc_id").collect().map(x => (x.getLong(1), x.getBoolean(4)))
+    assert(rt.toSeq == Seq((5L, true), (7L, false)))
+  }
+
+  test("normalizedDedup: case/punct/whitespace variants share a fingerprint, first id keeps") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "hello worlds"), // different normal form
+      (5L, "  hello!!! world  ")).toDF("doc_id", "text")
+    val r = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    assert(r.map(_._2).distinct.length == 2, "variants must collapse to one fp")
+    assert(r.filter(_._3).map(_._1).toSeq == Seq(1L, 4L),
+      "min doc_id per fingerprint keeps")
+  }
 }

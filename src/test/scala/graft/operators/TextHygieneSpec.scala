@@ -349,6 +349,25 @@ class TextHygieneSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("encodingDamageReport: FFFD and C0/DEL densities in exact ppm, tab/newline/CR exempt") {
+    val mojibake = "bad \uFFFD\uFFFD decode"
+    val controls = "ctl\u0001\u0002\u007F mix"
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, mojibake),
+      (3L, controls),
+      (4L, "tabs\tand\nnewlines\rok"), // exempt whitespace controls
+      (5L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.encodingDamageReport(docs, "doc_id", "text", ppmThreshold = 100000)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getBoolean(6)))
+    assert(r(0) == ((1L, 0L, 0L, 0L, 0L, false)))
+    assert(r(1) == ((2L, 2L, 0L, 2L * 1000000L / mojibake.length, 0L, true)))
+    assert(r(2) == ((3L, 0L, 3L, 0L, 3L * 1000000L / controls.length, true)))
+    assert(r(3) == ((4L, 0L, 0L, 0L, 0L, false)), "tab/newline/CR must not count as damage")
+    assert(r(4) == ((5L, 0L, 0L, 0L, 0L, false)), "empty doc: 0 ppm, undamaged")
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
