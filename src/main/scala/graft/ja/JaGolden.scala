@@ -332,7 +332,7 @@ object JaGolden {
     * counter-inventory gaps (礼/塁 — single-kanji counters through the
     * 着/部-lesson replay gate), SIX author amendments (シャワ T6 stemming,
     * もらえる potential lexeme, しめ recorded rejection, 急に lexicalized
-    * adverb, 引き出す deverbal convention → ledger 12, よう dropped per
+    * adverb, 引き出す deverbal convention → ledger 11, よう dropped per
     * golden 1962), ZERO lattice findings. Pinned at 40/40; drives q195.
     */
   lazy val heldoutCorpus20: Seq[(Int, String, Seq[String])] =
