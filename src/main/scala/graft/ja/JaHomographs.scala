@@ -200,14 +200,15 @@ object JaHomographs {
         Tok("を", "助詞"), Tok("開け", "動詞", base = "開ける"),
         Tok("た", "助動詞")),
       note = "held-out-20 sid 34: the drawer noun and the verb 連用形 " +
-        "share every connection class on both sides (を and て are one " +
-        "Particle class), and the verb's 2800 word-cost base sits 200 " +
-        "under the noun's 3000 — the class-level model reads the " +
-        "deverbal verb in every context, consistent with the deverbal " +
-        "X→verb convention (golden 593 釣り→釣る). Semantics would be " +
-        "needed to pick the drawer in 引き出しの中; sid 34's expectation " +
-        "amended per the 下り/群れ precedent, noun entry kept as this " +
-        "ledger's SCORED rejected side"))
+        "share the を/て right context (one Particle class); the verb's " +
+        "2800 word-cost base sits 200 under the noun's 3000, and " +
+        "Particle→Noun (−200) gives exactly that 200 back — an EXACT " +
+        "tie (measured margin 0) the verb wins by relaxation order, " +
+        "consistent with the deverbal X→verb convention (golden 593 " +
+        "釣り→釣る). Semantics would be needed to pick the drawer in " +
+        "引き出しの中; sid 34's expectation amended per the 下り/群れ " +
+        "precedent, noun entry kept as this ledger's SCORED rejected " +
+        "side — the 0 margin makes any future drift visible here"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)
