@@ -522,6 +522,80 @@ object TextAnalysis {
         col("replacement_ppm") + col("ctrl_ppm") >= ppmThreshold)
   }
 
+  /** Script-mix profile: per-document character counts by writing-system
+    * class (latin letters, digits, hiragana, katakana, kanji, space,
+    * other) plus the dominant script under a fixed priority tiebreak —
+    * the signal that separates "Japanese doc", "code-switched doc", and
+    * "ascii-art/table junk" where token-level language-ID (q39) sees only
+    * whitespace-delimited words. Pure built-in codegen projection (length
+    * diffs over explicit BMP ranges — identical byte-for-byte semantics
+    * in the DuckDB RE2 mirror), zero shuffle at any corpus size.
+    */
+  def scriptMixReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String) =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val out = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      cnt("[A-Za-z]").as("n_latin"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("[\\x{3041}-\\x{3096}]").as("n_hiragana"),
+      cnt("[\\x{30A1}-\\x{30FA}\\x{30FC}]").as("n_katakana"),
+      cnt("[\\x{4E00}-\\x{9FFF}]").as("n_kanji"),
+      cnt(" ").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_digit") - col("n_hiragana")
+          - col("n_katakana") - col("n_kanji") - col("n_space"))
+    // dominant script: first max in a FIXED priority order (total order —
+    // the oracle mirrors the same CASE chain)
+    out.withColumn("dominant",
+      when(col("n_chars") === 0, lit("empty"))
+        .when(col("n_latin") >= greatest(col("n_digit"), col("n_hiragana"),
+          col("n_katakana"), col("n_kanji"), col("n_other")), lit("latin"))
+        .when(col("n_digit") >= greatest(col("n_hiragana"), col("n_katakana"),
+          col("n_kanji"), col("n_other")), lit("digit"))
+        .when(col("n_hiragana") >= greatest(col("n_katakana"), col("n_kanji"),
+          col("n_other")), lit("hiragana"))
+        .when(col("n_katakana") >= greatest(col("n_kanji"), col("n_other")), lit("katakana"))
+        .when(col("n_kanji") >= col("n_other"), lit("kanji"))
+        .otherwise(lit("other")))
+  }
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct-token counts
+    * at ten document-id deciles — the corpus-health diagnostic that says
+    * whether a source is still contributing new vocabulary or repeating
+    * itself (sub-linear growth flattening early = heavy duplication or
+    * template text). Integer-exact: a token's first appearance is
+    * min(doc_id), its decile is ceil(fd·10/m) in integer arithmetic.
+    *
+    * Scale shape: one explode + token-keyed min aggregate (the q41 class),
+    * a ≤10-row per-decile count, and the ≤10 (bucket, count) rows collect
+    * to the driver (bounded, the IVF-fit class) where the cumulative sum
+    * becomes a literal 10-row result frame — no unpartitioned window at
+    * any corpus size.
+    */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mRow = df.agg(max(col(idCol).cast("long"))).head()
+    if (mRow.isNullAt(0)) // empty corpus: an empty curve, not an NPE
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("bucket", "doc_threshold", "n_new", "vocab_cum")
+    val m = mRow.getLong(0)
+    val counts = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .select(expr(s"(fd * 10 + $m - 1) div $m").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = (1L to 10L).scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), b) =>
+      val nNew = counts.getOrElse(b, 0L)
+      (b, m * b / 10, nNew, cum + nNew)
+    }.tail
+    rows.toSeq.toDF("bucket", "doc_threshold", "n_new", "vocab_cum")
+  }
+
   /** Per-source corpus health report — the dashboard aggregate a curation
     * pipeline runs before/after each filtering stage: document and token
     * volume, exact-duplicate rate (on a content fingerprint, so the

@@ -4197,9 +4197,60 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Script-mix profile (q199): per-doc char counts by writing-system
+    * class + fixed-priority dominant label (TextAnalysis.scriptMixReport)
+    * — pure codegen projection; the oracle mirrors the ranges and the
+    * CASE chain exactly ('g' flag for RE2's replace-all).
+    */
+  val q199 = Q(
+    "q199_script_mix",
+    """WITH c AS (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(regexp_replace(text, '[\x{3041}-\x{3096}]', '', 'g')) AS BIGINT) AS n_hiragana,
+      |    CAST(length(text) - length(regexp_replace(text, '[\x{30A1}-\x{30FA}\x{30FC}]', '', 'g')) AS BIGINT) AS n_katakana,
+      |    CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_kanji,
+      |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+      |  FROM documents),
+      |d AS (SELECT *, n_chars - n_latin - n_digit - n_hiragana - n_katakana - n_kanji - n_space AS n_other FROM c)
+      |SELECT doc_id, n_chars, n_latin, n_digit, n_hiragana, n_katakana, n_kanji, n_space, n_other,
+      |  CASE WHEN n_chars = 0 THEN 'empty'
+      |       WHEN n_latin >= GREATEST(n_digit, n_hiragana, n_katakana, n_kanji, n_other) THEN 'latin'
+      |       WHEN n_digit >= GREATEST(n_hiragana, n_katakana, n_kanji, n_other) THEN 'digit'
+      |       WHEN n_hiragana >= GREATEST(n_katakana, n_kanji, n_other) THEN 'hiragana'
+      |       WHEN n_katakana >= GREATEST(n_kanji, n_other) THEN 'katakana'
+      |       WHEN n_kanji >= n_other THEN 'kanji'
+      |       ELSE 'other' END AS dominant
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.scriptMixReport(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Heaps-law vocabulary growth (q200): cumulative distinct tokens at
+    * ten doc-id deciles (TextAnalysis.vocabularyGrowth) — integer decile
+    * assignment, ≤10-row driver cumsum, no unpartitioned window.
+    */
+  val q200 = Q(
+    "q200_vocabulary_growth",
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
+      |b AS (SELECT CAST((fd * 10 + mx.m - 1) // mx.m AS BIGINT) AS bucket FROM f, mx),
+      |c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM b GROUP BY bucket),
+      |g AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bucket),
+      |j AS (SELECT g.bucket, COALESCE(c.n_new, 0) AS n_new FROM g LEFT JOIN c USING (bucket))
+      |SELECT j.bucket, CAST(mx.m * j.bucket // 10 AS BIGINT) AS doc_threshold,
+      |  CAST(j.n_new AS BIGINT) AS n_new,
+      |  CAST(SUM(j.n_new) OVER (ORDER BY j.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+      |FROM j, mx ORDER BY j.bucket""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabularyGrowth(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }

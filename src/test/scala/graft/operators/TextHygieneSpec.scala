@@ -368,6 +368,51 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(r(4) == ((5L, 0L, 0L, 0L, 0L, false)), "empty doc: 0 ppm, undamaged")
   }
 
+  test("scriptMixReport: exact class counts on mixed-script text, fixed-priority dominant") {
+    val docs = Seq(
+      (1L, "Hello 123 world"),       // latin 10, digit 3, space 2
+      (2L, "こんにちは世界"),          // hiragana 5, kanji 2
+      (3L, "カタカナとローマ字ab"),    // katakana incl. ー, hiragana と/字? (字 is kanji)
+      (4L, ""),                       // empty
+      (5L, "аб 間")).toDF("doc_id", "text") // cyrillic → other
+    val r = TextAnalysis.scriptMixReport(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = r(i)
+    assert(row(0).getLong(1) == 15 && row(0).getLong(2) == 10 &&
+      row(0).getLong(3) == 3 && row(0).getLong(7) == 2 && row(0).getString(9) == "latin")
+    assert(row(1).getLong(4) == 5 && row(1).getLong(6) == 2 &&
+      row(1).getString(9) == "hiragana")
+    assert(row(2).getLong(5) == 7, s"katakana count incl. ー: ${row(2)}") // カタカナ(4)+ローマ(3 incl ー)
+    assert(row(3).getString(9) == "empty")
+    assert(row(4).getLong(8) == 2 && row(4).getLong(6) == 1, s"cyrillic is other: ${row(4)}")
+    // tie goes to the earlier class in the fixed order: 1 latin vs 1 kanji → latin
+    val tie = TextAnalysis.scriptMixReport(Seq((9L, "a間")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(tie.getString(9) == "latin")
+  }
+
+  test("vocabularyGrowth: integer deciles, first-appearance attribution, cumulative curve") {
+    // 10 docs; doc 1 brings {a,b}, doc 5 brings {c}, doc 10 brings {d};
+    // every other doc repeats a → deciles: b1=2 new, b5=1, b10=1
+    val docs = (1L to 10L).map {
+      case 1L => (1L, "a b")
+      case 5L => (5L, "a c")
+      case 10L => (10L, "a d")
+      case i => (i, "a")
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.vocabularyGrowth(docs, "doc_id", "text")
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length == 10)
+    assert(r(0) == ((1L, 1L, 2L, 2L)))  // threshold m*1/10 = 1 → {a, b}
+    assert(r(4) == ((5L, 5L, 1L, 3L)))  // c first appears in doc 5
+    assert(r(8) == ((9L, 9L, 0L, 3L)))  // nothing new in 6..9
+    assert(r(9) == ((10L, 10L, 1L, 4L)))
+    // empty corpus → empty curve, no NPE
+    assert(TextAnalysis.vocabularyGrowth(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
