@@ -174,14 +174,21 @@ object Bench {
     val floorBad = oldFloor.exists(of => versionFloor > math.max(of * 3, 0.2))
     val spreadBad = oldSpread.exists(os => medianSpread > os * 1.5)
     // prior per-query times: parse ONLY the "queries" object — "rep_spread"
-    // carries the same key shape and must not contribute
+    // carries the same key shape and must not contribute. The value regex
+    // must accept full scientific notation incl. NEGATIVE exponents:
+    // query times are serialized with raw Double.toString, which emits
+    // e.g. 9.8E-4 below 1e-3, and a toDouble throw here would silently
+    // disable the whole guard via the caller's catch (round-17 review
+    // finding). A truncated artifact (no closing brace — the documented
+    // tail-truncation mode) degrades to an empty map, not a substring
+    // crash.
     val priorQueries: Map[String, Double] = {
       val start = priorTxt.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
+      val end = if (start < 0) -1 else priorTxt.indexOf('}', start)
+      if (start < 0 || end < 0) Map.empty
       else {
-        val body = priorTxt.substring(start + "\"queries\":{".length,
-          priorTxt.indexOf('}', start).max(start))
-        "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+        val body = priorTxt.substring(start + "\"queries\":{".length, end)
+        "\"([^\"]+)\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }

@@ -122,10 +122,17 @@ object Kernels {
     val tb = new scala.collection.mutable.ArrayBuilder.ofLong
     val n = str.length
     // seed 1, not 0 (ADVICE r16): with h=0, U+0000 code points contribute
-    // nothing (0*131+0=0), so tokens differing only in leading NULs — and
-    // '' vs a lone-NUL token — would collide DETERMINISTICALLY before fmix64, a
-    // class the 2^-128 birthday math doesn't cover. Seeding 1 makes the
-    // polynomial injective over code-point sequences up to i64 wraparound.
+    // nothing, so tokens differing only in leading NULs — and '' vs a
+    // lone-NUL token — collided DETERMINISTICALLY before fmix64. Base:
+    // the FNV-1 prime (odd, > 2^40 > the 2^21 code-point alphabet), not
+    // the original 131 — with base < alphabet every pair [c1, c2] vs
+    // [c1-1, c2+131] collided structurally (round-17 review finding);
+    // with B > alphabet, 2-code-point tokens are collision-free outright
+    // (the differing-lead-char delta is a multiple of B mod 2^64, which
+    // cannot land inside the +/-2^21 trailing-char window), and longer
+    // tokens' wraparound collisions are unstructured. fmix64 is a
+    // bijection, so it adds diffusion without adding collisions.
+    val B = 0x100000001B3L
     var h = 1L
     var i = 0
     while (i <= n) {
@@ -135,7 +142,7 @@ object Kernels {
         i += 1
       } else {
         val cp = str.codePointAt(i)
-        h = h * 131 + cp // wraparound i64 — intentional
+        h = h * B + cp // wraparound i64 — intentional
         i += Character.charCount(cp)
       }
     }

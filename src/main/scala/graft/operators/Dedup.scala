@@ -475,14 +475,24 @@ object Dedup {
     * Scale shape: the normal form and its digest are computed in the scan
     * projection, so only (doc_id, 32-char fp) pairs ride the ONE fp-keyed
     * exchange; keep is min(doc_id) vs self inside the fp partition.
+    *
+    * EMPTY normal forms are exempt (keep = true): the [a-z0-9 ] alphabet
+    * means a fully non-Latin document (kana/kanji/cyrillic) normalizes to
+    * "", and without the exemption every such doc in the corpus would
+    * share md5("") and all but one be flagged — a data-destroying default
+    * on non-English corpora (round-17 review finding). "No ASCII signal"
+    * is "this rung can't judge", not "duplicate".
     */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val normalized = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
     val pairs = df.select(col(idCol).cast("long").as("doc_id"),
-      md5(normalized).as("fp"))
+      md5(normalized).as("fp"), (length(normalized) === 0).as("blank"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    pairs.withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+    pairs
+      .withColumn("keep",
+        col("blank") || col("doc_id") === min(col("doc_id")).over(w))
+      .drop("blank")
   }
 
   /** Near-dup cluster REPRESENTATIVE selection: for every LSH/CC cluster

@@ -548,9 +548,14 @@ object TextAnalysis {
         col("n_chars") - col("n_latin") - col("n_digit") - col("n_hiragana")
           - col("n_katakana") - col("n_kanji") - col("n_space"))
     // dominant script: first max in a FIXED priority order (total order —
-    // the oracle mirrors the same CASE chain)
+    // the oracle mirrors the same CASE chain). A doc with zero SCRIPT
+    // characters (whitespace-only, or whitespace+space-class only) labels
+    // 'space', not a confident 'latin' from an all-zero >= test
+    // (round-17 review finding — the ascii-art/table-junk class).
     out.withColumn("dominant",
       when(col("n_chars") === 0, lit("empty"))
+        .when(col("n_latin") + col("n_digit") + col("n_hiragana")
+          + col("n_katakana") + col("n_kanji") + col("n_other") === 0, lit("space"))
         .when(col("n_latin") >= greatest(col("n_digit"), col("n_hiragana"),
           col("n_katakana"), col("n_kanji"), col("n_other")), lit("latin"))
         .when(col("n_digit") >= greatest(col("n_hiragana"), col("n_katakana"),
@@ -574,24 +579,30 @@ object TextAnalysis {
     * to the driver (bounded, the IVF-fit class) where the cumulative sum
     * becomes a literal 10-row result frame — no unpartitioned window at
     * any corpus size.
+    *
+    * Deciles span [min(doc_id), max(doc_id)], not [1, max]: a raw
+    * ceil(fd·10/max) put a doc_id-0 first appearance in a nonexistent
+    * bucket 0 and divided by zero on an all-zero-id corpus (round-17
+    * review finding) — the min-anchored form is total over any id range.
     */
   def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val mRow = df.agg(max(col(idCol).cast("long"))).head()
+    val mRow = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
     if (mRow.isNullAt(0)) // empty corpus: an empty curve, not an NPE
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("bucket", "doc_threshold", "n_new", "vocab_cum")
-    val m = mRow.getLong(0)
+    val mn = mRow.getLong(0)
+    val span = mRow.getLong(1) - mn + 1
     val counts = df.select(col(idCol).cast("long").as("doc_id"),
         explode(toks(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
-      .select(expr(s"(fd * 10 + $m - 1) div $m").as("bucket"))
+      .select(expr(s"((fd - $mn + 1) * 10 + $span - 1) div $span").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val rows = (1L to 10L).scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), b) =>
       val nNew = counts.getOrElse(b, 0L)
-      (b, m * b / 10, nNew, cum + nNew)
+      (b, mn - 1 + span * b / 10, nNew, cum + nNew)
     }.tail
     rows.toSeq.toDF("bucket", "doc_threshold", "n_new", "vocab_cum")
   }

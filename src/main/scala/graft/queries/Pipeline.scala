@@ -4187,11 +4187,13 @@ object Pipeline {
     */
   val q198 = Q(
     "q198_normalized_dedup",
-    """WITH fp AS (SELECT doc_id,
-      |    md5(trim(regexp_replace(regexp_replace(lower(text),
-      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
-      |  FROM documents)
-      |SELECT doc_id, fp, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+    """WITH n AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |fp AS (SELECT doc_id, md5(norm) AS fp, length(norm) = 0 AS blank FROM n)
+      |SELECT doc_id, fp,
+      |  blank OR doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
       |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Dedup.normalizedDedup(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -4216,6 +4218,7 @@ object Pipeline {
       |d AS (SELECT *, n_chars - n_latin - n_digit - n_hiragana - n_katakana - n_kanji - n_space AS n_other FROM c)
       |SELECT doc_id, n_chars, n_latin, n_digit, n_hiragana, n_katakana, n_kanji, n_space, n_other,
       |  CASE WHEN n_chars = 0 THEN 'empty'
+      |       WHEN n_latin + n_digit + n_hiragana + n_katakana + n_kanji + n_other = 0 THEN 'space'
       |       WHEN n_latin >= GREATEST(n_digit, n_hiragana, n_katakana, n_kanji, n_other) THEN 'latin'
       |       WHEN n_digit >= GREATEST(n_hiragana, n_katakana, n_kanji, n_other) THEN 'digit'
       |       WHEN n_hiragana >= GREATEST(n_katakana, n_kanji, n_other) THEN 'hiragana'
@@ -4233,14 +4236,14 @@ object Pipeline {
     */
   val q200 = Q(
     "q200_vocabulary_growth",
-    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    """WITH mx AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents),
       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |f AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
-      |b AS (SELECT CAST((fd * 10 + mx.m - 1) // mx.m AS BIGINT) AS bucket FROM f, mx),
+      |b AS (SELECT CAST(((fd - mx.mn + 1) * 10 + mx.span - 1) // mx.span AS BIGINT) AS bucket FROM f, mx),
       |c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM b GROUP BY bucket),
       |g AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bucket),
       |j AS (SELECT g.bucket, COALESCE(c.n_new, 0) AS n_new FROM g LEFT JOIN c USING (bucket))
-      |SELECT j.bucket, CAST(mx.m * j.bucket // 10 AS BIGINT) AS doc_threshold,
+      |SELECT j.bucket, CAST(mx.mn - 1 + mx.span * j.bucket // 10 AS BIGINT) AS doc_threshold,
       |  CAST(j.n_new AS BIGINT) AS n_new,
       |  CAST(SUM(j.n_new) OVER (ORDER BY j.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
       |FROM j, mx ORDER BY j.bucket""".stripMargin) { (s, dir) =>

@@ -72,9 +72,7 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
     // Filter-over-Project shape needs no rule: a filter on the projected
     // COLUMN shares the expression via the attribute, and Catalyst's own
     // pushdown handles re-derived predicates before this rule runs.
-    case Project(projList, Filter(cond, child))
-        if filterProjectDup(projList, cond).isDefined =>
-      val tok = filterProjectDup(projList, cond).get
+    case FilterProjectDup(projList, cond, child, tok) =>
       val alias = Alias(tok, "_graft_toks")()
       val below = Project(child.output :+ alias, child)
       val newCond = cond.transform {
@@ -88,13 +86,22 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
 
   /** A tokenize call appearing in BOTH the filter predicate and the
     * projection (the cross-operator duplication codegen cannot eliminate).
+    * Extractor form so the scan runs ONCE per node — a guard +
+    * body-recompute ran it twice on every Project-over-Filter in the plan
+    * (round-17 review finding).
     */
-  private def filterProjectDup(
-      projList: Seq[NamedExpression], cond: Expression): Option[TokenizeJaNeologd] =
-    cond.collect { case t: TokenizeJaNeologd => t }.find { tok =>
-      projList.exists(ne => ne.exists {
-        case t: TokenizeJaNeologd => t.semanticEquals(tok)
-        case _ => false
-      })
-    }
+  private object FilterProjectDup {
+    def unapply(plan: LogicalPlan)
+        : Option[(Seq[NamedExpression], Expression, LogicalPlan, TokenizeJaNeologd)] =
+      plan match {
+        case Project(projList, Filter(cond, child)) =>
+          cond.collect { case t: TokenizeJaNeologd => t }.find { tok =>
+            projList.exists(ne => ne.exists {
+              case t: TokenizeJaNeologd => t.semanticEquals(tok)
+              case _ => false
+            })
+          }.map(tok => (projList, cond, child, tok))
+        case _ => None
+      }
+  }
 }

@@ -89,7 +89,10 @@ object AcBench {
       }
       // the synthetic documents corpus has a ~30-word vocabulary, so the
       // 1-3-word phrase space caps near 28k — skip exhausted repeats
-      if (set.size == lastCount) return
+      // (skip THIS size only, not the rest of the list: a non-local
+      // return here exited main and dropped every remaining size,
+      // round-17 review finding)
+      if (set.size != lastCount) {
       lastCount = set.size
       val patterns = set.toArray(new Array[String](set.size))
       val t0 = System.nanoTime()
@@ -107,6 +110,7 @@ object AcBench {
       println(f"[acbench-corpus] patterns=${patterns.length}%7d build=${buildMs}%8.1f ms " +
         f"nodes=${ac.nodeCount}%8d scan=${mbps}%7.1f MB/s (min of 3) matches=$matches " +
         f"over ${texts.length} docs / ${totalChars / 1e6}%.1f M chars")
+      }
     }
   }
 }

@@ -68,6 +68,24 @@ class BenchDivertSpec extends AnyFunSuite {
     assert(!Bench.shouldDivert(prior, versionFloor = 0.022, medianSpread = 1.4, now))
   }
 
+  test("scientific-notation times parse (raw Double.toString emits E-4 below 1e-3)") {
+    // round-17 review finding: `(-?[0-9.eE+]+)` captured "9.8E" from
+    // 9.8E-4, toDouble threw, and the caller's catch disabled the WHOLE
+    // guard — including the floor trigger
+    val prior = """{"metric":"total","queries":{"q62":9.8E-4,"q01":0.6,"q02":0.4,"q03":0.5,"q04":0.7,"q05":0.3},""" +
+      """"median_rep_spread":1.4,"version_call_floor_sec":9.8E-4}"""
+    val burst = Seq("q01" -> 6.0, "q02" -> 4.0, "q03" -> 5.0,
+      "q04" -> 7.0, "q05" -> 3.0, "q62" -> 0.001)
+    assert(Bench.shouldDivert(prior, versionFloor = 0.001, medianSpread = 1.5, burst),
+      "per-query trigger must survive scientific-notation priors")
+  }
+
+  test("truncated artifact (no closing brace) degrades to no-divert, not a crash") {
+    val truncated = """{"metric":"total","queries":{"q01":0.6,"q02":0.4"""
+    assert(!Bench.shouldDivert(truncated, versionFloor = 0.02, medianSpread = 1.3,
+      Seq("q01" -> 0.62)))
+  }
+
   test("spread-only trigger still requires a missing prior floor") {
     val noFloor = """{"metric":"total","value":1.0,"queries":{"q01":0.6},"median_rep_spread":1.2}"""
     assert(Bench.shouldDivert(noFloor, versionFloor = 0.02, medianSpread = 2.5,

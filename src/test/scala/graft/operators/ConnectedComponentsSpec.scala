@@ -116,4 +116,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(r.filter(_._3).map(_._1).toSeq == Seq(1L, 4L),
       "min doc_id per fingerprint keeps")
   }
+
+  test("normalizedDedup: non-Latin docs (empty normal form) are ALL kept, never cross-flagged") {
+    // round-17 review finding: without the blank exemption every kana/kanji
+    // doc normalized to "" and shared one fingerprint — a data-destroying
+    // default on non-English corpora
+    val docs = Seq(
+      (1L, "日本語の文書です"),
+      (2L, "全く別の内容の文書"),
+      (3L, "!!!"),
+      (4L, "ascii doc"),
+      (5L, "ASCII   doc!")).toDF("doc_id", "text")
+    val r = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(2)))
+    assert(r.toSeq == Seq((1L, true), (2L, true), (3L, true), (4L, true), (5L, false)),
+      "blank normal forms exempt; real ascii dup still caught")
+  }
 }

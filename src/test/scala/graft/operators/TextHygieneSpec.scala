@@ -389,6 +389,11 @@ class TextHygieneSpec extends AnyFunSuite {
     val tie = TextAnalysis.scriptMixReport(Seq((9L, "a間")).toDF("doc_id", "text"),
       "doc_id", "text").collect()(0)
     assert(tie.getString(9) == "latin")
+    // whitespace-only doc: 'space', not a confident zero-count 'latin'
+    // (round-17 review finding)
+    val ws = TextAnalysis.scriptMixReport(Seq((10L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(ws.getString(9) == "space", s"whitespace-only must label space: $ws")
   }
 
   test("vocabularyGrowth: integer deciles, first-appearance attribution, cumulative curve") {
@@ -411,6 +416,18 @@ class TextHygieneSpec extends AnyFunSuite {
     // empty corpus → empty curve, no NPE
     assert(TextAnalysis.vocabularyGrowth(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+    // 0-based ids: doc 0's vocabulary must land in bucket 1, not a
+    // nonexistent bucket 0 (round-17 review finding); all-same-id corpus
+    // must not divide by zero
+    val zero = (0L to 9L).map(i => (i, if (i == 0) "a b" else "a")).toDF("doc_id", "text")
+    val rz = TextAnalysis.vocabularyGrowth(zero, "doc_id", "text")
+      .orderBy("bucket").collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    assert(rz(0) == ((1L, 2L, 2L)), s"doc-0 vocab must be counted: ${rz.toSeq}")
+    assert(rz(9)._3 == 2L, "total vocabulary must be complete")
+    val same = Seq((7L, "x y"), (7L, "y z")).toDF("doc_id", "text")
+    val rs = TextAnalysis.vocabularyGrowth(same, "doc_id", "text")
+      .orderBy("bucket").collect().map(x => (x.getLong(0), x.getLong(3)))
+    assert(rs(9) == ((10L, 3L)), s"single-id corpus: all vocab at the 100% point: ${rs.toSeq}")
   }
 
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
