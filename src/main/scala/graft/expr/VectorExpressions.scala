@@ -40,6 +40,29 @@ case class GraftHash64(child: Expression) extends UnaryExpression {
   * no explode, no shuffle, where the per-char groupBy formulation shuffles
   * every character of the corpus.
   */
+/** `script_counts(text) → array<bigint>`: single-pass writing-system
+  * class counts [n_chars, latin, digit, hiragana, katakana, kanji, space]
+  * (see Kernels.scriptCounts) — the codegen kernel behind q199's
+  * script-mix profile.
+  */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "script_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.scriptCounts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.scriptCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharStats(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "char_stats"

@@ -113,6 +113,12 @@ object functions {
   /** Per-row char stats [n, distinct, collisions] (see graft.expr.CharStats). */
   def char_stats(text: Column): Column = toCol(graft.expr.CharStats(toExpr(text)))
 
+  /** Single-pass writing-system class counts
+    * [n_chars, latin, digit, hiragana, katakana, kanji, space]
+    * (see graft.expr.ScriptCounts).
+    */
+  def script_counts(text: Column): Column = toCol(graft.expr.ScriptCounts(toExpr(text)))
+
   /** Packed integer-L2 k-means assignment (see graft.expr.KmeansAssign). */
   def kmeans_assign(emb: Column, centroids: Array[Array[Long]], scale: Long): Column =
     toCol(graft.expr.KmeansAssign(toExpr(emb), centroids, scale))

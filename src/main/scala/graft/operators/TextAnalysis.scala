@@ -527,23 +527,26 @@ object TextAnalysis {
     * other) plus the dominant script under a fixed priority tiebreak —
     * the signal that separates "Japanese doc", "code-switched doc", and
     * "ascii-art/table junk" where token-level language-ID (q39) sees only
-    * whitespace-delimited words. Pure built-in codegen projection (length
-    * diffs over explicit BMP ranges — identical byte-for-byte semantics
-    * in the DuckDB RE2 mirror), zero shuffle at any corpus size.
+    * whitespace-delimited words. ONE codegen char pass per row
+    * (graft.expr.ScriptCounts — the original seven-regex built-in
+    * projection scanned every row seven times; sf0.1 is overhead-bound
+    * either way at ~0.63 s — the 7x per-byte win is the 100 TB term)
+    * with identical class ranges, so the DuckDB regex mirror
+    * is unchanged. Zero shuffle at any corpus size.
     */
   def scriptMixReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    def cnt(pattern: String) =
-      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
     val out = df.select(
       col(idCol).cast("long").as("doc_id"),
-      length(t).cast("long").as("n_chars"),
-      cnt("[A-Za-z]").as("n_latin"),
-      cnt("[0-9]").as("n_digit"),
-      cnt("[\\x{3041}-\\x{3096}]").as("n_hiragana"),
-      cnt("[\\x{30A1}-\\x{30FA}\\x{30FC}]").as("n_katakana"),
-      cnt("[\\x{4E00}-\\x{9FFF}]").as("n_kanji"),
-      cnt(" ").as("n_space"))
+      graft.functions.script_counts(col(textCol)).as("sc"))
+      .select(
+        col("doc_id"),
+        col("sc").getItem(0).as("n_chars"),
+        col("sc").getItem(1).as("n_latin"),
+        col("sc").getItem(2).as("n_digit"),
+        col("sc").getItem(3).as("n_hiragana"),
+        col("sc").getItem(4).as("n_katakana"),
+        col("sc").getItem(5).as("n_kanji"),
+        col("sc").getItem(6).as("n_space"))
       .withColumn("n_other",
         col("n_chars") - col("n_latin") - col("n_digit") - col("n_hiragana")
           - col("n_katakana") - col("n_kanji") - col("n_space"))

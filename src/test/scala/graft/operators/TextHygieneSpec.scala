@@ -396,6 +396,22 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(ws.getString(9) == "space", s"whitespace-only must label space: $ws")
   }
 
+  test("script_counts kernel equals the seven-regex composition (fusion is transparent)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("Hello 123 world", "こんにちは世界", "カタカナとローマ字ab",
+      "", "аб 間", "mixed 漢字 and かな and カナ 42", "😀 emoji is other")
+    val df = texts.toDF("text")
+    def cnt(p: String) = (length(col("text")) - length(regexp_replace(col("text"), p, ""))).cast("long")
+    val viaRegex = df.select(array(length(col("text")).cast("long"),
+        cnt("[A-Za-z]"), cnt("[0-9]"), cnt("[\\x{3041}-\\x{3096}]"),
+        cnt("[\\x{30A1}-\\x{30FA}\\x{30FC}]"), cnt("[\\x{4E00}-\\x{9FFF}]"), cnt(" ")).as("a"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val viaKernel = df.select(graft.functions.script_counts(col("text")).as("a"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(viaKernel == viaRegex)
+    assert(viaKernel.head == Seq(15L, 10L, 3L, 0L, 0L, 0L, 2L))
+  }
+
   test("vocabularyGrowth: integer deciles, first-appearance attribution, cumulative curve") {
     // 10 docs; doc 1 brings {a,b}, doc 5 brings {c}, doc 10 brings {d};
     // every other doc repeats a → deciles: b1=2 new, b5=1, b10=1
