@@ -51,7 +51,7 @@ object Bench {
     }
     val spreads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -59,6 +59,15 @@ object Bench {
           None
         }
       }
+      val base = (1 to reps).flatMap(_ => rep())
+      // Adaptive third rep (VERDICT r16 #8): the r16 bursty artifact's
+      // 10-20x per-query inflations were SINGLE-REP outliers — when the
+      // two base reps disagree the min is untrustworthy, so exactly the
+      // noisy queries pay one more rep (an idle host pays ~nothing; a
+      // uniform reps=3 would cost +50% driver wall-clock everywhere).
+      val times =
+        if (base.length >= 2 && Bench.needsExtraRep(base)) base ++ rep()
+        else base
       // max/min spread per query: on an idle host this sits near 1; a
       // contended sandbox (the r8 artifact) shows 5-40x swings. Printing it
       // makes a contaminated run self-evident (VERDICT r8 #3).
@@ -149,6 +158,14 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
   }
+
+  /** A third rep is warranted when the base reps disagree by over 1.5x
+    * AND the query is non-trivial (min >= 0.1 s — sub-100ms queries jitter
+    * past 1.5x on JIT/GC noise alone and their absolute error is
+    * harmless): the min of two discordant reps may itself be the outlier.
+    */
+  def needsExtraRep(times: Seq[Double]): Boolean =
+    times.min >= 0.1 && times.max / times.min > 1.5
 
   /** Write-time contention decision against the prior artifact's text —
     * extracted for spec coverage (BenchDivertSpec). Three triggers:

@@ -68,6 +68,15 @@ class BenchDivertSpec extends AnyFunSuite {
     assert(!Bench.shouldDivert(prior, versionFloor = 0.022, medianSpread = 1.4, now))
   }
 
+  test("adaptive third rep fires only on discordant non-trivial reps") {
+    // VERDICT r16 #8: single-rep outliers need a tiebreaker; idle hosts
+    // and sub-100ms jitter must not pay for one
+    assert(Bench.needsExtraRep(Seq(1.0, 2.0)), "2x disagreement on a 1s query")
+    assert(!Bench.needsExtraRep(Seq(1.0, 1.3)), "within-band reps")
+    assert(!Bench.needsExtraRep(Seq(0.02, 0.08)), "sub-100ms jitter exempt")
+    assert(Bench.needsExtraRep(Seq(0.2, 0.9)), "0.1s+ queries qualify")
+  }
+
   test("scientific-notation times parse (raw Double.toString emits E-4 below 1e-3)") {
     // round-17 review finding: `(-?[0-9.eE+]+)` captured "9.8E" from
     // 9.8E-4, toDouble threw, and the caller's catch disabled the WHOLE
