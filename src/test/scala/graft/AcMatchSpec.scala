@@ -46,6 +46,22 @@ class AcMatchSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized parity over a supplementary-plane alphabet (surrogate pairs in the frozen trie)") {
+    // the r17 frozen form walks UTF-16 code units: a surrogate-pair
+    // pattern is two trie edges whose chars are individually meaningless —
+    // parity with naive contains proves the goto/failure machinery is
+    // agnostic to where code-point boundaries fall
+    val rng = new scala.util.Random(7)
+    val alphabet = Array("😀", "😁", "𝕏", "a")
+    val patterns = (1 to 16).map(_ =>
+      (1 to (1 + rng.nextInt(3))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+      .distinct.toArray
+    (1 to 100).foreach { _ =>
+      val s = (1 to (3 + rng.nextInt(25))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      assert(ac(patterns, s) == naive(patterns, s), s"text '$s'")
+    }
+  }
+
   test("multi-byte text and patterns; empty text matches nothing") {
     val ps = Array("寿司", "司屋", "った")
     assert(ac(ps, "駅前の寿司屋に行った") == Seq("った", "司屋", "寿司"))
