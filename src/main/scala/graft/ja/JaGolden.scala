@@ -338,6 +338,33 @@ object JaGolden {
   lazy val heldoutCorpus20: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus20.tsv")
 
+  /** Twenty-first blind held-out set (karaoke / bowling / planetarium /
+    * hotel / car wash / garbage day registers), pre-registered round 17 and
+    * evaluated round 18 FIRST, before any dictionary change: first-run
+    * 35/40 = 87.5% — the best first-run of the trend. Adjudication: 3
+    * lexeme gaps (同じ 連体詞, kana やさしい, 貼り紙 spelling variant), TWO
+    * author amendments (お湯/お風呂 honorific strip per goldens 1576/1891;
+    * 集積所 sino+所 atomic per the 発電所/市役所 class), ZERO lattice
+    * findings. Pinned at 40/40; drives q201.
+    */
+  lazy val heldoutCorpus21: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus21.tsv")
+
+  /** Twenty-second blind held-out set (watch repair / airport / orchestra /
+    * sledding / vaccination / go club registers), pre-registered round 17
+    * and evaluated round 18 after set 21, before any dictionary change:
+    * first-run 35/40 = 87.5%. Adjudication: 2 lexeme gaps (同じ shared with
+    * set 21, 本番), TWO author amendments (滑走路/待合室 — sino+suffix
+    * atomic per goldens 1322/1511 and the 発電所 class; the claimed X室/X路
+    * split convention had no recorded precedent), and ONE LATTICE FINDING
+    * (the first since set 18): が→ぬ→れ undercut the verb stem ぬれ because
+    * the 未然-only archaic negative ぬ sat in generic Aux — now dispatched
+    * into AuxMasu beside ず (JaLattice.classOf). Pinned at 40/40; drives
+    * q202.
+    */
+  lazy val heldoutCorpus22: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus22.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -391,6 +418,10 @@ object JaGolden {
     literalTable(heldoutCorpus19.map { case (sid, _, toks) => (sid, toks) })
   def heldout20OracleSql: String =
     literalTable(heldoutCorpus20.map { case (sid, _, toks) => (sid, toks) })
+  def heldout21OracleSql: String =
+    literalTable(heldoutCorpus21.map { case (sid, _, toks) => (sid, toks) })
+  def heldout22OracleSql: String =
+    literalTable(heldoutCorpus22.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -97,9 +97,15 @@ private[ja] object JaCosts {
       else if (e.surface == "う") AuxU
       else if (e.surface == "ます" || e.surface == "まし" || e.surface == "ませ" ||
         e.surface == "たい" || e.surface == "たく" || e.surface == "たかっ" ||
-        e.surface == "ず") AuxMasu // ず is 未然-only: the same non-連用 fences
+        e.surface == "ず" || e.surface == "ぬ") AuxMasu // ず and the archaic
+      // negative ぬ are 未然-only: the same non-連用 fences
       // (×は+ず must not steal the formal noun はず; ×が+ず must not steal
-      // ずれる's stem — round-12 batch-10 replay)
+      // ずれる's stem — round-12 batch-10 replay; ×が+ぬ was undercutting
+      // the potential stem ぬれ at the +500 generic-Aux residue fence, so
+      // 手袋がぬれて dropped its verb — held-out set 22 sid 24, the
+      // round-18 lattice finding. 行か+ぬ stays licensed via VMizen→AuxMasu
+      // like 行か+ず; golden 2124's sentence-initial ぬれた never leaked
+      // because BOS→Aux is 2300.)
       else if (e.base == "せる" || e.base == "させる" ||
         e.base == "れる" || e.base == "られる") AuxCaus
       // causative/passive auxiliaries: a particle can never precede the

@@ -479,4 +479,61 @@ class HeldoutCorpusSpec extends AnyFunSuite {
     val overlap = JaGolden.heldoutCorpus20.filter { case (_, s, _) => seen.contains(s) }
     assert(overlap.isEmpty, s"held-out-20 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
   }
+
+  test("held-out corpus 21: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus21
+    assert(corpus.size == 40, s"held-out corpus 21 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-21 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 21 is disjoint from all earlier corpora") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2) ++ JaGolden.heldoutCorpus10.map(_._2) ++
+      JaGolden.heldoutCorpus11.map(_._2) ++ JaGolden.heldoutCorpus12.map(_._2) ++
+      JaGolden.heldoutCorpus13.map(_._2) ++ JaGolden.heldoutCorpus14.map(_._2) ++
+      JaGolden.heldoutCorpus15.map(_._2) ++ JaGolden.heldoutCorpus16.map(_._2) ++
+      JaGolden.heldoutCorpus17.map(_._2) ++ JaGolden.heldoutCorpus18.map(_._2) ++
+      JaGolden.heldoutCorpus19.map(_._2) ++ JaGolden.heldoutCorpus20.map(_._2)
+    val overlap = JaGolden.heldoutCorpus21.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-21 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
+
+  test("held-out corpus 22: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus22
+    assert(corpus.size == 40, s"held-out corpus 22 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-22 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 22 is disjoint from all earlier corpora") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2) ++ JaGolden.heldoutCorpus10.map(_._2) ++
+      JaGolden.heldoutCorpus11.map(_._2) ++ JaGolden.heldoutCorpus12.map(_._2) ++
+      JaGolden.heldoutCorpus13.map(_._2) ++ JaGolden.heldoutCorpus14.map(_._2) ++
+      JaGolden.heldoutCorpus15.map(_._2) ++ JaGolden.heldoutCorpus16.map(_._2) ++
+      JaGolden.heldoutCorpus17.map(_._2) ++ JaGolden.heldoutCorpus18.map(_._2) ++
+      JaGolden.heldoutCorpus19.map(_._2) ++ JaGolden.heldoutCorpus20.map(_._2) ++
+      JaGolden.heldoutCorpus21.map(_._2)
+    val overlap = JaGolden.heldoutCorpus22.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-22 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
 }
