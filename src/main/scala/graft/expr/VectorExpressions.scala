@@ -41,9 +41,11 @@ case class GraftHash64(child: Expression) extends UnaryExpression {
   * every character of the corpus.
   */
 /** `script_counts(text) → array<bigint>`: single-pass writing-system
-  * class counts [n_chars, latin, digit, hiragana, katakana, kanji, space]
-  * (see Kernels.scriptCounts) — the codegen kernel behind q199's
-  * script-mix profile.
+  * class counts [n_chars, latin, digit, hiragana, katakana, kanji, space,
+  * replacement, c0_ctrl] (see Kernels.scriptCounts) — the codegen kernel
+  * behind q199's script-mix profile AND q197's encoding-damage gate (the
+  * last two slots, VERDICT r17 #4: U+FFFD and the C0/DEL class, so both
+  * gates share ONE char pass).
   */
 case class ScriptCounts(child: Expression) extends UnaryExpression {
 
@@ -441,4 +443,105 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `hash_hits_128(hashes)` → bigint: how many of the row's 16-byte window
+  * fingerprints (a `rolling_window_hashes` array) are in the plan-embedded
+  * probe set — the per-row kernel of n-gram-overlap benchmark
+  * decontamination (Brown et al. 2020 §C: the GPT-3 13-gram collision
+  * rule). The probe rides the plan as interleaved sorted (hi, lo) long
+  * pairs (an unboxed `ArraySeq` — value equality for Catalyst's
+  * semanticEquals, primitive storage for the task closure, the AcMatch
+  * pattern-list precedent at 10⁶ entries), probed by binary search: a pure
+  * codegen projection, zero shuffle, O(windows · log |benchmark|) per row.
+  */
+case class HashHits128(child: Expression, probe: Seq[Long]) extends UnaryExpression {
+
+  require(probe.length % 2 == 0, "hash_hits_128: probe must be (hi, lo) pairs")
+  // validate sortedness eagerly but cheaply (runs per executor
+  // deserialization, like AcMatch's validation): the binary search is
+  // silently wrong on an unsorted probe
+  require(HashProbe128.isSortedPairs(probe), "hash_hits_128: probe must be pair-sorted")
+
+  @transient private lazy val pairs: Array[Long] = probe.toArray
+
+  override def prettyName: String = "hash_hits_128"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(BinaryType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName expects array<binary>")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashProbe128.hits(pairs, v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashProbePairs", pairs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashProbe128.hits($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static probe kernel for [[HashHits128]]: interleaved (hi, lo) pairs,
+  * sorted by signed (hi, then lo) — the same comparator
+  * `Decontaminate.benchmarkWindowHashes` sorts with on the driver.
+  */
+object HashProbe128 {
+
+  def isSortedPairs(p: Seq[Long]): Boolean = {
+    var i = 2
+    while (i + 1 < p.length) {
+      val c = java.lang.Long.compare(p(i - 2), p(i))
+      if (c > 0 || (c == 0 && java.lang.Long.compare(p(i - 1), p(i + 1)) > 0)) return false
+      i += 2
+    }
+    true
+  }
+
+  /** Count of `hashes` elements present in the sorted pair array. */
+  def hits(pairs: Array[Long], hashes: ArrayData): Long = {
+    var cnt = 0L
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      val b = hashes.getBinary(i)
+      var hi = 0L
+      var lo = 0L
+      var k = 0
+      while (k < 8) { hi = (hi << 8) | (b(k) & 0xffL); k += 1 }
+      while (k < 16) { lo = (lo << 8) | (b(k) & 0xffL); k += 1 }
+      if (contains(pairs, hi, lo)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** Fold a collected 16-byte fingerprint into the probe's (hi, lo) form —
+    * the driver-side twin of the big-endian fold in [[hits]] (the two MUST
+    * match; the underlying byte layout of the fingerprint is irrelevant as
+    * long as both sides fold identically).
+    */
+  def fold(b: Array[Byte]): (Long, Long) = {
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 8) { hi = (hi << 8) | (b(k) & 0xffL); k += 1 }
+    while (k < 16) { lo = (lo << 8) | (b(k) & 0xffL); k += 1 }
+    (hi, lo)
+  }
+
+  private def contains(p: Array[Long], hi: Long, lo: Long): Boolean = {
+    var l = 0
+    var r = p.length / 2 - 1
+    while (l <= r) {
+      val m = (l + r) >>> 1
+      val mh = p(2 * m)
+      val c = if (mh != hi) java.lang.Long.compare(mh, hi)
+        else java.lang.Long.compare(p(2 * m + 1), lo)
+      if (c < 0) l = m + 1 else if (c > 0) r = m - 1 else return true
+    }
+    false
+  }
 }

@@ -71,6 +71,15 @@ object functions {
   def rolling_window_hashes(text: Column, win: Int): Column =
     toCol(graft.expr.RollingWindowHashes(toExpr(text), win))
 
+  /** Count of the row's 16-byte window fingerprints present in the
+    * plan-embedded pair-sorted probe (codegen'd; see graft.expr.HashHits128)
+    * — the per-row kernel of n-gram benchmark decontamination
+    * (operators.Decontaminate.flagNgramCollision). Build `probe` with
+    * Decontaminate.benchmarkWindowHashes.
+    */
+  def hash_hits_128(hashes: Column, probe: Seq[Long]): Column =
+    toCol(graft.expr.HashHits128(toExpr(hashes), probe))
+
   /** Sorted distinct blocklist patterns occurring in `text` — one
     * Aho–Corasick pass regardless of pattern-list size (codegen'd; see
     * graft.expr.AcMatch). The curation blocklist scan: O(n + matches) per

@@ -392,7 +392,10 @@ object Sampling {
       case l: Long => l
     }
     val width = math.max(1L, maxScore / 64L + 1L)
-    val bucketed = scored.withColumn("bucket", (col("score") / width).cast("long"))
+    // integer `div`, not Column./ (double) — exact at any score magnitude
+    // (Column./ stays monotonic only below 2^53; the repo convention at
+    // the top of queries/Relational.scala, ADVICE r17)
+    val bucketed = scored.withColumn("bucket", expr(s"score div ${width}L"))
     // ≤ 64 (bucket, total) rows — the bounded driver collect of the
     // documented "broadcast cumulative offsets" pass
     val totals = bucketed.groupBy(col("bucket"))
@@ -467,5 +470,82 @@ object Decontaminate {
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("contaminated",
         col("n_shared") * thresholdDen >= col("n_shingles") * thresholdNum)
+  }
+
+  /** Distinct `n`-token rolling-window fingerprints of the benchmark set,
+    * folded to (hi, lo) pairs and pair-sorted for [[graft.expr.HashHits128]].
+    * The ONE bounded driver collect of the n-gram decontamination rung (the
+    * IVF-fit / AC-pattern-list class): the benchmark side is an evaluation
+    * set — small by definition — and `maxHashes` makes the bound explicit
+    * instead of silent (default 2²¹ ≈ 2M distinct 13-grams ≈ 32 MiB of
+    * probe longs riding the plan; a full eval-suite decontamination pass is
+    * typically 10⁵–10⁶).
+    */
+  def benchmarkWindowHashes(benchmark: DataFrame, textCol: String, n: Int,
+      maxHashes: Int = 1 << 21): scala.collection.immutable.ArraySeq[Long] = {
+    val rows = benchmark
+      .select(explode(graft.functions.rolling_window_hashes(col(textCol), n)).as("__h"))
+      .distinct()
+      .limit(maxHashes + 1)
+      .collect()
+    require(rows.length <= maxHashes,
+      s"benchmark has over $maxHashes distinct $n-gram fingerprints — raise maxHashes " +
+        "explicitly or decontaminate per benchmark shard")
+    val pairs = rows.map(r => graft.expr.HashProbe128.fold(r.getAs[Array[Byte]](0)))
+      .sortWith { case ((h1, l1), (h2, l2)) =>
+        val c = java.lang.Long.compare(h1, h2)
+        c < 0 || (c == 0 && java.lang.Long.compare(l1, l2) < 0)
+      }
+    val flat = new Array[Long](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      flat(2 * i) = pairs(i)._1
+      flat(2 * i + 1) = pairs(i)._2
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(flat)
+  }
+
+  /** N-gram-overlap benchmark decontamination — the published GPT-3 rule
+    * (Brown et al. 2020 §C, also the PaLM/Llama eval protocol): a training
+    * document is contaminated when ANY `n`-token window of its text also
+    * occurs as an `n`-token window ANYWHERE in the benchmark set, at any
+    * alignment. Strictly stronger than [[flagExact]] (whole-content
+    * fingerprints) and differently shaped than [[flagNearNgram]] (which
+    * thresholds on the shingle-overlap RATIO): one colliding 13-gram —
+    * including a benchmark passage quoted mid-document straddling any
+    * fixed-shingle alignment — flags the document.
+    * Returns (id, n_windows, n_hits, contaminated).
+    *
+    * Scale shape: ONE corpus scan, ZERO corpus-side exchanges — the
+    * O(tokens) rolling fingerprints and the probe count are both computed
+    * in the scan projection (`rolling_window_hashes` + `hash_hits_128`
+    * codegen kernels); the benchmark side reduces to a sorted probe array
+    * riding the plan (see [[benchmarkWindowHashes]] for the bound). The
+    * broadcast-semi-join formulation would explode the corpus ~L× and pay
+    * a per-doc re-aggregation shuffle; this is a projection.
+    */
+  def flagNgramCollision(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      maxBenchHashes: Int = 1 << 21): DataFrame = {
+    val probe = benchmarkWindowHashes(benchmark, textCol, n, maxBenchHashes)
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.rolling_window_hashes(col(textCol), n).as("__hs"))
+      .select(col("id"), size(col("__hs")).cast("long").as("n_windows"),
+        graft.functions.hash_hits_128(col("__hs"), probe).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
+  /** Corpus rows with NO colliding `n`-gram (the removal variant of
+    * [[flagNgramCollision]], mirroring [[removeExact]]'s keep-the-schema
+    * contract): all original columns, same one-scan zero-shuffle shape.
+    */
+  def removeNgramCollision(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int = 13, maxBenchHashes: Int = 1 << 21): DataFrame = {
+    val probe = benchmarkWindowHashes(benchmark, textCol, n, maxBenchHashes)
+    corpus.filter(
+      graft.functions.hash_hits_128(
+        graft.functions.rolling_window_hashes(col(textCol), n), probe) === 0L)
   }
 }

@@ -3513,6 +3513,60 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** N-gram-overlap benchmark decontamination (q203): the GPT-3 13-gram
+    * collision rule (Brown et al. 2020 §C) — one colliding 13-token window
+    * anywhere in the document, at ANY alignment, flags it; the published
+    * protocol q65's ratio rule and q53's exact rule both under-catch
+    * (DecontaminateNgramSpec pins the straddling case). Benchmark side =
+    * the q65 convention (doc_id % 89). The oracle replays the windows with
+    * DuckDB md5 over the window TEXT — the q182 precedent: only collision
+    * BEHAVIOR must match, the fingerprints never leave the operator.
+    */
+  val q203 = Q(
+    "q203_decontaminate_ngram",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |w AS (SELECT doc_id, unnest(range(0, len(toks) - 13 + 1)) AS pos, toks
+      |      FROM t WHERE len(toks) >= 13),
+      |h AS (SELECT doc_id,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 13), ' ')) AS h
+      |      FROM w),
+      |bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 89 = 0),
+      |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM h
+      |         WHERE h IN (SELECT h FROM bh) GROUP BY doc_id)
+      |SELECT t.doc_id AS id,
+      |  CAST(CASE WHEN len(t.toks) >= 13 THEN len(t.toks) - 12 ELSE 0 END AS BIGINT) AS n_windows,
+      |  COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+      |FROM t LEFT JOIN hits USING (doc_id)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bench = docs.where(col("doc_id") % 89 === 0)
+    graft.operators.Decontaminate.flagNgramCollision(docs, bench, "doc_id", "text")
+      .orderBy("id")
+  }
+
+  val q201 = Q("q201_tokenize_ja_heldout21", graft.ja.JaGolden.heldout21OracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus21.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
+  val q202 = Q("q202_tokenize_ja_heldout22", graft.ja.JaGolden.heldout22OracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus22.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   val q194 = Q("q194_tokenize_ja_heldout19", graft.ja.JaGolden.heldout19OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus19.map { case (sid, sentence, _) => (sid, sentence) })
@@ -4255,5 +4309,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 }

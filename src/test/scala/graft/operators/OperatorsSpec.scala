@@ -474,6 +474,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r.contains(4L)) // no shingles -> no evidence -> absent (as q31/q65)
   }
 
+  test("flagNgramCollision: one colliding 13-gram flags, at ANY alignment (the straddling case)") {
+    // benchmark: 20 tokens b1..b20
+    val bench = Seq((100L, (1 to 20).map("b" + _).mkString(" "))).toDF("doc_id", "text")
+    // doc 1 quotes benchmark tokens b5..b17 (13 tokens) mid-document at an
+    // offset (position 3) no fixed-shingle alignment hits — q65's ratio
+    // rule sees 1/8 shared 6-shingles... the point: ANY window collides.
+    val straddle = ((1 to 3).map("x" + _) ++ (5 to 17).map("b" + _) ++ (1 to 4).map("y" + _)).mkString(" ")
+    // doc 2 shares only 12 consecutive benchmark tokens — below the rule
+    val twelve = ((1 to 4).map("x" + _) ++ (5 to 16).map("b" + _) ++ (1 to 4).map("y" + _)).mkString(" ")
+    // doc 3 unrelated; doc 4 too short to window
+    val corpus = Seq(
+      (1L, straddle), (2L, twelve),
+      (3L, (1 to 25).map("c" + _).mkString(" ")),
+      (4L, "b1 b2 b3")).toDF("doc_id", "text")
+    val r = Decontaminate.flagNgramCollision(corpus, bench, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((8L, 1L, true)), s"straddling 13-gram must flag: ${r(1L)}")
+    assert(r(2L) == ((8L, 0L, false)), s"12 shared tokens must NOT flag: ${r(2L)}")
+    assert(r(3L) == ((13L, 0L, false)))
+    assert(r(4L) == ((0L, 0L, false))) // short docs stay in the frame, unflagged
+    // removal variant: same rule, schema preserved
+    val kept = Decontaminate.removeNgramCollision(corpus, bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("flagNgramCollision: zero corpus-side exchanges (projection-only plan)") {
+    // a parquet corpus, not a local Seq — ConvertToLocalRelation folds a
+    // LocalRelation projection away entirely, hiding the plan under test
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = Seq((100L, (1 to 20).map("b" + _).mkString(" "))).toDF("doc_id", "text")
+    val plan = Decontaminate.flagNgramCollision(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decontamination must not shuffle the corpus:\n$plan")
+    assert(plan.contains("hash_hits_128"), plan)
+  }
+
+  test("benchmarkWindowHashes: bound is enforced, empty benchmark yields an empty probe") {
+    val bench = Seq((1L, (1 to 30).map("b" + _).mkString(" "))).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Decontaminate.benchmarkWindowHashes(bench, "text", n = 13, maxHashes = 3)
+    }
+    val empty = Decontaminate.benchmarkWindowHashes(
+      Seq((1L, "too short")).toDF("doc_id", "text"), "text", n = 13)
+    assert(empty.isEmpty)
+    // an empty probe is legal: nothing flags
+    val corpus = Seq((1L, (1 to 20).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val r = corpus.select(
+      graft.functions.hash_hits_128(
+        graft.functions.rolling_window_hashes(col("text"), 13), empty).as("h"))
+      .head().getLong(0)
+    assert(r == 0L)
+  }
+
   test("LSH recall: every high-Jaccard pair from the exact path is an LSH pair") {
     // 30 synthetic docs: ten base texts, each with a near-copy (one token
     // changed -> high shingle overlap) and an unrelated doc. Deterministic
