@@ -43,6 +43,11 @@ object Kernels {
     val str = s.toString
     var n = 0L; var latin = 0L; var digit = 0L; var hira = 0L
     var kata = 0L; var kanji = 0L; var space = 0L
+    // encoding-damage slots (VERDICT r17 #4): U+FFFD replacement chars and
+    // the C0/DEL control class [\x00-\x08\x0B\x0C\x0E-\x1F\x7F] (tab, LF,
+    // CR excluded — they are legitimate text), so q197 reads the same one
+    // pass q199 does instead of two extra regex scans per row
+    var repl = 0L; var ctrl = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
@@ -53,10 +58,13 @@ object Kernels {
       else if ((cp >= 0x30A1 && cp <= 0x30FA) || cp == 0x30FC) kata += 1
       else if (cp >= 0x4E00 && cp <= 0x9FFF) kanji += 1
       else if (cp == ' ') space += 1
+      else if (cp == 0xFFFD) repl += 1
+      else if (cp <= 0x08 || cp == 0x0B || cp == 0x0C ||
+        (cp >= 0x0E && cp <= 0x1F) || cp == 0x7F) ctrl += 1
       i += Character.charCount(cp)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array[Any](n, latin, digit, hira, kata, kanji, space))
+      Array[Any](n, latin, digit, hira, kata, kanji, space, repl, ctrl))
   }
 
   def charStats(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {

@@ -504,14 +504,15 @@ object TextAnalysis {
     */
   def encodingDamageReport(df: DataFrame, idCol: String, textCol: String,
       ppmThreshold: Int = 1000): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t).cast("long")
-    val nRepl = (nChars - length(regexp_replace(t, "�", ""))).cast("long")
-    val nCtrl = (nChars - length(
-      regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long")
+    // ONE script_counts char pass (slots 0/7/8), zero regex scans — the
+    // q199 kernel shape (VERDICT r17 #4); the two-regex form survives as
+    // the TextHygieneSpec parity oracle
     df.select(
-        col(idCol).cast("long").as("doc_id"), nChars.as("n_chars"),
-        nRepl.as("n_replacement"), nCtrl.as("n_ctrl"))
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.script_counts(col(textCol)).as("__sc"))
+      .select(
+        col("doc_id"), col("__sc").getItem(0).as("n_chars"),
+        col("__sc").getItem(7).as("n_replacement"), col("__sc").getItem(8).as("n_ctrl"))
       .withColumn("replacement_ppm", // div, not /: Column./ is double division
         when(col("n_chars") > 0, expr("n_replacement * 1000000 div n_chars"))
           .otherwise(0L))

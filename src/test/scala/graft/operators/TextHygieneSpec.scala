@@ -396,20 +396,37 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(ws.getString(9) == "space", s"whitespace-only must label space: $ws")
   }
 
-  test("script_counts kernel equals the seven-regex composition (fusion is transparent)") {
+  test("script_counts kernel equals the nine-regex composition (fusion is transparent)") {
     import org.apache.spark.sql.functions._
+    // C0 controls built programmatically, not as raw source bytes
+    val ctlRow = "ctl " + Seq(1, 7, 11, 31, 127).map(_.toChar).mkString + " ok"
     val texts = Seq("Hello 123 world", "こんにちは世界", "カタカナとローマ字ab",
-      "", "аб 間", "mixed 漢字 and かな and カナ 42", "😀 emoji is other")
+      "", "аб 間", "mixed 漢字 and かな and カナ 42", "😀 emoji is other",
+      // encoding-damage slots: U+FFFD runs, C0 controls (\t \n \r exempt), DEL
+      "bad �� text", ctlRow, "tab\tand\nnl\rcr keep")
     val df = texts.toDF("text")
     def cnt(p: String) = (length(col("text")) - length(regexp_replace(col("text"), p, ""))).cast("long")
     val viaRegex = df.select(array(length(col("text")).cast("long"),
         cnt("[A-Za-z]"), cnt("[0-9]"), cnt("[\\x{3041}-\\x{3096}]"),
-        cnt("[\\x{30A1}-\\x{30FA}\\x{30FC}]"), cnt("[\\x{4E00}-\\x{9FFF}]"), cnt(" ")).as("a"))
+        cnt("[\\x{30A1}-\\x{30FA}\\x{30FC}]"), cnt("[\\x{4E00}-\\x{9FFF}]"), cnt(" "),
+        cnt("�"), cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).as("a"))
       .collect().map(_.getSeq[Long](0)).toSeq
     val viaKernel = df.select(graft.functions.script_counts(col("text")).as("a"))
       .collect().map(_.getSeq[Long](0)).toSeq
     assert(viaKernel == viaRegex)
-    assert(viaKernel.head == Seq(15L, 10L, 3L, 0L, 0L, 0L, 2L))
+    assert(viaKernel.head == Seq(15L, 10L, 3L, 0L, 0L, 0L, 2L, 0L, 0L))
+    assert(viaKernel(7) == Seq(11L, 7L, 0L, 0L, 0L, 0L, 2L, 2L, 0L))
+    assert(viaKernel(8) == Seq(12L, 5L, 0L, 0L, 0L, 0L, 2L, 0L, 5L))
+    assert(viaKernel(9) == Seq(18L, 14L, 0L, 0L, 0L, 0L, 1L, 0L, 0L)) // \t \n \r exempt
+  }
+
+  test("encodingDamageReport rides the single script_counts pass (no regex in the plan)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.encodingDamageReport(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("script_counts"), plan)
+    assert(!plan.toLowerCase.contains("regexp_replace"),
+      s"q197 must not regex-scan the corpus:\n$plan")
   }
 
   test("vocabularyGrowth: integer deciles, first-appearance attribution, cumulative curve") {
