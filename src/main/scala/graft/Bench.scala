@@ -184,8 +184,14 @@ object Bench {
     */
   def shouldDivert(priorTxt: String, versionFloor: Double,
       medianSpread: Double, results: Seq[(String, Double)]): Boolean = {
+    // Same scientific-notation-aware value regex as the priorQueries parse
+    // below: fmt() writes %.3f today, but a prior artifact serialized with
+    // raw Double.toString would emit 9.8E-4, which "[0-9.]+" reads as 9.8
+    // and silently disables the floorBad trigger (ADVICE r17 — the bug
+    // class already fixed for the queries map).
     def field(k: String): Option[Double] =
-      ("\"" + k + "\":(-?[0-9.]+)").r.findFirstMatchIn(priorTxt).map(_.group(1).toDouble)
+      ("\"" + k + "\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)").r
+        .findFirstMatchIn(priorTxt).map(_.group(1).toDouble)
     val oldFloor = field("version_call_floor_sec").filter(_ >= 0)
     val oldSpread = field("median_rep_spread").filter(_ >= 0)
     val floorBad = oldFloor.exists(of => versionFloor > math.max(of * 3, 0.2))

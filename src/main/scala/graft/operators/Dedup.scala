@@ -481,7 +481,12 @@ object Dedup {
     * "", and without the exemption every such doc in the corpus would
     * share md5("") and all but one be flagged — a data-destroying default
     * on non-English corpora (round-17 review finding). "No ASCII signal"
-    * is "this rung can't judge", not "duplicate".
+    * is "this rung can't judge", not "duplicate". Blank rows are filtered
+    * OUT before the window and unioned back (ADVICE r17): they are
+    * unconditionally kept, and on a predominantly non-Latin corpus the
+    * shared md5("") key would otherwise funnel nearly the whole frame
+    * through one window partition — the single-reducer shape this
+    * function's contract rules out.
     */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val normalized = trim(regexp_replace(
@@ -489,9 +494,9 @@ object Dedup {
     val pairs = df.select(col(idCol).cast("long").as("doc_id"),
       md5(normalized).as("fp"), (length(normalized) === 0).as("blank"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    pairs
-      .withColumn("keep",
-        col("blank") || col("doc_id") === min(col("doc_id")).over(w))
+    pairs.filter(!col("blank"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .unionByName(pairs.filter(col("blank")).withColumn("keep", lit(true)))
       .drop("blank")
   }
 

@@ -67,11 +67,17 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
     // eliminates subexpressions ACROSS operators, so the lattice runs
     // twice per input row. Rewrite to Project(projList[tok := a],
     // Filter(cond[tok := a], Project(child.* :+ tok as a, child))) —
-    // once per row, strictly fewer evaluations (the predicate already
-    // forced tokenize on every input row). The symmetric
-    // Filter-over-Project shape needs no rule: a filter on the projected
-    // COLUMN shares the expression via the attribute, and Catalyst's own
-    // pushdown handles re-derived predicates before this rule runs.
+    // once per row, strictly fewer evaluations PROVIDED the predicate
+    // already forced tokenize on every input row: the extractor only
+    // fires on tokenize calls the predicate evaluates UNCONDITIONALLY
+    // (not under a short-circuit right operand, If, or CaseWhen — with
+    // `cheap_pred && size(tokenize(…)) > n` the original plan skips
+    // tokenize whenever cheap_pred fails, and hoisting it into the
+    // injected Project would be a regression on selective cheap_preds;
+    // ADVICE r17). The symmetric Filter-over-Project shape needs no
+    // rule: a filter on the projected COLUMN shares the expression via
+    // the attribute, and Catalyst's own pushdown handles re-derived
+    // predicates before this rule runs.
     case FilterProjectDup(projList, cond, child, tok) =>
       val alias = Alias(tok, "_graft_toks")()
       val below = Project(child.output :+ alias, child)
@@ -95,7 +101,7 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
         : Option[(Seq[NamedExpression], Expression, LogicalPlan, TokenizeJaNeologd)] =
       plan match {
         case Project(projList, Filter(cond, child)) =>
-          cond.collect { case t: TokenizeJaNeologd => t }.find { tok =>
+          unconditionalTokenizes(cond).find { tok =>
             projList.exists(ne => ne.exists {
               case t: TokenizeJaNeologd => t.semanticEquals(tok)
               case _ => false
@@ -103,5 +109,24 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
           }.map(tok => (projList, cond, child, tok))
         case _ => None
       }
+  }
+
+  /** Tokenize calls the predicate evaluates on EVERY input row — the only
+    * ones the Filter/Project rewrite may hoist without adding evaluations.
+    * And/Or LEFT operands always evaluate (Spark short-circuits left to
+    * right), so they recurse; right operands, If branches (but not its
+    * always-evaluated condition), and CaseWhen are conditional and stop
+    * the walk (ADVICE r17: `cheap && size(tokenize(…)) > n` evaluates
+    * tokenize only when cheap passes).
+    */
+  private def unconditionalTokenizes(e: Expression): Seq[TokenizeJaNeologd] = e match {
+    case t: TokenizeJaNeologd => Seq(t)
+    case a: org.apache.spark.sql.catalyst.expressions.And => unconditionalTokenizes(a.left)
+    case o: org.apache.spark.sql.catalyst.expressions.Or => unconditionalTokenizes(o.left)
+    case i: org.apache.spark.sql.catalyst.expressions.If => unconditionalTokenizes(i.predicate)
+    case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+      c.branches.headOption.map(b => unconditionalTokenizes(b._1)).getOrElse(Nil)
+    case _: org.apache.spark.sql.catalyst.expressions.Coalesce => Nil
+    case other => other.children.flatMap(unconditionalTokenizes)
   }
 }

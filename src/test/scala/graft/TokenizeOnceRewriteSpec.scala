@@ -102,6 +102,38 @@ class TokenizeOnceRewriteSpec extends AnyFunSuite {
     assert(!filterOnly.contains("_graft_toks"), filterOnly)
   }
 
+  test("filter/project shape: short-circuit-guarded tokenize does NOT rewrite (And-right / If / CaseWhen)") {
+    // ADVICE r17: with `cheap && size(tokenize) > n` the original plan
+    // evaluates tokenize only when cheap passes — hoisting it into an
+    // unconditional Project would ADD evaluations on selective cheap_preds.
+    val andRight = docs
+      .filter(col("lang") === "ja" && size(graft.functions.tokenize_ja_neologd(col("text"))) > 3)
+      .select(col("doc_id"), size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!andRight.contains("_graft_toks"), s"And-right tokenize must not hoist:\n$andRight")
+    val underIf = docs
+      .filter(when(col("lang") === "ja",
+        size(graft.functions.tokenize_ja_neologd(col("text"))) > 3).otherwise(lit(true)))
+      .select(col("doc_id"), size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!underIf.contains("_graft_toks"), s"CaseWhen-branch tokenize must not hoist:\n$underIf")
+  }
+
+  test("filter/project shape: And-LEFT tokenize still rewrites (always evaluated)") {
+    val andLeft = docs
+      .filter(size(graft.functions.tokenize_ja_neologd(col("text"))) > 3 && col("lang").isNotNull)
+      .select(col("doc_id"), size(graft.functions.tokenize_ja_neologd(col("text"))).as("n"))
+    val optimized = andLeft.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_graft_toks"), s"And-left tokenize is unconditional, must hoist:\n$optimized")
+    val viaRule = andLeft.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val staged = docs
+      .select(col("doc_id"), col("lang"), graft.functions.tokenize_ja_neologd(col("text")).as("toks"))
+      .filter(size(col("toks")) > 3 && col("lang").isNotNull)
+      .select(col("doc_id"), size(col("toks")).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaRule == staged && viaRule.nonEmpty)
+  }
+
   test("rule does not conflate tokenize calls over different columns") {
     val df = docs.select(col("text"), col("lang"))
       .select(
