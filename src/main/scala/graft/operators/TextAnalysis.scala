@@ -611,6 +611,48 @@ object TextAnalysis {
     rows.toSeq.toDF("bucket", "doc_threshold", "n_new", "vocab_cum")
   }
 
+  /** Per-SOURCE Heaps-law vocabulary growth (VERDICT r17 stretch #8): the
+    * q200 curve grouped by source, each source bucketed over ITS OWN
+    * doc-id span — the per-source health dashboard signal that separates
+    * "this source still contributes vocabulary" from "this source is
+    * repeating itself" (composes with corpusReport and the q191/q150
+    * gates). Output: (source, bucket 1..10, doc_threshold, n_new,
+    * vocab_cum), one 10-row curve per source.
+    *
+    * Scale shape: strictly better than q200's — NO driver collect at all.
+    * One (source, token)-keyed exchange for first-appearance minima, a
+    * broadcast join of the per-source bounds frame (#sources rows), one
+    * (source, bucket) aggregate, and a source-partitioned cumsum window
+    * over ≤ 10 rows per partition. Every stage's parallelism is #sources
+    * or better; no single-reducer shape at any corpus size.
+    */
+  def vocabularyGrowthBySource(df: DataFrame, sourceCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    val bounds = df.groupBy(col(sourceCol).as("source"))
+      .agg(min(col(idCol).cast("long")).as("mn"),
+        (max(col(idCol).cast("long")) - min(col(idCol).cast("long")) + 1L).as("span"))
+    val firstSeen = df.select(col(sourceCol).as("source"),
+        col(idCol).cast("long").as("doc_id"), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(min(col("doc_id")).as("fd"))
+    val counts = firstSeen.join(broadcast(bounds), Seq("source"))
+      // same ceiling bucketing as vocabularyGrowth (integer div — the
+      // repo convention; bucket 1..10 over the source's own span)
+      .select(col("source"), expr("((fd - mn + 1) * 10 + span - 1) div span").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n_new"))
+    val grid = bounds
+      .select(col("source"), explode(expr("sequence(1, 10)")).as("b"),
+        col("mn"), col("span"))
+      .select(col("source"), col("b").cast("long").as("bucket"),
+        expr("mn - 1 + span * CAST(b AS BIGINT) div 10").as("doc_threshold"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq("source", "bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("vocab_cum", sum(col("n_new")).over(w))
+      .select(col("source"), col("bucket"), col("doc_threshold"),
+        col("n_new"), col("vocab_cum"))
+  }
+
   /** Per-source corpus health report — the dashboard aggregate a curation
     * pipeline runs before/after each filtering stage: document and token
     * volume, exact-duplicate rate (on a content fingerprint, so the

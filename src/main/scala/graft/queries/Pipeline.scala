@@ -3513,6 +3513,37 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  /** Per-source Heaps curve (q204): q200's vocabulary-growth curve grouped
+    * by source, each source over its own doc-id span — and a strictly
+    * better scale shape (zero driver collects; the cumsum window is
+    * source-partitioned over 10 rows per source).
+    */
+  val q204 = Q(
+    "q204_vocab_growth_by_source",
+    """WITH b AS (SELECT source, MIN(doc_id) AS mn,
+      |             MAX(doc_id) - MIN(doc_id) + 1 AS span
+      |           FROM documents GROUP BY source),
+      |tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT source, tok, MIN(doc_id) AS fd FROM tok GROUP BY source, tok),
+      |fb AS (SELECT f.source,
+      |         CAST(((fd - b.mn + 1) * 10 + b.span - 1) // b.span AS BIGINT) AS bucket
+      |       FROM f JOIN b USING (source)),
+      |c AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      |      FROM fb GROUP BY source, bucket),
+      |g AS (SELECT b.source, CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bucket,
+      |        b.mn, b.span FROM b),
+      |j AS (SELECT g.source, g.bucket,
+      |        CAST(g.mn - 1 + g.span * g.bucket // 10 AS BIGINT) AS doc_threshold,
+      |        COALESCE(c.n_new, 0) AS n_new
+      |      FROM g LEFT JOIN c USING (source, bucket))
+      |SELECT source, bucket, doc_threshold, CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(SUM(n_new) OVER (PARTITION BY source ORDER BY bucket
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+      |FROM j ORDER BY source, bucket""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabularyGrowthBySource(t(s, dir, "documents"), "source", "doc_id", "text")
+      .orderBy("source", "bucket")
+  }
+
   /** N-gram-overlap benchmark decontamination (q203): the GPT-3 13-gram
     * collision rule (Brown et al. 2020 §C) — one colliding 13-token window
     * anywhere in the document, at ANY alignment, flags it; the published
@@ -4309,5 +4340,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

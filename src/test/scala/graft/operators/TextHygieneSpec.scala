@@ -463,6 +463,43 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(rs(9) == ((10L, 3L)), s"single-id corpus: all vocab at the 100% point: ${rs.toSeq}")
   }
 
+  test("vocabularyGrowthBySource: each source's curve over ITS OWN span; zero driver collects") {
+    // source p: docs 1..10 (the global test's corpus); source q: docs
+    // 101..105, doc 101 brings {k}, doc 105 brings {m} — q's deciles run
+    // over span 5, so doc 105 is q's bucket 10, not the corpus's
+    val docs = ((1L to 10L).map {
+      case 1L => (1L, "p", "a b")
+      case 5L => (5L, "p", "a c")
+      case 10L => (10L, "p", "a d")
+      case i => (i, "p", "a")
+    } ++ (101L to 105L).map {
+      case 101L => (101L, "q", "k")
+      case 105L => (105L, "q", "k m")
+      case i => (i, "q", "k")
+    }).toDF("doc_id", "src", "text")
+    val r = TextAnalysis.vocabularyGrowthBySource(docs, "src", "doc_id", "text")
+      .orderBy("source", "bucket").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.length == 20)
+    val p = r.filter(_._1 == "p").map(t => (t._2, t._3, t._4, t._5))
+    assert(p(0) == ((1L, 1L, 2L, 2L)) && p(4) == ((5L, 5L, 1L, 3L)) &&
+      p(9) == ((10L, 10L, 1L, 4L)), s"source p must reproduce the global curve: ${p.toSeq}")
+    val q = r.filter(_._1 == "q").map(t => (t._2, t._3, t._4, t._5))
+    // span 5: doc 101 → ceil-bucket (1*10+4)/5 = 2; doc 105 → 54/5 = 10;
+    // thresholds 100 + 5*b/10 (duplicates are the q200 sub-decile semantics)
+    assert(q(0) == ((1L, 100L, 0L, 0L)) && q(1) == ((2L, 101L, 1L, 1L)),
+      s"k lands in q's bucket 2 over q's own span: ${q.toSeq}")
+    assert(q(8) == ((9L, 104L, 0L, 1L)) && q(9) == ((10L, 105L, 1L, 2L)),
+      s"m lands in q's bucket 10: ${q.toSeq}")
+    // shape: the cumsum window is source-partitioned — an unpartitioned
+    // window would plan an Exchange SinglePartition (the q193 scale-killer
+    // class); there must be none anywhere in the plan
+    val plan = TextAnalysis.vocabularyGrowthBySource(docs, "src", "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"no single-reducer stage allowed:\n$plan")
+  }
+
   test("frequencySpectrum: exact ilog2 bins incl. the power-of-two edges") {
     // counts: a=1 (bin 0), b=2, c=3 (bin 1), d=4 (bin 2) — the b/c/d edges
     // are exactly where a float log2 could misbin
