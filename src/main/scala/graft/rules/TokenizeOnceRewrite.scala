@@ -1,7 +1,7 @@
 package graft.rules
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Explode, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, Expression, Explode, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.expr.TokenizeJaNeologd
@@ -88,6 +88,38 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
         case t: TokenizeJaNeologd if t.semanticEquals(tok) => alias.toAttribute
       }.asInstanceOf[NamedExpression])
       Project(newProjList, Filter(newCond, below))
+
+    // Third hazard shape (round-18 audit): the same tokenize call as a JOIN
+    // key/condition AND in the projection above the join —
+    // `a.join(b, size(tokenize(a.text)) === b.n).select(tokenize(a.text) …)`.
+    // The measured plan keeps BOTH calls (the key evaluates once per stream
+    // row, the projection once per OUTPUT row — at 1:N match fan-out the
+    // projection copy is the explode-class hazard). Measured 175.4 →
+    // 140.3 ms min-of-5 at 1:1 fan-out on the cached sf0.01 corpus
+    // (TokenizeOnceBench round-18). Rewrite: materialize
+    // below the join on the side the call binds to, pruned to the columns
+    // the new projection/condition still need (this rule runs AFTER column
+    // pruning, so prune here). The fourth audited shape —
+    // Aggregate(tokenize)/Project(tokenize) — is a measured NEGATIVE:
+    // Catalyst already materializes the grouping expression in an injected
+    // Project and codegen subexpression elimination covers the aggregate
+    // input (TokenizeOnceBench round-18: dup 196.6 ms vs staged 183.3 ms
+    // min-of-5, within noise), so no Aggregate case exists here.
+    case JoinProjectDup(projList, j, tok) =>
+      val alias = Alias(tok, "_graft_toks")()
+      val newCond = j.condition.get.transform {
+        case t: TokenizeJaNeologd if t.semanticEquals(tok) => alias.toAttribute
+      }
+      val newProjList = projList.map(_.transform {
+        case t: TokenizeJaNeologd if t.semanticEquals(tok) => alias.toAttribute
+      }.asInstanceOf[NamedExpression])
+      val required = AttributeSet(newProjList.flatMap(_.references)) ++ newCond.references
+      def inject(side: LogicalPlan): LogicalPlan =
+        Project(side.output.filter(required.contains) :+ alias, side)
+      val (nl, nr) =
+        if (tok.references.subsetOf(j.left.outputSet)) (inject(j.left), j.right)
+        else (j.left, inject(j.right))
+      Project(newProjList, j.copy(left = nl, right = nr, condition = Some(newCond)))
   }
 
   /** A tokenize call appearing in BOTH the filter predicate and the
@@ -107,6 +139,30 @@ object TokenizeOnceRewrite extends Rule[LogicalPlan] {
               case _ => false
             })
           }.map(tok => (projList, cond, child, tok))
+        case _ => None
+      }
+  }
+
+  /** A tokenize call appearing in BOTH the join condition and the
+    * projection above the join, binding entirely to ONE join side (the
+    * side the materializing Project can be pushed to). Same
+    * unconditional-evaluation guard as the Filter shape; the
+    * null-padded-side case of outer joins is safe because tokenize is
+    * null→null, so the materialized attribute and a recomputation agree.
+    */
+  private object JoinProjectDup {
+    def unapply(plan: LogicalPlan): Option[(Seq[NamedExpression], Join, TokenizeJaNeologd)] =
+      plan match {
+        case Project(projList, j @ Join(left, right, _, Some(cond), _)) =>
+          unconditionalTokenizes(cond).find { tok =>
+            tok.references.nonEmpty &&
+            (tok.references.subsetOf(left.outputSet) ||
+              tok.references.subsetOf(right.outputSet)) &&
+            projList.exists(ne => ne.exists {
+              case t: TokenizeJaNeologd => t.semanticEquals(tok)
+              case _ => false
+            })
+          }.map(tok => (projList, j, tok))
         case _ => None
       }
   }

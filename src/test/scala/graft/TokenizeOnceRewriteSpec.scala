@@ -134,6 +134,48 @@ class TokenizeOnceRewriteSpec extends AnyFunSuite {
     assert(viaRule == staged && viaRule.nonEmpty)
   }
 
+  test("join/project shape: one tokenize call below the join, key and projection read the attribute") {
+    val dims = spark.range(1, 2000).select(col("id").cast("int").as("n"))
+    val joined = docs.join(broadcast(dims),
+        size(graft.functions.tokenize_ja_neologd(col("text"))) === col("n"))
+      .select(col("doc_id"), size(graft.functions.tokenize_ja_neologd(col("text"))).as("m"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    val calls = "tokenize_ja_neologd".r.findAllIn(optimized).length
+    assert(calls == 1, s"expected exactly one tokenize call after rewrite, got $calls:\n$optimized")
+    assert(optimized.contains("_graft_toks"), s"materialized alias missing:\n$optimized")
+    // result identity vs the staged two-step form
+    val viaRule = joined.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val staged = docs
+      .select(col("doc_id"), graft.functions.tokenize_ja_neologd(col("text")).as("toks"))
+      .join(broadcast(dims), size(col("toks")) === col("n"))
+      .select(col("doc_id"), size(col("toks")).as("m"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaRule == staged && viaRule.nonEmpty)
+  }
+
+  test("join/project shape: outer-join null padding agrees (tokenize is null-to-null)") {
+    val dims = spark.range(1, 3).select(col("id").cast("int").as("n")) // matches almost nothing
+    val joined = docs.join(broadcast(dims),
+        size(graft.functions.tokenize_ja_neologd(col("text"))) === col("n"), "right_outer")
+      .select(col("n"), size(graft.functions.tokenize_ja_neologd(col("text"))).as("m"))
+    val viaRule = joined.orderBy("n").collect().map(r => (r.getInt(0), r.isNullAt(1))).toSeq
+    val staged = docs
+      .select(graft.functions.tokenize_ja_neologd(col("text")).as("toks"))
+      .join(broadcast(dims), size(col("toks")) === col("n"), "right_outer")
+      .select(col("n"), size(col("toks")).as("m"))
+      .orderBy("n").collect().map(r => (r.getInt(0), r.isNullAt(1))).toSeq
+    assert(viaRule == staged && viaRule.nonEmpty)
+  }
+
+  test("join-only and projection-on-the-other-side shapes are left alone") {
+    val dims = spark.range(1, 2000).select(col("id").cast("int").as("n"))
+    val joinOnly = docs.join(broadcast(dims),
+        size(graft.functions.tokenize_ja_neologd(col("text"))) === col("n"))
+      .select(col("doc_id"), col("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!joinOnly.contains("_graft_toks"), joinOnly)
+  }
+
   test("rule does not conflate tokenize calls over different columns") {
     val df = docs.select(col("text"), col("lang"))
       .select(
