@@ -133,4 +133,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, true), (2L, true), (3L, true), (4L, true), (5L, false)),
       "blank normal forms exempt; real ascii dup still caught")
   }
+
+  test("normalizedDedup: blank rows salt the window key (no md5('') hot partition), one scan") {
+    // ADVICE r17: on a predominantly non-Latin corpus every blank normal
+    // form shares md5('') — the salt spreads the exchange; keep semantics
+    // are untouched (blanks keep unconditionally) and the OUTPUT fp stays
+    // the unsalted md5('') for all blanks
+    val docs = (1L to 200L).map(i => (i, if (i <= 198) s"日本語文書その$i" else "same doc"))
+      .toDF("doc_id", "text")
+    val r = Dedup.normalizedDedup(docs, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    assert(r.count(_._3) == 199, "198 blanks + the first of the two ascii copies keep")
+    val plan = Dedup.normalizedDedup(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"salting must not pay a second corpus scan:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
