@@ -525,4 +525,165 @@ object Kernels {
     }
     d
   }
+
+  /** Split on a literal separator, non-overlapping left-to-right, keeping
+    * empty fields — the exact semantics both Spark `split(str, sep, -1)`
+    * and DuckDB `string_split` share, so the kernel's line/paragraph
+    * boundaries replay bit-for-bit in the oracle SQL.
+    */
+  private def splitLiteral(str: String, sep: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var from = 0
+    var at = str.indexOf(sep, from)
+    while (at >= 0) {
+      out += str.substring(from, at)
+      from = at + sep.length
+      at = str.indexOf(sep, from)
+    }
+    out += str.substring(from)
+    out.toArray
+  }
+
+  /** Duplicate stats over a multiset of strings (lines or paragraphs),
+    * empty members excluded: [n_members, dup_members, total_chars,
+    * dup_chars] where duplicates are occurrences BEYOND the first of each
+    * distinct value and chars are Unicode code points — the counting rule
+    * of the Gopher repetition filter (Rae et al. 2021 §A1.1: "fraction of
+    * lines/paragraphs that are duplicates" / "fraction of characters in
+    * duplicated lines/paragraphs").
+    */
+  private def dupStats(members: Array[String], out: Array[Long], at: Int): Unit = {
+    val counts = new java.util.HashMap[String, Long]()
+    var n = 0L; var total = 0L
+    var i = 0
+    while (i < members.length) {
+      val m = members(i)
+      if (m.nonEmpty) {
+        n += 1
+        total += m.codePointCount(0, m.length)
+        counts.merge(m, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var dup = 0L; var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c >= 2) {
+        val len = e.getKey.codePointCount(0, e.getKey.length)
+        dup += c - 1
+        dupChars += (c - 1) * len
+      }
+    }
+    out(at) = n; out(at + 1) = dup; out(at + 2) = total; out(at + 3) = dupChars
+  }
+
+  /** Single-pass Gopher repetition signals (Rae et al. 2021 Table A1) as
+    * exact integers — the fractions divide in the plan so the DuckDB
+    * oracle reproduces every bit with int/int division:
+    *
+    * [0]  n_tokens            (split on ' ', empties kept — split parity)
+    * [1]  total_token_chars   (code points, separators excluded)
+    * [2..4]  top-{2,3,4}-gram coverage = max over distinct n-grams of
+    *         count × gram_chars (gram_chars = token chars, no separators;
+    *         the max-coverage form is deterministic under count ties where
+    *         "chars of THE most frequent n-gram" is not)
+    * [5..10] dup-{5..10}-gram coverage = token chars at positions covered
+    *         by ANY n-gram window occurring ≥ 2 times (span union — tokens
+    *         under two overlapping duplicated windows count once)
+    * [11..14] line stats   [n_lines, dup_lines, line_chars, dup_line_chars]
+    *          (split '\n', empty lines excluded)
+    * [15..18] paragraph stats, same four, split on the literal "\n\n"
+    *
+    * One tokenization + one count map per n — O(Σₙ tokens·n̄gram_chars)
+    * per row, zero shuffles at any corpus size (the q199 ScriptCounts
+    * altitude; the relational formulation explodes the corpus ~9× and
+    * shuffles every window).
+    */
+  def repetitionSignals(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val out = new Array[Long](19)
+    val tokens = splitLiteral(str, " ")
+    val nTok = tokens.length
+    // prefix sums of token code-point lengths: gramChars(i, n) in O(1)
+    val pre = new Array[Long](nTok + 1)
+    var i = 0
+    while (i < nTok) {
+      pre(i + 1) = pre(i) + tokens(i).codePointCount(0, tokens(i).length)
+      i += 1
+    }
+    out(0) = nTok.toLong
+    out(1) = pre(nTok)
+    // shared window-count pass: key = tokens joined with ' ' (tokens
+    // cannot contain the separator, so the join is injective)
+    def windowCounts(n: Int): java.util.HashMap[String, Long] = {
+      val m = new java.util.HashMap[String, Long]()
+      var a = 0
+      while (a + n <= nTok) {
+        val sb = new java.lang.StringBuilder()
+        var j = a
+        while (j < a + n) {
+          if (j > a) sb.append(' ')
+          sb.append(tokens(j))
+          j += 1
+        }
+        m.merge(sb.toString, 1L, (x, y) => x + y)
+        a += 1
+      }
+      m
+    }
+    var n = 2
+    while (n <= 4) {
+      val counts = windowCounts(n)
+      var best = 0L
+      var a = 0
+      while (a + n <= nTok) {
+        val sb = new java.lang.StringBuilder()
+        var j = a
+        while (j < a + n) {
+          if (j > a) sb.append(' ')
+          sb.append(tokens(j))
+          j += 1
+        }
+        val c = counts.get(sb.toString)
+        val cand = c * (pre(a + n) - pre(a))
+        if (cand > best) best = cand
+        a += 1
+      }
+      out(n) = best
+      n += 1
+    }
+    n = 5
+    while (n <= 10) {
+      val counts = windowCounts(n)
+      val covered = new Array[Boolean](nTok)
+      var a = 0
+      while (a + n <= nTok) {
+        val sb = new java.lang.StringBuilder()
+        var j = a
+        while (j < a + n) {
+          if (j > a) sb.append(' ')
+          sb.append(tokens(j))
+          j += 1
+        }
+        if (counts.get(sb.toString) >= 2L) {
+          var k = a
+          while (k < a + n) { covered(k) = true; k += 1 }
+        }
+        a += 1
+      }
+      var cov = 0L
+      i = 0
+      while (i < nTok) {
+        if (covered(i)) cov += pre(i + 1) - pre(i)
+        i += 1
+      }
+      out(n) = cov
+      n += 1
+    }
+    dupStats(splitLiteral(str, "\n"), out, 11)
+    dupStats(splitLiteral(str, "\n\n"), out, 15)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(l => l: Any))
+  }
 }

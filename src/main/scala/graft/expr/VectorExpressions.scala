@@ -65,6 +65,33 @@ case class ScriptCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `repetition_signals(text) → array<bigint>`: single-pass Gopher
+  * repetition-filter integers (Rae et al. 2021 Table A1) — token counts,
+  * top-{2,3,4}-gram coverage, dup-{5..10}-gram span-union coverage, and
+  * line/paragraph duplicate stats; layout documented at
+  * [[Kernels.repetitionSignals]]. The per-row kernel behind
+  * TextAnalysis.gopherRepetition: ONE pass over the tokens per n where
+  * the relational formulation explodes the corpus ~9× and shuffles every
+  * window.
+  */
+case class RepetitionSignals(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "repetition_signals"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.repetitionSignals(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.repetitionSignals($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharStats(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "char_stats"

@@ -128,6 +128,12 @@ object functions {
     */
   def script_counts(text: Column): Column = toCol(graft.expr.ScriptCounts(toExpr(text)))
 
+  /** Single-pass Gopher repetition-filter integers (Rae et al. 2021 Table
+    * A1 — layout at graft.expr.Kernels.repetitionSignals).
+    */
+  def repetition_signals(text: Column): Column =
+    toCol(graft.expr.RepetitionSignals(toExpr(text)))
+
   /** Packed integer-L2 k-means assignment (see graft.expr.KmeansAssign). */
   def kmeans_assign(emb: Column, centroids: Array[Array[Long]], scale: Long): Column =
     toCol(graft.expr.KmeansAssign(toExpr(emb), centroids, scale))

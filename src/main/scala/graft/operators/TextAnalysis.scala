@@ -317,6 +317,68 @@ object TextAnalysis {
         col("dup_word_frac") > dupWordMax || col("top_word_frac") > topWordMax)
   }
 
+  /** The FULL Gopher repetition filter (Rae et al. 2021 Table A1) — the
+    * thirteen published signals `repetition` (word-level) and
+    * `gopherFilter` (length/alpha gates) do not cover: duplicate
+    * line/paragraph fractions, duplicate line/paragraph CHARACTER
+    * fractions, top-{2,3,4}-gram character coverage, and duplicated
+    * {5..10}-gram character coverage (span union — a token under two
+    * overlapping duplicated windows counts once). Thresholds default to
+    * the paper's Table A1 values; `keep` is their conjunction, emitted as
+    * auditable columns (the gopherFilter convention).
+    *
+    * All thirteen fractions divide exact kernel integers
+    * (graft.expr.RepetitionSignals — ONE per-row pass, zero shuffles at
+    * any corpus size; the relational formulation explodes the corpus ~9×
+    * and shuffles every window), so the DuckDB oracle reproduces every
+    * bit with int/int division. Ties in "the most frequent n-gram" are
+    * resolved by taking max(count × chars) over distinct n-grams — the
+    * deterministic form of the paper's (ambiguous-under-ties) rule;
+    * documented here because a filter threshold, not the champion n-gram,
+    * is the contract.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      dupLineMax: Double = 0.30, dupParaMax: Double = 0.30,
+      dupLineCharMax: Double = 0.20, dupParaCharMax: Double = 0.20,
+      topNgramMax: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      dupNgramMax: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
+    require(topNgramMax.length == 3, "topNgramMax: thresholds for n = 2, 3, 4")
+    require(dupNgramMax.length == 6, "dupNgramMax: thresholds for n = 5..10")
+    val rs = col("__rs")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num / den).otherwise(lit(0.0))
+    val sig = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.functions.repetition_signals(col(textCol)).as("__rs"))
+    val chars = rs.getItem(1)
+    val withFracs = sig.select(
+      col("doc_id"),
+      rs.getItem(0).as("n_tokens"),
+      frac(rs.getItem(12), rs.getItem(11)).as("dup_line_frac"),
+      frac(rs.getItem(14), rs.getItem(13)).as("dup_line_char_frac"),
+      frac(rs.getItem(16), rs.getItem(15)).as("dup_para_frac"),
+      frac(rs.getItem(18), rs.getItem(17)).as("dup_para_char_frac"),
+      frac(rs.getItem(2), chars).as("top_2gram_char_frac"),
+      frac(rs.getItem(3), chars).as("top_3gram_char_frac"),
+      frac(rs.getItem(4), chars).as("top_4gram_char_frac"),
+      frac(rs.getItem(5), chars).as("dup_5gram_char_frac"),
+      frac(rs.getItem(6), chars).as("dup_6gram_char_frac"),
+      frac(rs.getItem(7), chars).as("dup_7gram_char_frac"),
+      frac(rs.getItem(8), chars).as("dup_8gram_char_frac"),
+      frac(rs.getItem(9), chars).as("dup_9gram_char_frac"),
+      frac(rs.getItem(10), chars).as("dup_10gram_char_frac"))
+    val gates = Seq(
+      col("dup_line_frac") <= dupLineMax,
+      col("dup_line_char_frac") <= dupLineCharMax,
+      col("dup_para_frac") <= dupParaMax,
+      col("dup_para_char_frac") <= dupParaCharMax) ++
+      topNgramMax.zipWithIndex.map { case (t, i) =>
+        col(s"top_${i + 2}gram_char_frac") <= t } ++
+      dupNgramMax.zipWithIndex.map { case (t, i) =>
+        col(s"dup_${i + 5}gram_char_frac") <= t }
+    withFracs.withColumn("keep", gates.reduce(_ && _))
+  }
+
   /** C4/Gopher-style composite document filter (Raffel et al. 2020;
     * Rae et al. 2021): one narrow-projection pass computes the per-doc
     * signals and a boolean per rule, plus the conjunctive `keep` — emitted

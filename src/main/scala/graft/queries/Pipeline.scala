@@ -3544,6 +3544,151 @@ object Pipeline {
       .orderBy("source", "bucket")
   }
 
+  /** The full Gopher repetition filter (q205, Rae et al. 2021 Table A1):
+    * the thirteen published duplicate-line/paragraph and n-gram-coverage
+    * signals as ONE codegen kernel pass per row
+    * (graft.expr.RepetitionSignals — zero corpus shuffles; the oracle's
+    * relational form below explodes the corpus once per n and shuffles
+    * every window, which is exactly the shape the kernel exists to avoid).
+    * Line/paragraph boundaries are derived deterministically from the
+    * single-line corpus by rewriting the ' line ' / ' part ' tokens to
+    * "\n" / "\n\n" IN THE QUERY (both engines run the same two replaces in
+    * the same order), so the line-level signals are exercised on real
+    * data, not only in the spec's literal frames.
+    */
+  val q205 = Q(
+    "q205_gopher_repetition",
+    """WITH d AS (SELECT doc_id,
+      |        replace(replace(text, ' part ', chr(10) || chr(10)), ' line ', chr(10)) AS text
+      |      FROM documents),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+      |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |        CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS tchars
+      |      FROM t),
+      |tokpos AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |        generate_subscripts(string_split(text, ' '), 1) AS p1 FROM d),
+      |w2 AS (SELECT doc_id, unnest(range(0, len(toks) - 1)) AS pos, toks FROM t WHERE len(toks) >= 2),
+      |c2 AS (SELECT doc_id, array_to_string(list_slice(toks, pos + 1, pos + 2), ' ') AS gram,
+      |        CAST(list_sum(list_transform(list_slice(toks, pos + 1, pos + 2), x -> len(x))) AS BIGINT) AS gchars,
+      |        COUNT(*) AS cnt
+      |      FROM w2 GROUP BY doc_id, gram, gchars),
+      |top2 AS (SELECT doc_id, CAST(MAX(cnt * gchars) AS BIGINT) AS best FROM c2 GROUP BY doc_id),
+      |w3 AS (SELECT doc_id, unnest(range(0, len(toks) - 2)) AS pos, toks FROM t WHERE len(toks) >= 3),
+      |c3 AS (SELECT doc_id, array_to_string(list_slice(toks, pos + 1, pos + 3), ' ') AS gram,
+      |        CAST(list_sum(list_transform(list_slice(toks, pos + 1, pos + 3), x -> len(x))) AS BIGINT) AS gchars,
+      |        COUNT(*) AS cnt
+      |      FROM w3 GROUP BY doc_id, gram, gchars),
+      |top3 AS (SELECT doc_id, CAST(MAX(cnt * gchars) AS BIGINT) AS best FROM c3 GROUP BY doc_id),
+      |w4 AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+      |c4 AS (SELECT doc_id, array_to_string(list_slice(toks, pos + 1, pos + 4), ' ') AS gram,
+      |        CAST(list_sum(list_transform(list_slice(toks, pos + 1, pos + 4), x -> len(x))) AS BIGINT) AS gchars,
+      |        COUNT(*) AS cnt
+      |      FROM w4 GROUP BY doc_id, gram, gchars),
+      |top4 AS (SELECT doc_id, CAST(MAX(cnt * gchars) AS BIGINT) AS best FROM c4 GROUP BY doc_id),
+      |g5 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+      |      FROM (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos, toks FROM t WHERE len(toks) >= 5)),
+      |k5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+      |cov5 AS (SELECT DISTINCT tp.doc_id, tp.p1 FROM tokpos tp
+      |      JOIN (SELECT g.doc_id, g.pos FROM g5 g JOIN k5 USING (doc_id, gram)) w
+      |        ON tp.doc_id = w.doc_id AND tp.p1 - 1 >= w.pos AND tp.p1 - 1 < w.pos + 5),
+      |d5 AS (SELECT c.doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS cov FROM cov5 c
+      |      JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p1 = tp.p1 GROUP BY c.doc_id),
+      |g6 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, pos + 1, pos + 6), ' ') AS gram
+      |      FROM (SELECT doc_id, unnest(range(0, len(toks) - 5)) AS pos, toks FROM t WHERE len(toks) >= 6)),
+      |k6 AS (SELECT doc_id, gram FROM g6 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+      |cov6 AS (SELECT DISTINCT tp.doc_id, tp.p1 FROM tokpos tp
+      |      JOIN (SELECT g.doc_id, g.pos FROM g6 g JOIN k6 USING (doc_id, gram)) w
+      |        ON tp.doc_id = w.doc_id AND tp.p1 - 1 >= w.pos AND tp.p1 - 1 < w.pos + 6),
+      |d6 AS (SELECT c.doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS cov FROM cov6 c
+      |      JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p1 = tp.p1 GROUP BY c.doc_id),
+      |g7 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, pos + 1, pos + 7), ' ') AS gram
+      |      FROM (SELECT doc_id, unnest(range(0, len(toks) - 6)) AS pos, toks FROM t WHERE len(toks) >= 7)),
+      |k7 AS (SELECT doc_id, gram FROM g7 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+      |cov7 AS (SELECT DISTINCT tp.doc_id, tp.p1 FROM tokpos tp
+      |      JOIN (SELECT g.doc_id, g.pos FROM g7 g JOIN k7 USING (doc_id, gram)) w
+      |        ON tp.doc_id = w.doc_id AND tp.p1 - 1 >= w.pos AND tp.p1 - 1 < w.pos + 7),
+      |d7 AS (SELECT c.doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS cov FROM cov7 c
+      |      JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p1 = tp.p1 GROUP BY c.doc_id),
+      |g8 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram
+      |      FROM (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM t WHERE len(toks) >= 8)),
+      |k8 AS (SELECT doc_id, gram FROM g8 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+      |cov8 AS (SELECT DISTINCT tp.doc_id, tp.p1 FROM tokpos tp
+      |      JOIN (SELECT g.doc_id, g.pos FROM g8 g JOIN k8 USING (doc_id, gram)) w
+      |        ON tp.doc_id = w.doc_id AND tp.p1 - 1 >= w.pos AND tp.p1 - 1 < w.pos + 8),
+      |d8 AS (SELECT c.doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS cov FROM cov8 c
+      |      JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p1 = tp.p1 GROUP BY c.doc_id),
+      |g9 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, pos + 1, pos + 9), ' ') AS gram
+      |      FROM (SELECT doc_id, unnest(range(0, len(toks) - 8)) AS pos, toks FROM t WHERE len(toks) >= 9)),
+      |k9 AS (SELECT doc_id, gram FROM g9 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+      |cov9 AS (SELECT DISTINCT tp.doc_id, tp.p1 FROM tokpos tp
+      |      JOIN (SELECT g.doc_id, g.pos FROM g9 g JOIN k9 USING (doc_id, gram)) w
+      |        ON tp.doc_id = w.doc_id AND tp.p1 - 1 >= w.pos AND tp.p1 - 1 < w.pos + 9),
+      |d9 AS (SELECT c.doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS cov FROM cov9 c
+      |      JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p1 = tp.p1 GROUP BY c.doc_id),
+      |g10 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        array_to_string(list_slice(toks, pos + 1, pos + 10), ' ') AS gram
+      |      FROM (SELECT doc_id, unnest(range(0, len(toks) - 9)) AS pos, toks FROM t WHERE len(toks) >= 10)),
+      |k10 AS (SELECT doc_id, gram FROM g10 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+      |cov10 AS (SELECT DISTINCT tp.doc_id, tp.p1 FROM tokpos tp
+      |      JOIN (SELECT g.doc_id, g.pos FROM g10 g JOIN k10 USING (doc_id, gram)) w
+      |        ON tp.doc_id = w.doc_id AND tp.p1 - 1 >= w.pos AND tp.p1 - 1 < w.pos + 10),
+      |d10 AS (SELECT c.doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS cov FROM cov10 c
+      |      JOIN tokpos tp ON c.doc_id = tp.doc_id AND c.p1 = tp.p1 GROUP BY c.doc_id),
+      |lns AS (SELECT doc_id, l FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM d)
+      |      WHERE l <> ''),
+      |lcnt AS (SELECT doc_id, l, COUNT(*) AS c FROM lns GROUP BY doc_id, l),
+      |ls AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+      |        CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+      |        CAST(SUM(c * len(l)) AS BIGINT) AS line_chars,
+      |        CAST(SUM((c - 1) * len(l)) AS BIGINT) AS dup_line_chars
+      |      FROM lcnt GROUP BY doc_id),
+      |prs AS (SELECT doc_id, l FROM (SELECT doc_id,
+      |        unnest(string_split(text, chr(10) || chr(10))) AS l FROM d) WHERE l <> ''),
+      |pcnt AS (SELECT doc_id, l, COUNT(*) AS c FROM prs GROUP BY doc_id, l),
+      |ps AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+      |        CAST(SUM(c - 1) AS BIGINT) AS dup_paras,
+      |        CAST(SUM(c * len(l)) AS BIGINT) AS para_chars,
+      |        CAST(SUM((c - 1) * len(l)) AS BIGINT) AS dup_para_chars
+      |      FROM pcnt GROUP BY doc_id),
+      |f AS (SELECT b.doc_id, b.n_tokens,
+      |  CASE WHEN COALESCE(ls.n_lines, 0) > 0 THEN ls.dup_lines / ls.n_lines ELSE 0.0 END AS dup_line_frac,
+      |  CASE WHEN COALESCE(ls.line_chars, 0) > 0 THEN ls.dup_line_chars / ls.line_chars ELSE 0.0 END AS dup_line_char_frac,
+      |  CASE WHEN COALESCE(ps.n_paras, 0) > 0 THEN ps.dup_paras / ps.n_paras ELSE 0.0 END AS dup_para_frac,
+      |  CASE WHEN COALESCE(ps.para_chars, 0) > 0 THEN ps.dup_para_chars / ps.para_chars ELSE 0.0 END AS dup_para_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(top2.best, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS top_2gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(top3.best, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS top_3gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(top4.best, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS top_4gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(d5.cov, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS dup_5gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(d6.cov, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS dup_6gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(d7.cov, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS dup_7gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(d8.cov, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS dup_8gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(d9.cov, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS dup_9gram_char_frac,
+      |  CASE WHEN b.tchars > 0 THEN CAST(COALESCE(d10.cov, 0) AS BIGINT) / b.tchars ELSE 0.0 END AS dup_10gram_char_frac
+      |FROM base b
+      |LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
+      |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id) LEFT JOIN top4 USING (doc_id)
+      |LEFT JOIN d5 USING (doc_id) LEFT JOIN d6 USING (doc_id) LEFT JOIN d7 USING (doc_id)
+      |LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id) LEFT JOIN d10 USING (doc_id))
+      |SELECT f.*,
+      |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+      |   AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+      |   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+      |   AND top_4gram_char_frac <= 0.16
+      |   AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
+      |   AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
+      |   AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val derived = t(s, dir, "documents").select(col("doc_id"),
+      replace(replace(col("text"), lit(" part "), lit("\n\n")),
+        lit(" line "), lit("\n")).as("text"))
+    TextAnalysis.gopherRepetition(derived, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** N-gram-overlap benchmark decontamination (q203): the GPT-3 13-gram
     * collision rule (Brown et al. 2020 §C) — one colliding 13-token window
     * anywhere in the document, at ANY alignment, flags it; the published
@@ -4340,5 +4485,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }
