@@ -3689,6 +3689,59 @@ object Pipeline {
     TextAnalysis.gopherRepetition(derived, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Fuzzy benchmark decontamination (q206): near-duplicate MATCH against
+    * a single benchmark doc — corpus×benchmark MinHash-LSH banding (the
+    * q32 machinery re-aimed at two corpora) then exact Jaccard
+    * verification on the hashed shingle sets, at the q32 threshold 0.5.
+    * Fills the protocol slot between q65 (containment in the benchmark
+    * UNION) and q203 (single 13-gram collision): the "lightly paraphrased
+    * eval item" class. The corpus never shuffles — per-row signatures in
+    * the scan projection, benchmark bands broadcast; the oracle replays
+    * the identical permutations (hashA/hashB) and band fold.
+    */
+  val q206 = Q(
+    "q206_fuzzy_decontaminate",
+    s"""WITH $shingleCtes,
+       |params(i, a, b) AS (VALUES $minhashParamsSql),
+       |mh AS (SELECT doc_id, i, MIN((a * h + b) % 1000000007) m
+       |       FROM hs CROSS JOIN params GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, j,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, j*4 + 1, j*4 + 4)),
+       |                (acc, x) -> (acc * 131 + x) % 1000000007) bval
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+       |cand AS (SELECT DISTINCT c.doc_id AS id, b.doc_id AS id_b
+       |  FROM bands c JOIN bands b ON c.j = b.j AND c.bval = b.bval
+       |  WHERE c.doc_id % 89 <> 0 AND b.doc_id % 89 = 0),
+       |shr AS (SELECT c.id, c.id_b, COUNT(*) AS shared
+       |  FROM cand c JOIN hs a ON a.doc_id = c.id
+       |  JOIN hs b2 ON b2.doc_id = c.id_b AND b2.h = a.h
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.id, c.id_b,
+       |    COALESCE(s.shared, 0) / (sa.n + sb.n - COALESCE(s.shared, 0)) AS j
+       |  FROM cand c LEFT JOIN shr s ON s.id = c.id AND s.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id
+       |  JOIN sizes sb ON sb.doc_id = c.id_b),
+       |agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |    CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       |    MAX(j) AS best FROM jac GROUP BY id)
+       |SELECT d.doc_id AS id, CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_shingles,
+       |  COALESCE(a.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+       |  COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+       |  COALESCE(a.best, 0.0) AS best_jaccard,
+       |  COALESCE(a.n_matches, 0) > 0 AS contaminated
+       |FROM documents d
+       |LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+       |LEFT JOIN agg a ON a.id = d.doc_id
+       |WHERE d.doc_id % 89 <> 0
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.fuzzyContamination(
+        docs.where(col("doc_id") % 89 =!= 0), docs.where(col("doc_id") % 89 === 0),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy("id")
+  }
+
   /** N-gram-overlap benchmark decontamination (q203): the GPT-3 13-gram
     * collision rule (Brown et al. 2020 §C) — one colliding 13-token window
     * anywhere in the document, at ANY alignment, flags it; the published
@@ -4485,5 +4538,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 }
