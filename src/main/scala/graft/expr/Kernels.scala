@@ -526,6 +526,68 @@ object Kernels {
     d
   }
 
+  /** MinHash summary of a space-separated text in ONE fused pass:
+    * `[n_distinct_shingles, band_0, …, band_{bands-1}]`. Shingle hashes
+    * follow [[shingleHashes]] exactly (polynomial mod 1e9+7 over the
+    * shingle text, split(" ", -1) token semantics); signature mins apply
+    * the (a_i·h + b_i) mod 1e9+7 permutations over the multiset (min over
+    * multiset = min over set, so no distinct pass); band values fold
+    * consecutive r = numHashes/bands mins with (acc·131 + x) mod 1e9+7 —
+    * every value bit-identical to the unfused
+    * array_distinct ∘ aggregate ∘ zip_with column chain it replaces,
+    * which evaluated as interpreted higher-order functions per row and
+    * dominated q206's corpus scan. Texts with fewer than k tokens return
+    * `[0]` (no bands — posexplode of the empty slice drops the row, which
+    * is the "shingle-less docs never band-collide" guard in kernel form).
+    */
+  def minhashBands(s: UTF8String, k: Int, a: Array[Long], b: Array[Long],
+      bands: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val P = 1000000007L
+    val numHashes = a.length
+    val r = numHashes / bands
+    val str = s.toString
+    val tokens = str.split(" ", -1)
+    val n = tokens.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](0L))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = i
+      while (j < i + k) {
+        if (j > i) h = (h * 131 + ' ') % P
+        val t = tokens(j)
+        var c = 0
+        while (c < t.length) {
+          val cp = t.codePointAt(c)
+          h = (h * 131 + cp) % P
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      seen.add(java.lang.Long.valueOf(h))
+      var p = 0
+      while (p < numHashes) {
+        val v = (a(p) * h + b(p)) % P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](1 + bands)
+    out(0) = seen.size.toLong
+    var bi = 0
+    while (bi < bands) {
+      var acc = 0L
+      var q = bi * r
+      while (q < (bi + 1) * r) { acc = (acc * 131 + mins(q)) % P; q += 1 }
+      out(1 + bi) = acc
+      bi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Split on a literal separator, non-overlapping left-to-right, keeping
     * empty fields — the exact semantics both Spark `split(str, sep, -1)`
     * and DuckDB `string_split` share, so the kernel's line/paragraph
@@ -596,10 +658,12 @@ object Kernels {
     *          (split '\n', empty lines excluded)
     * [15..18] paragraph stats, same four, split on the literal "\n\n"
     *
-    * One tokenization + one count map per n — O(Σₙ tokens·n̄gram_chars)
-    * per row, zero shuffles at any corpus size (the q199 ScriptCounts
-    * altitude; the relational formulation explodes the corpus ~9× and
-    * shuffles every window).
+    * One tokenization + one hash-keyed count map per n — O(chars) token
+    * hashing then O(Σₙ windows·n) multiply-adds per row (n ≤ 10), zero
+    * shuffles at any corpus size (the q199 ScriptCounts altitude; the
+    * relational formulation explodes the corpus ~9× and shuffles every
+    * window, and the first-cut string-keyed maps rebuilt ~9 text copies
+    * per row).
     */
   def repetitionSignals(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val str = s.toString
@@ -615,61 +679,75 @@ object Kernels {
     }
     out(0) = nTok.toLong
     out(1) = pre(nTok)
-    // shared window-count pass: key = tokens joined with ' ' (tokens
-    // cannot contain the separator, so the join is injective)
-    def windowCounts(n: Int): java.util.HashMap[String, Long] = {
-      val m = new java.util.HashMap[String, Long]()
-      var a = 0
-      while (a + n <= nTok) {
-        val sb = new java.lang.StringBuilder()
-        var j = a
-        while (j < a + n) {
-          if (j > a) sb.append(' ')
-          sb.append(tokens(j))
-          j += 1
-        }
-        m.merge(sb.toString, 1L, (x, y) => x + y)
-        a += 1
+    // Window identity = 64-bit polynomial over fmix64-finalized token
+    // hashes (the rollingWindowHashes construction), NOT window strings:
+    // the string form rebuilt ~9 corpus copies of text per row and was the
+    // dominant cost at sf0.1 (1.97 s clean). Counts need only WITHIN-DOC
+    // window identity, so 64 bits suffice where the corpus-wide q182 join
+    // needs 128: per doc and per n the expected number of colliding window
+    // PAIRS is w²/2^65 (w = windows in the doc) — at w = 10^6 that is
+    // ~5·10^-8 per doc, and a collision perturbs one doc's counts by one.
+    // The DuckDB oracle keeps counting by window TEXT (the q182 precedent:
+    // behavior must match, fingerprints never leave the kernel).
+    val th = new Array[Long](nTok)
+    i = 0
+    while (i < nTok) {
+      val t = tokens(i)
+      var h = 1L // seed 1: distinguishes the empty token from absence
+      var c = 0
+      while (c < t.length) {
+        val cp = t.codePointAt(c)
+        h = h * 131 + cp // wraparound i64
+        c += Character.charCount(cp)
       }
-      m
+      th(i) = fmix64(h)
+      i += 1
+    }
+    def windowHash(a: Int, n: Int): Long = {
+      var h = 0L
+      var j = a
+      while (j < a + n) { h = h * RollB1 + th(j); j += 1 } // n <= 10
+      h
     }
     var n = 2
     while (n <= 4) {
-      val counts = windowCounts(n)
-      var best = 0L
+      val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
       var a = 0
       while (a + n <= nTok) {
-        val sb = new java.lang.StringBuilder()
-        var j = a
-        while (j < a + n) {
-          if (j > a) sb.append(' ')
-          sb.append(tokens(j))
-          j += 1
-        }
-        val c = counts.get(sb.toString)
-        val cand = c * (pre(a + n) - pre(a))
-        if (cand > best) best = cand
+        val key = java.lang.Long.valueOf(windowHash(a, n))
+        val slot = counts.get(key)
+        if (slot == null) counts.put(key, Array(1L, pre(a + n) - pre(a)))
+        else slot(0) += 1L
         a += 1
+      }
+      var best = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        val cand = s(0) * s(1)
+        if (cand > best) best = cand
       }
       out(n) = best
       n += 1
     }
     n = 5
     while (n <= 10) {
-      val counts = windowCounts(n)
-      val covered = new Array[Boolean](nTok)
+      val nw = nTok - n + 1
+      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val wh = if (nw > 0) new Array[Long](nw) else null
       var a = 0
       while (a + n <= nTok) {
-        val sb = new java.lang.StringBuilder()
-        var j = a
-        while (j < a + n) {
-          if (j > a) sb.append(' ')
-          sb.append(tokens(j))
-          j += 1
-        }
-        if (counts.get(sb.toString) >= 2L) {
-          var k = a
-          while (k < a + n) { covered(k) = true; k += 1 }
+        wh(a) = windowHash(a, n)
+        counts.merge(java.lang.Long.valueOf(wh(a)), java.lang.Long.valueOf(1L),
+          (x, y) => java.lang.Long.valueOf(x.longValue + y.longValue))
+        a += 1
+      }
+      val covered = new Array[Boolean](nTok)
+      a = 0
+      while (a + n <= nTok) {
+        if (counts.get(java.lang.Long.valueOf(wh(a))).longValue >= 2L) {
+          var p = a
+          while (p < a + n) { covered(p) = true; p += 1 }
         }
         a += 1
       }

@@ -65,6 +65,44 @@ case class ScriptCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `minhash_bands(text) → array<bigint>` =
+  * `[n_distinct_shingles, band_0, …]` — fused shingle+MinHash+banding
+  * kernel (layout and parity notes at [[Kernels.minhashBands]]); the
+  * per-row scan kernel of Decontaminate.fuzzyContamination. Permutation
+  * constants are immutable Seqs so structural equality (and codegen CSE)
+  * hold — the round-17 AcMatch/BpeSegment lesson.
+  */
+case class MinhashBands(child: Expression, k: Int, aCo: Seq[Long], bCo: Seq[Long],
+    bands: Int) extends UnaryExpression {
+
+  require(k >= 1, "k must be >= 1")
+  require(aCo.nonEmpty && aCo.length == bCo.length, "need matched (a, b) permutation seqs")
+  require(bands >= 1 && aCo.length % bands == 0, "bands must divide numHashes")
+
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val aArr = aCo.toArray
+  @transient private lazy val bArr = bCo.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashBands(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, aArr, bArr, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhPermA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhPermB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.Kernels.minhashBands($c, $k, $aRef, $bRef, $bands)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `repetition_signals(text) → array<bigint>`: single-pass Gopher
   * repetition-filter integers (Rae et al. 2021 Table A1) — token counts,
   * top-{2,3,4}-gram coverage, dup-{5..10}-gram span-union coverage, and

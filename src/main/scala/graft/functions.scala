@@ -134,6 +134,13 @@ object functions {
   def repetition_signals(text: Column): Column =
     toCol(graft.expr.RepetitionSignals(toExpr(text)))
 
+  /** Fused shingle + MinHash + banding summary
+    * `[n_distinct_shingles, band_0, …]` (see graft.expr.MinhashBands).
+    */
+  def minhash_bands(text: Column, k: Int, aCo: Seq[Long], bCo: Seq[Long],
+      bands: Int): Column =
+    toCol(graft.expr.MinhashBands(toExpr(text), k, aCo, bCo, bands))
+
   /** Packed integer-L2 k-means assignment (see graft.expr.KmeansAssign). */
   def kmeans_assign(emb: Column, centroids: Array[Array[Long]], scale: Long): Column =
     toCol(graft.expr.KmeansAssign(toExpr(emb), centroids, scale))

@@ -563,54 +563,50 @@ object Decontaminate {
     * on the hashed shingle sets. Returns one row per corpus doc:
     * (id, n_shingles, n_candidates, n_matches, best_jaccard, contaminated).
     *
-    * Scale shape — the corpus NEVER shuffles: the MinHash signature is a
-    * per-row aggregate over `shingle_hashes` in the scan projection (one
-    * pass per row; the self-join form explodes shingles and shuffles every
-    * one of them twice — right for corpus×corpus, wasteful when one side
-    * is an eval set), band values broadcast-join against the benchmark's
-    * band table, and only the candidate pairs (bounded by benchmark size ×
-    * collisions) are re-joined for exact verification. Three narrow corpus
-    * scans, zero corpus-wide exchanges; the only shuffle is the
-    * candidate-pair distinct. Signature arithmetic is bit-identical to
-    * [[Dedup.minhashFromHashed]] (same hashA/hashB permutations, same
+    * Scale shape — the corpus NEVER shuffles: band values come from ONE
+    * fused codegen kernel per row (`minhash_bands`: shingle → permute →
+    * min → band in a single pass; the self-join form explodes shingles
+    * and shuffles every one of them twice — right for corpus×corpus,
+    * wasteful when one side is an eval set), they broadcast-join against
+    * the benchmark's band table, and only the candidate pairs (bounded by
+    * benchmark size × collisions) see the exact-verification shingle
+    * projection — the broadcast join sits BELOW it in the plan. Three
+    * narrow corpus scans, zero corpus-wide exchanges; the only shuffle is
+    * the candidate-pair distinct. Signature arithmetic is bit-identical
+    * to [[Dedup.minhashFromHashed]] (same hashA/hashB permutations, same
     * mod-1e9+7 band fold), so the DuckDB oracle replays it exactly.
     */
   def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 6, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val P = 1000000007L
-    // (a_i, b_i) permutation constants as a plan-literal struct array, so
-    // the per-row signature fold reads them without re-evaluating anything
-    val ab = array((0 until numHashes).map(i =>
-      struct(lit(Dedup.hashA(i)).as("a"), lit(Dedup.hashB(i)).as("b"))): _*)
-    def hsCol: Column = array_distinct(graft.functions.shingle_hashes(col(textCol), k))
-    // sig = per-row fold: ONE evaluation of hs per row (hs is the
-    // aggregate's input child — referencing it inside per-element lambdas
-    // would re-run the shingle kernel numHashes times, the q59 hazard)
-    def sigCol(hs: Column): Column = aggregate(hs,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, ab,
-        (m, p) => least(m, (h * p.getField("a") + p.getField("b")) % P)))
-    def bandCol(sig: Column): Column = array((0 until bands).map(j =>
-      aggregate(slice(sig, j * r + 1, r), lit(0L),
-        (acc, x) => (acc * 131L + x) % P)): _*)
-    def sigFrame(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("id"), hsCol.as("hs"))
-      .where(size(col("hs")) > 0) // all-MaxValue sigs of shingle-less docs must not band-collide
-      .select(col("id"), col("hs"), posexplode(bandCol(sigCol(col("hs")))).as(Seq("j", "bval")))
-    val benchBands = sigFrame(benchmark)
+    val aCo = (0 until numHashes).map(Dedup.hashA)
+    val bCo = (0 until numHashes).map(Dedup.hashB)
+    // ONE fused codegen kernel per row (shingle → permute → min → band;
+    // graft.expr.MinhashBands) — the first cut ran the signature as an
+    // interpreted array_distinct ∘ aggregate ∘ zip_with chain and the
+    // corpus scan dominated the query (3.28 s clean sf0.1). Shingle-less
+    // docs return no bands, so they can never band-collide.
+    def summary: Column =
+      graft.functions.minhash_bands(col(textCol), k, aCo, bCo, bands)
+    def bandFrame(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"), summary.as("ms"))
+      .select(col("id"), posexplode(slice(col("ms"), 2, bands)).as(Seq("j", "bval")))
+    val benchBands = bandFrame(benchmark)
       .select(col("id").as("id_b"), col("j"), col("bval"))
-    val cand = sigFrame(corpus).select(col("id"), col("j"), col("bval"))
+    val cand = bandFrame(corpus)
       .join(broadcast(benchBands), Seq("j", "bval"))
       .select(col("id"), col("id_b")).distinct() // the one (tiny) shuffle
-    // exact verification: candidate corpus docs only (broadcast semi
-    // shape), benchmark shingle sets broadcast alongside
+    // exact verification on CANDIDATE rows only: the broadcast join runs
+    // BEFORE the shingle projection, so the kernel never touches a
+    // non-candidate row in this scan (a Project(hs) under the join would
+    // evaluate it corpus-wide)
+    def hsCol: Column = array_distinct(graft.functions.shingle_hashes(col(textCol), k))
     val benchHs = benchmark
       .select(col(idCol).cast("long").as("id_b"), hsCol.as("hs_b"))
-    val ver = corpus.select(col(idCol).cast("long").as("id"), hsCol.as("hs"))
+    val ver = corpus.select(col(idCol).cast("long").as("id"), col(textCol))
       .join(broadcast(cand), Seq("id"))
+      .withColumn("hs", hsCol)
       .join(broadcast(benchHs), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("hs"), col("hs_b"))))
       .withColumn("jaccard",
@@ -620,7 +616,7 @@ object Decontaminate {
       sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_matches"),
       max(col("jaccard")).as("best_jaccard"))
     corpus.select(col(idCol).cast("long").as("id"),
-        size(hsCol).cast("long").as("n_shingles"))
+        element_at(summary, 1).as("n_shingles"))
       .join(broadcast(agg), Seq("id"), "left")
       .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
