@@ -337,23 +337,15 @@ object TextAnalysis {
     * documented here because a filter threshold, not the champion n-gram,
     * is the contract.
     */
-  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
-      dupLineMax: Double = 0.30, dupParaMax: Double = 0.30,
-      dupLineCharMax: Double = 0.20, dupParaCharMax: Double = 0.20,
-      topNgramMax: Seq[Double] = Seq(0.20, 0.18, 0.16),
-      dupNgramMax: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
-    require(topNgramMax.length == 3, "topNgramMax: thresholds for n = 2, 3, 4")
-    require(dupNgramMax.length == 6, "dupNgramMax: thresholds for n = 5..10")
-    val rs = col("__rs")
+  /** The thirteen Table-A1 fraction columns off a `repetition_signals`
+    * array column (shared by gopherRepetition and
+    * repetitionHealthBySource; layout at Kernels.repetitionSignals).
+    */
+  private def repetitionFracCols(rs: Column): Seq[Column] = {
     def frac(num: Column, den: Column): Column =
       when(den > 0, num / den).otherwise(lit(0.0))
-    val sig = df.select(
-      col(idCol).cast("long").as("doc_id"),
-      graft.functions.repetition_signals(col(textCol)).as("__rs"))
     val chars = rs.getItem(1)
-    val withFracs = sig.select(
-      col("doc_id"),
-      rs.getItem(0).as("n_tokens"),
+    Seq(
       frac(rs.getItem(12), rs.getItem(11)).as("dup_line_frac"),
       frac(rs.getItem(14), rs.getItem(13)).as("dup_line_char_frac"),
       frac(rs.getItem(16), rs.getItem(15)).as("dup_para_frac"),
@@ -367,6 +359,13 @@ object TextAnalysis {
       frac(rs.getItem(8), chars).as("dup_8gram_char_frac"),
       frac(rs.getItem(9), chars).as("dup_9gram_char_frac"),
       frac(rs.getItem(10), chars).as("dup_10gram_char_frac"))
+  }
+
+  private def repetitionKeep(dupLineMax: Double, dupParaMax: Double,
+      dupLineCharMax: Double, dupParaCharMax: Double,
+      topNgramMax: Seq[Double], dupNgramMax: Seq[Double]): Column = {
+    require(topNgramMax.length == 3, "topNgramMax: thresholds for n = 2, 3, 4")
+    require(dupNgramMax.length == 6, "dupNgramMax: thresholds for n = 5..10")
     val gates = Seq(
       col("dup_line_frac") <= dupLineMax,
       col("dup_line_char_frac") <= dupLineCharMax,
@@ -376,7 +375,61 @@ object TextAnalysis {
         col(s"top_${i + 2}gram_char_frac") <= t } ++
       dupNgramMax.zipWithIndex.map { case (t, i) =>
         col(s"dup_${i + 5}gram_char_frac") <= t }
-    withFracs.withColumn("keep", gates.reduce(_ && _))
+    gates.reduce(_ && _)
+  }
+
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      dupLineMax: Double = 0.30, dupParaMax: Double = 0.30,
+      dupLineCharMax: Double = 0.20, dupParaCharMax: Double = 0.20,
+      topNgramMax: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      dupNgramMax: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
+    val rs = col("__rs")
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.repetition_signals(col(textCol)).as("__rs"))
+      .select(col("doc_id") +: rs.getItem(0).as("n_tokens") +: repetitionFracCols(rs): _*)
+      .withColumn("keep", repetitionKeep(dupLineMax, dupParaMax,
+        dupLineCharMax, dupParaCharMax, topNgramMax, dupNgramMax))
+  }
+
+  /** Per-source repetition health rollup — the corpus-dashboard face of
+    * [[gopherRepetition]] (composes with corpusReport/q191/q150): for each
+    * source, how many docs fail the full Table-A1 conjunction, how many
+    * trip the two headline gates individually, and the source-level
+    * duplicated-5-gram character ratio as a RATIO OF INTEGER SUMS
+    * (Σ covered / Σ chars) — a mean of per-doc double fractions would be
+    * accumulation-order-dependent and break the exact-hash oracle gate
+    * (the Relational.scala double-sum rule); integer sums reassociate
+    * freely, so the one source-keyed aggregate stays map-side-combinable.
+    * Scale shape: ONE kernel projection + ONE source-keyed exchange of
+    * |sources| × 7 longs.
+    */
+  def repetitionHealthBySource(df: DataFrame, srcCol: String, textCol: String,
+      dupLineMax: Double = 0.30, dupParaMax: Double = 0.30,
+      dupLineCharMax: Double = 0.20, dupParaCharMax: Double = 0.20,
+      topNgramMax: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      dupNgramMax: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
+    val rs = col("__rs")
+    df.select(
+        col(srcCol).as("source"),
+        graft.functions.repetition_signals(col(textCol)).as("__rs"))
+      .select(col("source") +: rs.getItem(1).as("__tchars") +:
+        rs.getItem(5).as("__dup5") +: repetitionFracCols(rs): _*)
+      .withColumn("__keep", repetitionKeep(dupLineMax, dupParaMax,
+        dupLineCharMax, dupParaCharMax, topNgramMax, dupNgramMax))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("top_2gram_char_frac") > topNgramMax.head, 1L)
+          .otherwise(0L)).as("n_top2_fail"),
+        sum(when(col("dup_5gram_char_frac") > dupNgramMax.head, 1L)
+          .otherwise(0L)).as("n_dup5_fail"),
+        sum(col("__dup5")).as("dup5_chars"),
+        sum(col("__tchars")).as("token_chars"))
+      .withColumn("dup5_char_frac",
+        when(col("token_chars") > 0, col("dup5_chars") / col("token_chars"))
+          .otherwise(lit(0.0)))
   }
 
   /** C4/Gopher-style composite document filter (Raffel et al. 2020;

@@ -3556,8 +3556,12 @@ object Pipeline {
     * the same order), so the line-level signals are exercised on real
     * data, not only in the spec's literal frames.
     */
-  val q205 = Q(
-    "q205_gopher_repetition",
+  /** The full q205 oracle CTE chain (derived line breaks → token/window
+    * counts per n → line/paragraph duplicate stats → the thirteen
+    * fractions in CTE `f`) — shared with q207's per-source rollup, which
+    * aggregates the same integers.
+    */
+  private lazy val gopherRepCtes: String =
     """WITH d AS (SELECT doc_id,
       |        replace(replace(text, ' part ', chr(10) || chr(10)), ' line ', chr(10)) AS text
       |      FROM documents),
@@ -3673,20 +3677,64 @@ object Pipeline {
       |LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
       |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id) LEFT JOIN top4 USING (doc_id)
       |LEFT JOIN d5 USING (doc_id) LEFT JOIN d6 USING (doc_id) LEFT JOIN d7 USING (doc_id)
-      |LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id) LEFT JOIN d10 USING (doc_id))
-      |SELECT f.*,
-      |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+      |LEFT JOIN d8 USING (doc_id) LEFT JOIN d9 USING (doc_id) LEFT JOIN d10 USING (doc_id))""".stripMargin
+
+  private val gopherKeepSql: String =
+    """(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
       |   AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
       |   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
       |   AND top_4gram_char_frac <= 0.16
       |   AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
       |   AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
-      |   AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10) AS keep
-      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |   AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10)""".stripMargin
+
+  val q205 = Q(
+    "q205_gopher_repetition",
+    s"""$gopherRepCtes
+       |SELECT f.*,
+       |  $gopherKeepSql AS keep
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val derived = t(s, dir, "documents").select(col("doc_id"),
       replace(replace(col("text"), lit(" part "), lit("\n\n")),
         lit(" line "), lit("\n")).as("text"))
     TextAnalysis.gopherRepetition(derived, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Per-source repetition health (q207): the corpus-dashboard rollup of
+    * q205 — per source, docs failing the Table-A1 conjunction, the two
+    * headline-gate trip counts, and the duplicated-5-gram character ratio
+    * as a ratio of integer sums (a mean of per-doc doubles would be
+    * accumulation-order-dependent across engines). ONE kernel projection
+    * + ONE source-keyed aggregate; the oracle re-aggregates the identical
+    * q205 CTE integers.
+    */
+  val q207 = Q(
+    "q207_repetition_health_by_source",
+    s"""$gopherRepCtes,
+       |k AS (SELECT f.doc_id, f.top_2gram_char_frac, f.dup_5gram_char_frac,
+       |        $gopherKeepSql AS keep
+       |      FROM f),
+       |raw AS (SELECT b.doc_id, b.tchars,
+       |        CAST(COALESCE(d5.cov, 0) AS BIGINT) AS cov5
+       |      FROM base b LEFT JOIN d5 USING (doc_id))
+       |SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(CASE WHEN k.top_2gram_char_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_fail,
+       |  CAST(SUM(CASE WHEN k.dup_5gram_char_frac > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup5_fail,
+       |  CAST(SUM(raw.cov5) AS BIGINT) AS dup5_chars,
+       |  CAST(SUM(raw.tchars) AS BIGINT) AS token_chars,
+       |  CASE WHEN SUM(raw.tchars) > 0
+       |       THEN CAST(SUM(raw.cov5) AS BIGINT) / CAST(SUM(raw.tchars) AS BIGINT)
+       |       ELSE 0.0 END AS dup5_char_frac
+       |FROM k
+       |JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+       |JOIN raw USING (doc_id)
+       |GROUP BY s.source ORDER BY s.source""".stripMargin) { (s, dir) =>
+    val derived = t(s, dir, "documents").select(col("source"),
+      replace(replace(col("text"), lit(" part "), lit("\n\n")),
+        lit(" line "), lit("\n")).as("text"))
+    TextAnalysis.repetitionHealthBySource(derived, "source", "text")
+      .orderBy("source")
   }
 
   /** Fuzzy benchmark decontamination (q206): near-duplicate MATCH against
@@ -4538,5 +4586,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }

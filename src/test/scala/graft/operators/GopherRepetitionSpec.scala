@@ -22,6 +22,9 @@ class GopherRepetitionSpec extends AnyFunSuite {
   private def f(r: org.apache.spark.sql.Row, name: String): Double =
     r.getDouble(r.fieldIndex(name))
 
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
   test("line and paragraph duplicate stats: beyond-first counting, empties excluded") {
     // lines: aa, bb, aa, cc (the "" between \n\n is excluded) -> 1 dup of 2 chars / 8
     // paragraphs (split "\n\n"): "aa\nbb\naa" and "cc" -> no dups
@@ -102,6 +105,37 @@ class GopherRepetitionSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"filter must not shuffle:\n$plan")
     assert(plan.contains("repetition_signals"), s"expected the codegen kernel:\n$plan")
+  }
+
+  test("repetitionHealthBySource: flagged counts and ratio-of-sums per source") {
+    // diverse docs must be LONG: on a 5-token doc the single most frequent
+    // 2-gram already covers 40% of the chars (the short-doc effect the
+    // Table-A1 thresholds assume away)
+    val df = Seq(
+      ("clean", words("tok", 30)),                 // no dup anywhere
+      ("dirty", "a b c d e a b c d e x"),          // cov5 = 10 of 11 chars
+      ("dirty", words("m", 30))                    // 80 chars, no dup
+    ).toDF("source", "text")
+    val r = TextAnalysis.repetitionHealthBySource(df, "source", "text")
+      .orderBy("source").collect()
+    val clean = r(0); val dirty = r(1)
+    assert(clean.getLong(clean.fieldIndex("n_docs")) == 1L)
+    assert(clean.getLong(clean.fieldIndex("n_flagged")) == 0L)
+    assert(clean.getDouble(clean.fieldIndex("dup5_char_frac")) == 0.0)
+    assert(dirty.getLong(dirty.fieldIndex("n_docs")) == 2L)
+    // the a..e doc trips dup-5gram (10/11 > 0.15) and top-2gram
+    assert(dirty.getLong(dirty.fieldIndex("n_flagged")) == 1L)
+    assert(dirty.getLong(dirty.fieldIndex("n_dup5_fail")) == 1L)
+    // ratio of integer sums, NOT mean of fractions: (10+0)/(11+80)
+    assert(dirty.getDouble(dirty.fieldIndex("dup5_char_frac")) == 10.0 / 91)
+  }
+
+  test("repetitionHealthBySource: exactly one shuffle (source-keyed aggregate)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.repetitionHealthBySource(corpus, "source", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected the one source-keyed exchange:\n$plan")
   }
 
   test("null text: n_tokens null, fractions guard to 0.0, keep = true") {
