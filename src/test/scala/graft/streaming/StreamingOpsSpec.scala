@@ -254,4 +254,45 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(!rows.exists(_._1 == 2L)) // other user's view never matches user 1
     } finally q.stop()
   }
+
+  test("curation gates are streaming-native: gopherRepetition over a MemoryStream") {
+    // The repetition filter is a stateless kernel projection, so the SAME
+    // operator code runs unchanged on readStream — ingest-time curation
+    // needs no batch/streaming fork. Values must match the batch run
+    // exactly (same codegen kernel, no state, no watermark).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.gopherRepetition(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rep_gate").outputMode("append").start()
+    try {
+      mem.addData((1L, "a b c d e a b c d e x"), (2L, (0 until 30).map(i => s"t$i").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("rep_gate").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+      assert(rows == Map(1L -> false, 2L -> true))
+    } finally q.stop()
+  }
+
+  test("decontamination probe is streaming-native: flagNgramCollision over a MemoryStream") {
+    // The benchmark probe rides the plan as a literal array, so the
+    // 13-gram collision rule is also a pure projection — a stream of
+    // incoming docs is flagged at ingest with zero state.
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = (0 until 20).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Decontaminate.flagNgramCollision(
+        mem.toDS().toDF("doc_id", "text"), bench, "doc_id", "text")
+      .writeStream.format("memory").queryName("decon_gate").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "x " + (0 until 13).map(i => s"b$i").mkString(" ") + " y"), // quotes 13 bench tokens
+        (2L, (0 until 20).map(i => s"c$i").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("decon_gate").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+      assert(rows == Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
 }
