@@ -73,13 +73,30 @@ object Clustering {
     */
   def kmeansInt(corpus: DataFrame, k: Int, iters: Int,
       scale: Long = 1L << 20): DataFrame = {
-    require(k >= 1 && k <= 256, "kmeansInt: k in [1, 256] (cid packs into 8 bits)")
-    require(iters >= 1, "kmeansInt: iters must be >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"))
+    val cents = fitCentroids(base, k, iters, scale)
+    base.select(col("vec_id"),
+        kmeans_assign(col("embedding"), cents, scale).as("__packed"))
+      .select(col("vec_id"),
+        col("__packed").bitwiseAND(lit(255L)).cast("int").as("cid"),
+        shiftright(col("__packed"), 8).as("dist"))
+  }
+
+  /** The Lloyd fit extracted from [[kmeansInt]] so product quantization
+    * ([[Quantize.pqTopK]]) can train per-subspace codebooks under the
+    * IDENTICAL arithmetic contract (quantize-once, exact long distances,
+    * truncating-division means, tie → smaller cid, empty cluster keeps its
+    * centroid, seeds = first k rows by vec_id). `base` must expose
+    * (vec_id: long, embedding: array<float|double>). Returns the final
+    * centroid matrix in quantized space — k·dims longs of driver state.
+    */
+  private[operators] def fitCentroids(base: DataFrame, k: Int, iters: Int,
+      scale: Long): Array[Array[Long]] = {
+    require(k >= 1 && k <= 256, "kmeansInt: k in [1, 256] (cid packs into 8 bits)")
+    require(iters >= 1, "kmeansInt: iters must be >= 1")
+    val spark = base.sparkSession
+    import spark.implicits._
 
     def quantized(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") * scale.toDouble).cast("long")
@@ -111,11 +128,6 @@ object Clustering {
       }
       cents = next
     }
-
-    base.select(col("vec_id"),
-        kmeans_assign(col("embedding"), cents, scale).as("__packed"))
-      .select(col("vec_id"),
-        col("__packed").bitwiseAND(lit(255L)).cast("int").as("cid"),
-        shiftright(col("__packed"), 8).as("dist"))
+    cents
   }
 }

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.kmeans_assign
 
 /** Scalar int8 quantization for embedding columns — the memory-side
   * enabler for similarity search at corpus scale: a 64-dim float32 vector
@@ -45,5 +48,115 @@ object Quantize {
           .otherwise(aggregate(col("e"), lit(0d),
             (acc, x) => acc + abs(x - floor(x / col("scale") + 0.5) * col("scale"))))
           .as("recon_err"))
+  }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011): split
+    * each vector into `m` subspaces, train a per-subspace codebook with
+    * the exact integer Lloyd of [[Clustering.fitCentroids]], encode the
+    * corpus as `m` byte codes, and answer queries with asymmetric distance
+    * computation (ADC) — per query, the m·kCent exact subspace distances
+    * are precomputed ONCE into a lookup table and each corpus row's
+    * distance is m table lookups, never a vector op.
+    *
+    * This is the remaining codebook rung of the similarity stack:
+    * [[int8]] is the scalar codebook (4 bits of precision per dim at full
+    * dim count), PQ trades dims for centroids — 64 float dims (256 B)
+    * become m=4 codes (4 B at kCent ≤ 256), a 64× compression that lets
+    * one executor hold codes for ~10⁹ vectors while the float vectors stay
+    * in parquet (compose [[Similarity.quantizedRerankTopK]]'s re-rank join
+    * on the ADC candidates for the full IVFADC layout).
+    *
+    * Determinism (the q162 contract end-to-end): codebooks are pure
+    * functions of the corpus (quantize-once, integer distances, truncating
+    * means, tie → smaller cid, seeds = first kCent by vec_id — shared
+    * across subspaces); encoding ties break to the smaller code; ADC
+    * distances are exact longs (query quantized with the same
+    * floor(x·scale)); the top-k window orders by (dist, nid). The oracle
+    * replays the fit, the encoding, AND the lookup-table composition.
+    *
+    * Scale shape: fit = m·iters corpus scans over the SLICED vectors (each
+    * the [[Clustering.kmeansInt]] shape: codegen argmin projection +
+    * kCent·subDims-group partial agg, driver state m·kCent·subDims longs);
+    * encode = ONE corpus scan with m codegen argmins per row, no shuffle;
+    * search = ONE scan of the (nid, m codes) frame against the broadcast
+    * per-query tables (|queries|·m·kCent longs), then the per-query top-k
+    * window — parallelism |queries|, the [[Similarity.cosineTopK]] shape.
+    * Output: qid, nid, dist (exact long ADC distance), rn ≤ topK.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, m: Int, kCent: Int,
+      iters: Int, topK: Int, scale: Long = 1L << 20): DataFrame = {
+    require(m >= 1 && m <= 64, "pqTopK: m in [1, 64]")
+    require(kCent >= 1 && kCent <= 256, "pqTopK: kCent in [1, 256] (codes pack into bytes)")
+    require(topK >= 1 && topK <= 512, "pqTopK: topK in [1, 512]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val inDims = base.select(col("embedding")).limit(1)
+      .collect()(0).getSeq[Any](0).length
+    require(inDims % m == 0, s"pqTopK: $inDims dims not divisible by m=$m")
+    val sub = inDims / m
+
+    // per-subspace codebooks under the exact kmeansInt arithmetic; the
+    // slice is 1-based and the seed rule (first kCent by vec_id) picks the
+    // SAME seed rows in every subspace, so the oracle shares one seed CTE
+    val cents: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      Clustering.fitCentroids(
+        base.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        kCent, iters, scale)
+    }
+
+    // encode: m codegen argmins in one projection — no shuffle, the codes
+    // frame is the hot structure (m bytes + id per corpus row)
+    val encoded = base.select(
+      (col("vec_id").as("nid") +: (0 until m).map { j =>
+        (kmeans_assign(slice(col("embedding"), j * sub + 1, sub), cents(j), scale)
+          .bitwiseAND(lit(255L))).cast("int").as(s"c$j")
+      }): _*)
+
+    // ADC tables: one bounded collect of the query set (the IVF-fit class),
+    // each query's m·kCent exact subspace distances flattened row-major
+    val qRows = queries
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "pqTopK: empty query set")
+    val dtRows = qRows.map { case (qid, emb) =>
+      require(emb.length == inDims, s"pqTopK: query $qid has ${emb.length} dims, corpus has $inDims")
+      val qq = emb.map(x => math.floor(x * scale).toLong).toArray
+      val flat = new Array[Long](m * kCent)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kCent) {
+          var s = 0L
+          var d = 0
+          while (d < sub) {
+            val diff = qq(j * sub + d) - cents(j)(c)(d)
+            s += diff * diff
+            d += 1
+          }
+          flat(j * kCent + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      (qid, flat.toSeq)
+    }.toSeq
+    val dts = broadcast(spark.createDataFrame(dtRows).toDF("qid", "dt"))
+
+    // ADC distance = m literal-index lookups, a codegen-friendly sum of
+    // element_at — no lambda, no per-row loop over a higher-order function
+    val dist = (0 until m).map { j =>
+      element_at(col("dt"), col(s"c$j") + lit(j * kCent) + lit(1))
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(dts)
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), dist.as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("nid"), col("dist"), col("rn"))
   }
 }

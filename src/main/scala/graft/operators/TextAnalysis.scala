@@ -954,6 +954,96 @@ object TextAnalysis {
           col("score_sum").cast("double") / col("n_bigrams").cast("double")))
   }
 
+  /** Interpolated Kneser–Ney bigram gate (Kneser & Ney, ICASSP 1995; the
+    * smoothing family CCNet's KenLM perplexity filter runs at 5-gram
+    * order — Wenzek et al. 2020) — the published rung above
+    * [[bigramFluency]]'s stupid backoff: the discounted bigram estimate is
+    * interpolated with the CONTINUATION unigram (how many distinct
+    * contexts a word follows), so boilerplate tokens that are frequent but
+    * context-locked stop inflating fluency.
+    *
+    * With discount D = 3/4 every probability is the exact rational
+    *   P(w2|w1) = max(c₁₂−D, 0)/c₁ + (D·N₁₊(w1·)/c₁)·(N₁₊(·w2)/N)
+    * over the common denominator 4·c₁·N (N = distinct bigram types):
+    *   num = max(4·c₁₂−3, 0)·N + 3·N₁₊(w1·)·N₁₊(·w2),   den = 4·c₁·N
+    * and an UNSEEN context (c₁ = 0, the held-out case) backs off to the
+    * pure continuation estimate num = N₁₊(·w2), den = N. A bigram is
+    * improbable when num·threshDen < den (P < 1/threshDen) — an integer
+    * cross-multiply, so the gate sits on the exact-hash oracle. Exactness
+    * bound: products stay under 2⁶³ while max(c₁₂)·N < 2.3·10¹⁵ — holds
+    * through ~10⁸-bigram training splits; past that, cast the four count
+    * columns to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the arithmetic
+    * is unchanged.
+    *
+    * Scale shape: train side = one bigram explode + three vocabulary-sized
+    * aggregates (bigram-, w1-, w2-keyed) and a one-row type total; scoring
+    * = one bigram explode, three bigram/vocab-keyed LEFT joins (the model
+    * is corpus-vocabulary-sized and never broadcast — the q145 rule), a
+    * one-row broadcast of N, then ONE doc-keyed aggregate. Docs with no
+    * bigrams pass (vacuously fluent). Output per doc: n_bigrams,
+    * n_unseen_ctx, n_improb, improb_ppm (integer div), keep = at most 20%
+    * improbable bigrams.
+    */
+  def knBigramGate(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String, threshDen: Long = 1000L): DataFrame = {
+    require(threshDen >= 1L, "knBigramGate: threshDen must be >= 1")
+    // the oovBigramGate zip_with pattern: tail padded with null, filtered
+    def bigrams(text: Column): Column = {
+      val tk = toks(text)
+      filter(
+        zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        x => x.getField("w1").isNotNull && x.getField("w2").isNotNull)
+    }
+    val bi = refDocs.select(explode(bigrams(col(textCol))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context stats from the bigram table: c1 = Σ c12 (token count of w1
+    // as a context), n1fol = distinct continuations N₁₊(w1·)
+    val ctx = bi.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fol"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val tot = bi.agg(count(lit(1)).as("nn"))
+    val docBg = docs.select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val scored = docBg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("n1fol"), lit(0L)).as("n1fol"),
+        coalesce(col("ncont"), lit(0L)).as("ncont"),
+        col("nn"))
+      .withColumn("num",
+        when(col("c1") > 0,
+          greatest(lit(4L) * col("c12") - lit(3L), lit(0L)) * col("nn")
+            + lit(3L) * col("n1fol") * col("ncont"))
+          .otherwise(col("ncont")))
+      .withColumn("den",
+        when(col("c1") > 0, lit(4L) * col("c1") * col("nn"))
+          .otherwise(col("nn")))
+      .withColumn("improb",
+        col("den") === 0L || col("num") * lit(threshDen) < col("den"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("c1") === 0L, 1L).otherwise(0L)).as("n_unseen_ctx"),
+          sum(when(col("improb"), 1L).otherwise(0L)).as("n_improb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen_ctx"), lit(0L)).as("n_unseen_ctx"),
+        coalesce(col("n_improb"), lit(0L)).as("n_improb"))
+      .withColumn("improb_ppm",
+        when(col("n_bigrams") > 0,
+          expr("(n_improb * 1000000L) div n_bigrams")).otherwise(lit(0L)))
+      .withColumn("keep", col("n_improb") * lit(5L) <= col("n_bigrams"))
+  }
+
   /** Vocabulary frequency spectrum: token types binned by ⌊log₂(count)⌋ —
     * the heavy-tail diagnostic of corpus health (a natural corpus shows a
     * smooth Zipf-like decay of types per doubling bin; boilerplate-heavy

@@ -4582,9 +4582,185 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  // ---- q208: product-quantization ANN (Jégou/Douze/Schmid 2011) ----
+
+  /** One PQ subspace's oracle chain: local dim re-base, the shared seed
+    * rows, two unrolled Lloyd cycles in the q162 arithmetic, the encode
+    * argmin under the final centroids, and the per-query ADC distance rows
+    * (which are exactly the e-CTE rows filtered to the query set — the
+    * lookup table IS the assignment-distance relation).
+    */
+  private def pqSubCtes(j: Int, lo: Int, hi: Int): String = {
+    val v = s"v$j"
+    def iter(prev: String, i: Int) =
+      s"""d${j}_$i AS (SELECT v.vec_id, c.cid,
+         |  CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+         |  FROM $v v JOIN $prev c ON v.d = c.d GROUP BY 1, 2),
+         |a${j}_$i AS (SELECT vec_id, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cid) AS rn FROM d${j}_$i) WHERE rn = 1),
+         |m${j}_$i AS (SELECT a.cid, v.d, CAST(SUM(v.q) // COUNT(*) AS BIGINT) AS q
+         |  FROM a${j}_$i a JOIN $v v USING (vec_id) GROUP BY 1, 2),
+         |c${j}_$i AS (SELECT p.cid, p.d, COALESCE(m.q, p.q) AS q
+         |  FROM $prev p LEFT JOIN m${j}_$i m ON p.cid = m.cid AND p.d = m.d)""".stripMargin
+    s"""$v AS (SELECT vec_id, d - ${lo - 1} AS d, q FROM vq WHERE d >= $lo AND d <= $hi),
+       |c${j}_0 AS (SELECT s.cid, v.d, v.q FROM seed s JOIN $v v USING (vec_id)),
+       |${iter(s"c${j}_0", 1)},
+       |${iter(s"c${j}_1", 2)},
+       |e$j AS (SELECT v.vec_id, c.cid,
+       |  CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM $v v JOIN c${j}_2 c ON v.d = c.d GROUP BY 1, 2),
+       |enc$j AS (SELECT vec_id, cid AS code FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM e$j) WHERE rn = 1),
+       |dt$j AS (SELECT vec_id AS qid, cid, dist FROM e$j WHERE vec_id % 97 = 0)""".stripMargin
+  }
+
+  /** Product-quantization ANN (q208): m=4 subspaces × 16 dims, kCent=4
+    * codebook entries per subspace fit with the exact integer Lloyd
+    * (2 cycles, the q162 contract), corpus encoded as 4 codes, queries
+    * (vec_id % 97) answered by asymmetric distance computation — the
+    * lookup-table sum of exact per-subspace long distances. The oracle
+    * replays ALL of it: four per-subspace fit chains off one shared seed
+    * CTE, the encode argmins, and the four-way table-lookup join; a drift
+    * anywhere (a mean, a tie, a code, one lookup) hash-fails.
+    */
+  val q208 = Q(
+    "q208_pq_ann",
+    s"""WITH vq AS (SELECT vec_id, d,
+       |    CAST(FLOOR(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+       |seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |${pqSubCtes(0, 1, 16)},
+       |${pqSubCtes(1, 17, 32)},
+       |${pqSubCtes(2, 33, 48)},
+       |${pqSubCtes(3, 49, 64)},
+       |full_d AS (SELECT d0.qid, e0.vec_id AS nid,
+       |    d0.dist + d1.dist + d2.dist + d3.dist AS dist
+       |  FROM enc0 e0
+       |  JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+       |  JOIN enc3 e3 USING (vec_id)
+       |  JOIN dt0 d0 ON d0.cid = e0.code
+       |  JOIN dt1 d1 ON d1.qid = d0.qid AND d1.cid = e1.code
+       |  JOIN dt2 d2 ON d2.qid = d0.qid AND d2.cid = e2.code
+       |  JOIN dt3 d3 ON d3.qid = d0.qid AND d3.cid = e3.code
+       |  WHERE e0.vec_id <> d0.qid)
+       |SELECT qid, nid, dist, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dist, nid) AS rn FROM full_d)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Quantize.pqTopK(emb, emb.where(col("vec_id") % 97 === 0),
+        m = 4, kCent = 4, iters = 2, topK = 5)
+      .orderBy("qid", "rn")
+  }
+
+  /** Interpolated Kneser–Ney bigram gate (q209; Kneser & Ney 1995 — the
+    * CCNet perplexity-filter smoothing family): model trained on the
+    * doc_id % 10 ≠ 0 split, EVERY doc scored, so unseen-context backoff
+    * (the pure continuation estimate) is exercised on real held-out rows.
+    * All-integer rational arithmetic over the common denominator 4·c1·N;
+    * improbable = P < 1/1000 by cross-multiply. The oracle replays counts,
+    * continuation stats, both branches, and the per-doc rollup.
+    */
+  val q209 = Q(
+    "q209_kn_bigram_gate",
+    """WITH alltk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |trb AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+      |  SELECT t, unnest(range(1, len(t))) AS i FROM alltk WHERE doc_id % 10 <> 0)),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM trb GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |        CAST(COUNT(*) AS BIGINT) AS n1fol FROM bi GROUP BY 1),
+      |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bi GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bi),
+      |db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+      |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM alltk)),
+      |sc AS (SELECT d.doc_id,
+      |    COALESCE(b.c12, 0) AS c12, COALESCE(x.c1, 0) AS c1,
+      |    COALESCE(x.n1fol, 0) AS n1fol, COALESCE(ct.ncont, 0) AS ncont, tot.nn
+      |  FROM db d LEFT JOIN bi b USING (w1, w2) LEFT JOIN ctx x USING (w1)
+      |  LEFT JOIN cont ct USING (w2) CROSS JOIN tot),
+      |f AS (SELECT doc_id, c1,
+      |    CASE WHEN c1 > 0
+      |         THEN GREATEST(4 * c12 - 3, 0) * nn + 3 * n1fol * ncont
+      |         ELSE ncont END AS num,
+      |    CASE WHEN c1 > 0 THEN 4 * c1 * nn ELSE nn END AS den
+      |  FROM sc),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+      |    CAST(SUM(CASE WHEN den = 0 OR num * 1000 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_improb
+      |  FROM f GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+      |  COALESCE(a.n_unseen_ctx, CAST(0 AS BIGINT)) AS n_unseen_ctx,
+      |  COALESCE(a.n_improb, CAST(0 AS BIGINT)) AS n_improb,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |       THEN CAST(a.n_improb * 1000000 // a.n_bigrams AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS improb_ppm,
+      |  COALESCE(a.n_improb, 0) * 5 <= COALESCE(a.n_bigrams, 0) AS keep
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.knBigramGate(docs, docs.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Hashed-feature batch-perceptron quality classifier (q210; the
+    * fastText-style linear gate, Joulin et al. 2017): seed label = lang
+    * 'en' vs rest, training split doc_id % 5 ≠ 0, 32 hash buckets, 2
+    * epochs. The oracle unrolls both epochs: from w=0 epoch 1's update is
+    * the full class-difference sum; epoch 2 re-scores, takes the
+    * misclassified set, and adds its delta; final scores come from the
+    * epoch-2 weights over ALL docs (held-out included).
+    */
+  val q210 = Q(
+    "q210_perceptron_quality",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, CAST(${hashSql("tok")} % 32 AS INT) AS f,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |lab AS (SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |    doc_id % 5 <> 0 AS is_train
+       |  FROM documents),
+       |trf AS (SELECT tf.doc_id, tf.f, tf.cnt, l.y
+       |  FROM tf JOIN lab l USING (doc_id) WHERE l.is_train),
+       |w1 AS (SELECT f, CAST(SUM(y * cnt) AS BIGINT) AS w FROM trf GROUP BY 1),
+       |s2 AS (SELECT t.doc_id, t.y,
+       |    CAST(SUM(t.cnt * COALESCE(w1.w, 0)) AS BIGINT) AS s
+       |  FROM trf t LEFT JOIN w1 USING (f) GROUP BY 1, 2),
+       |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
+       |d2 AS (SELECT t.f, CAST(SUM(t.y * t.cnt) AS BIGINT) AS d
+       |  FROM trf t JOIN m2 USING (doc_id, y) GROUP BY 1),
+       |w2 AS (SELECT COALESCE(w1.f, d2.f) AS f,
+       |    CAST(COALESCE(w1.w, 0) + COALESCE(d2.d, 0) AS BIGINT) AS w
+       |  FROM w1 FULL JOIN d2 ON w1.f = d2.f),
+       |fs AS (SELECT tf.doc_id,
+       |    CAST(SUM(tf.cnt * COALESCE(w2.w, 0)) AS BIGINT) AS score
+       |  FROM tf LEFT JOIN w2 USING (f) GROUP BY 1)
+       |SELECT l.doc_id, l.y,
+       |  COALESCE(fs.score, CAST(0 AS BIGINT)) AS score,
+       |  CAST(CASE WHEN COALESCE(fs.score, 0) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  (CASE WHEN COALESCE(fs.score, 0) > 0 THEN 1 ELSE -1 END) = l.y AS correct,
+       |  l.is_train
+       |FROM lab l LEFT JOIN fs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.QualityClassifier.perceptron(
+        t(s, dir, "documents"), "doc_id", "text",
+        label = when(col("lang") === "en", 1L).otherwise(-1L),
+        isTrain = col("doc_id") % 5 =!= 0,
+        nFeatures = 32, epochs = 2)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }
