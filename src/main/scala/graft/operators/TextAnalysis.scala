@@ -432,6 +432,74 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-source curation FUNNEL — the attrition dashboard over the
+    * sequential gate chain encoding → character diversity → Gopher
+    * repetition: for each source, how many docs enter and how many
+    * survive each cumulative stage. This is the report a 100 TB curation
+    * run is steered by (which source is losing docs, and at WHICH gate),
+    * composing [[encodingDamageReport]], [[charDiversityReport]] and
+    * [[gopherRepetition]] semantics without paying their three scans.
+    *
+    * Scale shape: ONE corpus scan evaluating all three codegen kernels
+    * (`script_counts`, `char_stats`, `repetition_signals`) in one fused
+    * projection — per-row work identical to running the three gates, I/O
+    * paid once — then ONE source-keyed aggregate of |sources| × 4 longs
+    * (map-side combinable). The gate formulas are kept in lockstep with
+    * the standalone reports by a cross-equivalence spec (the booleans
+    * must match the three reports joined on doc_id), so a threshold
+    * drift fails the suite, not just the oracle.
+    */
+  def curationFunnelBySource(df: DataFrame, srcCol: String, textCol: String,
+      ppmThreshold: Int = 1000, maxCollPermille: Long = 80,
+      minDistinct: Long = 10,
+      dupLineMax: Double = 0.30, dupParaMax: Double = 0.30,
+      dupLineCharMax: Double = 0.20, dupParaCharMax: Double = 0.20,
+      topNgramMax: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      dupNgramMax: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
+    val rs = col("__rs")
+    df.select(
+        col(srcCol).as("source"),
+        graft.functions.script_counts(col(textCol)).as("__sc"),
+        graft.functions.char_stats(col(textCol)).as("__cs"),
+        graft.functions.repetition_signals(col(textCol)).as("__rs"))
+      .select(col("source") +:
+        col("__sc").getItem(0).as("__n_chars") +:
+        col("__sc").getItem(7).as("__n_repl") +:
+        col("__sc").getItem(8).as("__n_ctrl") +:
+        col("__cs").getItem(0).as("__cd_chars") +:
+        col("__cs").getItem(1).as("__cd_distinct") +:
+        col("__cs").getItem(2).as("__cd_coll") +:
+        repetitionFracCols(rs): _*)
+      // the encodingDamageReport formula (ppm in integer div, sum vs
+      // threshold) and the charDiversityReport formula (decimal(38)
+      // cross-multiply — coll_num nears n² at 100 TB docs) verbatim
+      .withColumn("__damaged",
+        (when(col("__n_chars") > 0, expr("__n_repl * 1000000 div __n_chars"))
+            .otherwise(0L) +
+          when(col("__n_chars") > 0, expr("__n_ctrl * 1000000 div __n_chars"))
+            .otherwise(0L)) >= ppmThreshold)
+      .withColumn("__gibberish",
+        (col("__cd_chars") >= 2 &&
+          col("__cd_coll").cast("decimal(38,0)") * 1000 >
+            lit(maxCollPermille) * col("__cd_chars").cast("decimal(38,0)") *
+              (col("__cd_chars") - 1)) ||
+          col("__cd_distinct") < minDistinct)
+      .withColumn("__rep_keep", repetitionKeep(dupLineMax, dupParaMax,
+        dupLineCharMax, dupParaCharMax, topNgramMax, dupNgramMax))
+      .withColumn("__p1", !col("__damaged"))
+      .withColumn("__p2", col("__p1") && !col("__gibberish"))
+      .withColumn("__p3", col("__p2") && col("__rep_keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__p1"), 1L).otherwise(0L)).as("n_pass_encoding"),
+        sum(when(col("__p2"), 1L).otherwise(0L)).as("n_pass_diversity"),
+        sum(when(col("__p3"), 1L).otherwise(0L)).as("n_pass_repetition"))
+      .withColumn("survival_ppm",
+        when(col("n_docs") > 0,
+          expr("(n_pass_repetition * 1000000L) div n_docs")).otherwise(0L))
+  }
+
   /** C4/Gopher-style composite document filter (Raffel et al. 2020;
     * Rae et al. 2021): one narrow-projection pass computes the per-doc
     * signals and a boolean per rule, plus the conjunctive `keep` — emitted

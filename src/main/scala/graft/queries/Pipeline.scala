@@ -4758,9 +4758,61 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-source curation funnel (q211): attrition through the sequential
+    * encoding → diversity → repetition gate chain, per source — the
+    * steering dashboard of a large curation run. ONE scan evaluates all
+    * three codegen kernels; the oracle composes the q197/q163 gate CTEs
+    * and the shared q205 repetition chain over the same derived-break
+    * text, then re-aggregates. Gate-formula lockstep with the standalone
+    * reports is spec-pinned (CurationFunnelSpec cross-equivalence).
+    */
+  val q211 = Q(
+    "q211_curation_funnel",
+    s"""$gopherRepCtes,
+       |k AS (SELECT f.doc_id, $gopherKeepSql AS keep FROM f),
+       |enc AS (SELECT doc_id,
+       |    (CASE WHEN n_chars > 0 THEN n_replacement * 1000000 // n_chars ELSE 0 END) +
+       |    (CASE WHEN n_chars > 0 THEN n_ctrl * 1000000 // n_chars ELSE 0 END) >= 1000
+       |      AS damaged
+       |  FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |      CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+       |        AS n_replacement,
+       |      CAST(length(text) - length(regexp_replace(text,
+       |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT) AS n_ctrl
+       |    FROM d)),
+       |dv AS (SELECT doc_id,
+       |    (n_chars >= 2 AND coll_num * 1000 > 80 * n_chars * (n_chars - 1))
+       |      OR n_distinct < 10 AS gib
+       |  FROM (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+       |      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |      CAST(SUM(n * (n - 1)) AS BIGINT) AS coll_num
+       |    FROM (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n FROM
+       |        (SELECT doc_id, unnest(string_split(text, '')) AS c FROM d)
+       |      GROUP BY 1, 2)
+       |    GROUP BY 1)),
+       |fu AS (SELECT s.source,
+       |    NOT e.damaged AS p1,
+       |    NOT e.damaged AND NOT v.gib AS p2,
+       |    NOT e.damaged AND NOT v.gib AND k.keep AS p3
+       |  FROM k JOIN enc e USING (doc_id) JOIN dv v USING (doc_id)
+       |  JOIN (SELECT doc_id, source FROM documents) s USING (doc_id))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_encoding,
+       |  CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_diversity,
+       |  CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_repetition,
+       |  CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS survival_ppm
+       |FROM fu GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val derived = t(s, dir, "documents").select(col("source"),
+      replace(replace(col("text"), lit(" part "), lit("\n\n")),
+        lit(" line "), lit("\n")).as("text"))
+    TextAnalysis.curationFunnelBySource(derived, "source", "text")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }
