@@ -48,11 +48,20 @@ object Clustering {
     * — no shuffle, no per-dim explode; the unnest+join formulation
     * shuffles rows·dims). Output: vec_id, p0..p{outDims−1} as columns.
     */
+  /** First-row dimensionality probe shared by randomProjection and
+    * [[Quantize.pqTopK]] — one bounded limit(1) job; an empty frame gets a
+    * contract error naming the caller, not an index crash.
+    */
+  private[operators] def embeddingDims(df: DataFrame, op: String): Int = {
+    val head = df.select(col("embedding")).limit(1).collect()
+    require(head.nonEmpty, s"$op: empty embedding frame")
+    head(0).getSeq[Any](0).length
+  }
+
   def randomProjection(corpus: DataFrame, outDims: Int,
       scale: Long = 1L << 20): DataFrame = {
     require(outDims >= 1 && outDims <= 64, "randomProjection: outDims in [1, 64]")
-    val inDims = corpus.select(col("embedding")).limit(1)
-      .collect()(0).getSeq[Any](0).length
+    val inDims = embeddingDims(corpus, "randomProjection")
     val signs: Array[Array[Int]] = Array.tabulate(outDims, inDims) { (j, d) =>
       val h = graft.expr.Kernels.polyHash(
         org.apache.spark.unsafe.types.UTF8String.fromString(s"$j:${d + 1}"))
@@ -92,9 +101,9 @@ object Clustering {
     * centroid matrix in quantized space — k·dims longs of driver state.
     */
   private[operators] def fitCentroids(base: DataFrame, k: Int, iters: Int,
-      scale: Long): Array[Array[Long]] = {
-    require(k >= 1 && k <= 256, "kmeansInt: k in [1, 256] (cid packs into 8 bits)")
-    require(iters >= 1, "kmeansInt: iters must be >= 1")
+      scale: Long, op: String = "kmeansInt"): Array[Array[Long]] = {
+    require(k >= 1 && k <= 256, s"$op: k in [1, 256] (cid packs into 8 bits)")
+    require(iters >= 1, s"$op: iters must be >= 1")
     val spark = base.sparkSession
     import spark.implicits._
 
@@ -105,7 +114,7 @@ object Clustering {
     val seedRows = base.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    require(seedRows.length == k, s"kmeansInt: need >= $k vectors, got ${seedRows.length}")
+    require(seedRows.length == k, s"$op: need >= $k vectors, got ${seedRows.length}")
     var cents: Array[Array[Long]] =
       seedRows.map(_._2.map(x => math.floor(x * scale).toLong).toArray)
 

@@ -59,14 +59,20 @@ object QualityClassifier {
       col(textCol).as("__text"),
       label.cast("long").as("y"),
       isTrain.cast("boolean").as("is_train"))
+    // the feature frame is read 2× per epoch (score + delta) plus once
+    // for final scoring — localCheckpoint (the q67/Graph precedent) pays
+    // the corpus token explode exactly once; the checkpointed frame is
+    // ≤ nFeatures rows per doc, far narrower than the corpus
     val feats = base
       .select(col("doc_id"), explode(split(col("__text"), " ")).as("tok"))
       .select(col("doc_id"),
         (graft_hash64(col("tok")) % nFeatures).cast("int").as("f"))
       .groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val lab = base.select(col("doc_id"), col("y"), col("is_train"))
     val trainFeats = feats
       .join(lab.where(col("is_train")).select("doc_id", "y"), Seq("doc_id"))
+      .localCheckpoint()
 
     var wts = Array.fill(nFeatures)(0L)
     (1 to epochs).foreach { _ =>

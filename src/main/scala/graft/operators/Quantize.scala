@@ -74,6 +74,11 @@ object Quantize {
     * floor(x·scale)); the top-k window orders by (dist, nid). The oracle
     * replays the fit, the encoding, AND the lookup-table composition.
     *
+    * Id contract (the cosineTopK "self excluded" rule): queries are
+    * assumed to be corpus rows, and each query's own vec_id is excluded
+    * from its neighbor list BY ID — an external query frame must use ids
+    * disjoint from the corpus or accept that colliding ids are dropped.
+    *
     * Scale shape: fit = m·iters corpus scans over the SLICED vectors (each
     * the [[Clustering.kmeansInt]] shape: codegen argmin projection +
     * kCent·subDims-group partial agg, driver state m·kCent·subDims longs);
@@ -87,16 +92,27 @@ object Quantize {
       iters: Int, topK: Int, scale: Long = 1L << 20): DataFrame = {
     require(m >= 1 && m <= 64, "pqTopK: m in [1, 64]")
     require(kCent >= 1 && kCent <= 256, "pqTopK: kCent in [1, 256] (codes pack into bytes)")
+    require(iters >= 1, "pqTopK: iters must be >= 1")
     require(topK >= 1 && topK <= 512, "pqTopK: topK in [1, 512]")
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"))
-    val inDims = base.select(col("embedding")).limit(1)
-      .collect()(0).getSeq[Any](0).length
+    val inDims = Clustering.embeddingDims(base, "pqTopK")
     require(inDims % m == 0, s"pqTopK: $inDims dims not divisible by m=$m")
     val sub = inDims / m
+
+    // collect + validate the bounded query set BEFORE the m·iters fit
+    // scans — an empty or wrong-dims query frame must not cost a fit
+    val qRows = queries
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "pqTopK: empty query set")
+    qRows.foreach { case (qid, emb) =>
+      require(emb.length == inDims,
+        s"pqTopK: query $qid has ${emb.length} dims, corpus has $inDims")
+    }
 
     // per-subspace codebooks under the exact kmeansInt arithmetic; the
     // slice is 1-based and the seed rule (first kCent by vec_id) picks the
@@ -105,7 +121,7 @@ object Quantize {
       Clustering.fitCentroids(
         base.select(col("vec_id"),
           slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        kCent, iters, scale)
+        kCent, iters, scale, op = "pqTopK")
     }
 
     // encode: m codegen argmins in one projection — no shuffle, the codes
@@ -116,14 +132,9 @@ object Quantize {
           .bitwiseAND(lit(255L))).cast("int").as(s"c$j")
       }): _*)
 
-    // ADC tables: one bounded collect of the query set (the IVF-fit class),
-    // each query's m·kCent exact subspace distances flattened row-major
-    val qRows = queries
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    require(qRows.nonEmpty, "pqTopK: empty query set")
+    // ADC tables (the IVF-fit bounded-collect class): each query's
+    // m·kCent exact subspace distances flattened row-major
     val dtRows = qRows.map { case (qid, emb) =>
-      require(emb.length == inDims, s"pqTopK: query $qid has ${emb.length} dims, corpus has $inDims")
       val qq = emb.map(x => math.floor(x * scale).toLong).toArray
       val flat = new Array[Long](m * kCent)
       var j = 0

@@ -13,6 +13,20 @@ object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 
+  /** Adjacent-token bigram structs (w1, w2) — the zip_with pattern shared
+    * by bigramFluency and knBigramGate: the tail slot pads with null and
+    * the filter drops it, so 0/1-token rows yield an empty array (where a
+    * sequence(1, size−1) formulation would not). oovBigramGate keeps its
+    * own string-concat variant (different output shape, oracle-pinned).
+    */
+  private def bigramStructs(text: Column): Column = {
+    val tk = toks(text)
+    filter(
+      zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      x => x.getField("w1").isNotNull && x.getField("w2").isNotNull)
+  }
+
   /** Sliding-window document chunking for training-sequence preparation:
     * token windows of `chunkSize` advancing by `chunkSize - overlap`, the
     * final window clamped to the document end. Every document yields at
@@ -984,23 +998,14 @@ object TextAnalysis {
     */
   def bigramFluency(docs: DataFrame, refDocs: DataFrame, idCol: String,
       textCol: String, scale: Long = 1000000L): DataFrame = {
-    // the oovBigramGate zip_with pattern: pads the tail with null, filter
-    // drops it — safe on 0/1-token rows where sequence(1, size-1) is not
-    def bigrams(text: Column): Column = {
-      val tk = toks(text)
-      filter(
-        zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-        x => x.getField("w1").isNotNull && x.getField("w2").isNotNull)
-    }
     val uni = refDocs.select(explode(toks(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bi = refDocs.select(explode(bigrams(col(textCol))).as("bg"))
+    val bi = refDocs.select(explode(bigramStructs(col(textCol))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val tot = uni.agg(sum(col("c1")).as("t_tokens"))
     val docBg = docs.select(col(idCol).as("doc_id"),
-        explode(bigrams(col(textCol))).as("bg"))
+        explode(bigramStructs(col(textCol))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
     val scored = docBg
       .join(bi, Seq("w1", "w2"), "left")
@@ -1055,15 +1060,7 @@ object TextAnalysis {
   def knBigramGate(docs: DataFrame, refDocs: DataFrame, idCol: String,
       textCol: String, threshDen: Long = 1000L): DataFrame = {
     require(threshDen >= 1L, "knBigramGate: threshDen must be >= 1")
-    // the oovBigramGate zip_with pattern: tail padded with null, filtered
-    def bigrams(text: Column): Column = {
-      val tk = toks(text)
-      filter(
-        zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-        x => x.getField("w1").isNotNull && x.getField("w2").isNotNull)
-    }
-    val bi = refDocs.select(explode(bigrams(col(textCol))).as("bg"))
+    val bi = refDocs.select(explode(bigramStructs(col(textCol))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // context stats from the bigram table: c1 = Σ c12 (token count of w1
@@ -1073,7 +1070,7 @@ object TextAnalysis {
     val cont = bi.groupBy("w2").agg(count(lit(1)).as("ncont"))
     val tot = bi.agg(count(lit(1)).as("nn"))
     val docBg = docs.select(col(idCol).as("doc_id"),
-        explode(bigrams(col(textCol))).as("bg"))
+        explode(bigramStructs(col(textCol))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
     val scored = docBg
       .join(bi, Seq("w1", "w2"), "left")
