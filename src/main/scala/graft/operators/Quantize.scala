@@ -170,4 +170,155 @@ object Quantize {
       .where(col("rn") <= topK)
       .select(col("qid"), col("nid"), col("dist"), col("rn"))
   }
+
+  /** IVFADC — the full Jégou 2011 production layout and the composition
+    * capstone of the ANN stack ([[Similarity.cosineTopK]] flat →
+    * [[Similarity.bucketedCosineTopK]] LSH → [[IvfIndex]] coarse lists →
+    * [[Similarity.quantizedRerankTopK]] int8 re-rank → [[pqTopK]] PQ flat
+    * → this): a coarse integer-k-means quantizer partitions the corpus
+    * into kCoarse inverted lists; each vector's RESIDUAL from its coarse
+    * centroid is product-quantized with per-subspace codebooks; a query
+    * probes only its `nprobe` nearest coarse lists and scores candidates
+    * by table lookups over the residual codebooks. Scanned work per query
+    * drops by ~kCoarse/nprobe relative to [[pqTopK]] while the residual
+    * codebooks see far less variance than raw vectors — the reason this
+    * layout serves billion-vector indexes.
+    *
+    * Determinism end-to-end in the q162 integer arithmetic: the coarse
+    * fit and assignment are [[Clustering.fitCentroids]]/kmeans_assign
+    * exactly; residuals are exact long differences in the quantized
+    * space; the residual sub-fits run the SAME Lloyd at scale 1 (the
+    * residual longs pass through floor(x·1) unchanged — exact below
+    * 2⁵³); probe selection orders coarse lists by (dist, cid); the final
+    * rank orders by (dist, nid). The oracle replays every stage.
+    *
+    * Id contract as [[pqTopK]]: each query's own vec_id is excluded by id.
+    *
+    * Scale shape: coarse fit = iters corpus scans (kmeansInt); the
+    * residual frame (vec_id, cid, residual longs) is localCheckpointed
+    * ONCE and feeds the m·iters sub-fits and the encode projection, so
+    * the raw corpus is never re-read by the PQ stage; search = broadcast
+    * (qid, probed-cid, table) frame equi-JOINED on the coarse cid — the
+    * corpus never meets unprobed queries, unlike pqTopK's crossJoin —
+    * then the per-query top-k window (ONE hashpartitioning exchange).
+    * Output: qid, nid, dist (exact long residual-ADC distance), rn.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, kCoarse: Int,
+      nprobe: Int, m: Int, kCent: Int, iters: Int, topK: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(kCoarse >= 1 && kCoarse <= 256, "ivfAdcTopK: kCoarse in [1, 256]")
+    require(nprobe >= 1 && nprobe <= kCoarse, "ivfAdcTopK: nprobe in [1, kCoarse]")
+    require(m >= 1 && m <= 64, "ivfAdcTopK: m in [1, 64]")
+    require(kCent >= 1 && kCent <= 256, "ivfAdcTopK: kCent in [1, 256]")
+    require(iters >= 1, "ivfAdcTopK: iters must be >= 1")
+    require(topK >= 1 && topK <= 512, "ivfAdcTopK: topK in [1, 512]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val base = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val inDims = Clustering.embeddingDims(base, "ivfAdcTopK")
+    require(inDims % m == 0, s"ivfAdcTopK: $inDims dims not divisible by m=$m")
+    val sub = inDims / m
+
+    val qRows = queries
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "ivfAdcTopK: empty query set")
+    qRows.foreach { case (qid, emb) =>
+      require(emb.length == inDims,
+        s"ivfAdcTopK: query $qid has ${emb.length} dims, corpus has $inDims")
+    }
+
+    // stage 1: coarse quantizer (the q162 fit) + per-row residuals; the
+    // residual frame is materialized ONCE — the sub-fits and the encode
+    // would otherwise re-derive coarse assignment m·iters + 1 times
+    val coarse = Clustering.fitCentroids(base, kCoarse, iters, scale,
+      op = "ivfAdcTopK")
+    val coarseLit = array(coarse.toIndexedSeq.map(row =>
+      array(row.toIndexedSeq.map(lit): _*)): _*)
+    val resid = base
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * scale.toDouble).cast("long")).as("q"),
+        (kmeans_assign(col("embedding"), coarse, scale)
+          .bitwiseAND(lit(255L))).cast("int").as("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("q"), element_at(coarseLit, col("cid") + 1),
+          (a, b) => a - b).as("r"))
+      .localCheckpoint()
+
+    // stage 2: per-subspace residual codebooks — the same Lloyd at scale
+    // 1 (floor(x·1) is the identity on the residual longs, exact < 2^53)
+    val residEmb = resid.select(col("vec_id"),
+      col("r").cast("array<double>").as("embedding"))
+    val cents: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      Clustering.fitCentroids(
+        residEmb.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        kCent, iters, 1L, op = "ivfAdcTopK")
+    }
+
+    // stage 3: encode — coarse list id + m residual codes in one
+    // projection over the checkpointed frame (no join, no re-scan)
+    val encoded = resid.select(
+      (col("vec_id").as("nid") +: col("cid").as("cid") +:
+        (0 until m).map { j =>
+          (kmeans_assign(
+              slice(col("r"), j * sub + 1, sub).cast("array<double>"),
+              cents(j), 1L)
+            .bitwiseAND(lit(255L))).cast("int").as(s"c$j")
+        }): _*)
+
+    // stage 4: probe tables — per query, the nprobe nearest coarse lists
+    // by (dist, cid), and for EACH probed list the query's residual from
+    // THAT centroid product-quantized into an m·kCent lookup table
+    val tableRows = qRows.flatMap { case (qid, emb) =>
+      val qq = emb.map(x => math.floor(x * scale).toLong).toArray
+      val coarseDists = coarse.indices.map { c =>
+        var s = 0L
+        var d = 0
+        while (d < inDims) { val diff = qq(d) - coarse(c)(d); s += diff * diff; d += 1 }
+        (s, c)
+      }
+      val probed = coarseDists.sorted.take(nprobe).map(_._2)
+      probed.map { pc =>
+        val flat = new Array[Long](m * kCent)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < kCent) {
+            var s = 0L
+            var d = 0
+            while (d < sub) {
+              val qr = qq(j * sub + d) - coarse(pc)(j * sub + d)
+              val diff = qr - cents(j)(c)(d)
+              s += diff * diff
+              d += 1
+            }
+            flat(j * kCent + c) = s
+            c += 1
+          }
+          j += 1
+        }
+        (qid, pc, flat.toSeq)
+      }
+    }.toSeq
+    val tables = broadcast(
+      spark.createDataFrame(tableRows).toDF("qid", "cid", "dt"))
+
+    // stage 5: candidates = corpus rows in a probed list — a broadcast
+    // EQUI-join on the coarse cid (the corpus never meets unprobed
+    // queries); distance = m residual-table lookups; per-query top-k
+    val dist = (0 until m).map { j =>
+      element_at(col("dt"), col(s"c$j") + lit(j * kCent) + lit(1))
+    }.reduce(_ + _)
+    val scored = encoded.join(tables, Seq("cid"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), dist.as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("nid"), col("dist"), col("rn"))
+  }
 }

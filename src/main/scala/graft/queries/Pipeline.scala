@@ -4590,7 +4590,7 @@ object Pipeline {
     * (which are exactly the e-CTE rows filtered to the query set — the
     * lookup table IS the assignment-distance relation).
     */
-  private def pqSubCtes(j: Int, lo: Int, hi: Int): String = {
+  private def pqSubCtes(j: Int, lo: Int, hi: Int, src: String = "vq"): String = {
     val v = s"v$j"
     def iter(prev: String, i: Int) =
       s"""d${j}_$i AS (SELECT v.vec_id, c.cid,
@@ -4603,7 +4603,7 @@ object Pipeline {
          |  FROM a${j}_$i a JOIN $v v USING (vec_id) GROUP BY 1, 2),
          |c${j}_$i AS (SELECT p.cid, p.d, COALESCE(m.q, p.q) AS q
          |  FROM $prev p LEFT JOIN m${j}_$i m ON p.cid = m.cid AND p.d = m.d)""".stripMargin
-    s"""$v AS (SELECT vec_id, d - ${lo - 1} AS d, q FROM vq WHERE d >= $lo AND d <= $hi),
+    s"""$v AS (SELECT vec_id, d - ${lo - 1} AS d, q FROM $src WHERE d >= $lo AND d <= $hi),
        |c${j}_0 AS (SELECT s.cid, v.d, v.q FROM seed s JOIN $v v USING (vec_id)),
        |${iter(s"c${j}_0", 1)},
        |${iter(s"c${j}_1", 2)},
@@ -4758,6 +4758,93 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** IVFADC (q212): the full Jégou 2011 layout — coarse integer k-means
+    * lists (the q162 chain verbatim), exact long RESIDUALS from the
+    * assigned centroid, per-subspace residual codebooks (the q208 chains
+    * re-sourced FROM the residual relation, scale 1), nprobe=2 probe
+    * selection by (coarse dist, cid), and candidate scoring by residual
+    * lookup tables keyed (qid, probed cid). The oracle replays every
+    * stage: a drift in the coarse fit, the residual arithmetic, any
+    * sub-fit iteration, the probe ranking, or one table lookup
+    * hash-fails.
+    */
+  val q212 = Q(
+    "q212_ivfadc_ann",
+    s"""WITH vq AS (SELECT vec_id, d,
+       |    CAST(FLOOR(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+       |seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |c0 AS (SELECT s.cid, v.d, v.q FROM seed s JOIN vq v USING (vec_id)),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)},
+       |ad AS (SELECT v.vec_id, c.cid,
+       |  CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM vq v JOIN c2 c ON v.d = c.d GROUP BY 1, 2),
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM ad) WHERE rn = 1),
+       |r AS (SELECT v.vec_id, v.d, v.q - c.q AS q
+       |  FROM vq v JOIN af a USING (vec_id)
+       |  JOIN c2 c ON c.cid = a.cid AND c.d = v.d),
+       |${pqSubCtes(0, 1, 16, "r")},
+       |${pqSubCtes(1, 17, 32, "r")},
+       |${pqSubCtes(2, 33, 48, "r")},
+       |${pqSubCtes(3, 49, 64, "r")},
+       |probe AS (SELECT vec_id AS qid, cid AS pcid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM ad WHERE vec_id % 97 = 0)
+       |  WHERE rn <= 2),
+       |qres AS (SELECT p.qid, p.pcid, v.d, v.q - c.q AS q
+       |  FROM probe p JOIN vq v ON v.vec_id = p.qid
+       |  JOIN c2 c ON c.cid = p.pcid AND c.d = v.d),
+       |qdt0 AS (SELECT qr.qid, qr.pcid, s.cid,
+       |    CAST(SUM((qr.q - s.q) * (qr.q - s.q)) AS BIGINT) AS dist
+       |  FROM (SELECT qid, pcid, d - 0 AS d, q FROM qres
+       |        WHERE d >= 1 AND d <= 16) qr
+       |  JOIN c0_2 s ON s.d = qr.d GROUP BY 1, 2, 3),
+       |qdt1 AS (SELECT qr.qid, qr.pcid, s.cid,
+       |    CAST(SUM((qr.q - s.q) * (qr.q - s.q)) AS BIGINT) AS dist
+       |  FROM (SELECT qid, pcid, d - 16 AS d, q FROM qres
+       |        WHERE d >= 17 AND d <= 32) qr
+       |  JOIN c1_2 s ON s.d = qr.d GROUP BY 1, 2, 3),
+       |qdt2 AS (SELECT qr.qid, qr.pcid, s.cid,
+       |    CAST(SUM((qr.q - s.q) * (qr.q - s.q)) AS BIGINT) AS dist
+       |  FROM (SELECT qid, pcid, d - 32 AS d, q FROM qres
+       |        WHERE d >= 33 AND d <= 48) qr
+       |  JOIN c2_2 s ON s.d = qr.d GROUP BY 1, 2, 3),
+       |qdt3 AS (SELECT qr.qid, qr.pcid, s.cid,
+       |    CAST(SUM((qr.q - s.q) * (qr.q - s.q)) AS BIGINT) AS dist
+       |  FROM (SELECT qid, pcid, d - 48 AS d, q FROM qres
+       |        WHERE d >= 49 AND d <= 64) qr
+       |  JOIN c3_2 s ON s.d = qr.d GROUP BY 1, 2, 3),
+       |cand AS (SELECT p.qid, a.vec_id AS nid, p.pcid,
+       |    e0.code AS k0, e1.code AS k1, e2.code AS k2, e3.code AS k3
+       |  FROM af a JOIN probe p ON a.cid = p.pcid
+       |  JOIN enc0 e0 ON e0.vec_id = a.vec_id
+       |  JOIN enc1 e1 ON e1.vec_id = a.vec_id
+       |  JOIN enc2 e2 ON e2.vec_id = a.vec_id
+       |  JOIN enc3 e3 ON e3.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid),
+       |full_d AS (SELECT c.qid, c.nid,
+       |    q0.dist + q1.dist + q2.dist + q3.dist AS dist
+       |  FROM cand c
+       |  JOIN qdt0 q0 ON q0.qid = c.qid AND q0.pcid = c.pcid AND q0.cid = c.k0
+       |  JOIN qdt1 q1 ON q1.qid = c.qid AND q1.pcid = c.pcid AND q1.cid = c.k1
+       |  JOIN qdt2 q2 ON q2.qid = c.qid AND q2.pcid = c.pcid AND q2.cid = c.k2
+       |  JOIN qdt3 q3 ON q3.qid = c.qid AND q3.pcid = c.pcid AND q3.cid = c.k3)
+       |SELECT qid, nid, dist, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dist, nid) AS rn FROM full_d)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Quantize.ivfAdcTopK(emb,
+        emb.where(col("vec_id") % 97 === 0),
+        kCoarse = 4, nprobe = 2, m = 4, kCent = 4, iters = 2, topK = 5)
+      .orderBy("qid", "rn")
+  }
+
   /** Per-source curation funnel (q211): attrition through the sequential
     * encoding → diversity → repetition gate chain, per source — the
     * steering dashboard of a large curation run. ONE scan evaluates all
@@ -4814,5 +4901,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
 }

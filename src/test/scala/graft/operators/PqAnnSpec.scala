@@ -71,4 +71,46 @@ class PqAnnSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected exactly the window exchange, got $exchanges:\n$p")
   }
+
+  // ---- IVFADC (Quantize.ivfAdcTopK) ----
+
+  test("ivfadc nprobe=1 on separated groups returns only same-list neighbors") {
+    // the two groups separate at the coarse stage (kCoarse = 2, seeds 1/2
+    // are one per group), so probing one list must keep results in-group
+    val out = Quantize.ivfAdcTopK(corpus, corpus.where(col("vec_id") === 1L),
+        kCoarse = 2, nprobe = 1, m = 2, kCent = 2, iters = 2, topK = 5)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).toSet.subsetOf(Set(3L, 4L)),
+      s"cross-list neighbor leaked: ${out.map(_.getLong(1)).toSeq}")
+  }
+
+  test("ivfadc nprobe=kCoarse covers the whole corpus (the PQ-flat degeneration)") {
+    val out = Quantize.ivfAdcTopK(corpus, corpus.where(col("vec_id") === 1L),
+        kCoarse = 2, nprobe = 2, m = 2, kCent = 2, iters = 2, topK = 5)
+      .orderBy("rn").collect()
+    // all 5 non-self rows are reachable when every list is probed
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).toSet == Set(2L, 3L, 4L, 5L, 6L))
+    // same-group rows still rank first under residual ADC
+    assert(Set(out(0).getLong(1), out(1).getLong(1)) == Set(3L, 4L))
+  }
+
+  test("ivfadc partition independence: repartition(7) returns the identical frame") {
+    val q = corpus.where(col("vec_id") % 2 === 1L)
+    val a = Quantize.ivfAdcTopK(corpus, q, kCoarse = 2, nprobe = 2,
+      m = 2, kCent = 2, iters = 2, topK = 3).orderBy("qid", "rn").collect()
+    val b = Quantize.ivfAdcTopK(corpus.repartition(7), q, kCoarse = 2,
+      nprobe = 2, m = 2, kCent = 2, iters = 2, topK = 3)
+      .orderBy("qid", "rn").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ivfadc guards: nprobe must not exceed kCoarse") {
+    val e = intercept[IllegalArgumentException] {
+      Quantize.ivfAdcTopK(corpus, corpus.limit(1), kCoarse = 2, nprobe = 3,
+        m = 2, kCent = 2, iters = 1, topK = 1)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
 }
