@@ -295,4 +295,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(rows == Map(1L -> true, 2L -> false))
     } finally q.stop()
   }
+
+  test("curation funnel is a live streaming dashboard: |sources|-row state in complete mode") {
+    // curationFunnelBySource = stateless kernel projection + one keyed
+    // aggregate, so it runs as a streaming COMPLETE-mode dashboard whose
+    // state is |sources| rows of four longs — the counts must track the
+    // stream across micro-batches exactly as the batch operator would.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val clean = "many travelers enjoy visiting small coastal villages during " +
+      "early autumn because local markets offer fresh produce while gentle " +
+      "breezes drift across quiet harbors and fishermen repair their colorful " +
+      "boats near wooden piers as children gather shells along sandy beaches " +
+      "watching distant sails catch golden evening light before supper"
+    val q = graft.operators.TextAnalysis.curationFunnelBySource(
+        mem.toDS().toDF("source", "text"), "source", "text")
+      .writeStream.format("memory").queryName("funnel_live")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("s1", clean), ("s1", "broken ���� text"))
+      q.processAllAvailable()
+      val r1 = spark.table("funnel_live").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(r1 == Map("s1" -> ((2L, 1L))))
+      mem.addData(("s2", clean))
+      q.processAllAvailable()
+      val r2 = spark.table("funnel_live").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+      assert(r2 == Map("s1" -> ((2L, 1L)), "s2" -> ((1L, 1L))))
+    } finally q.stop()
+  }
 }
