@@ -262,6 +262,80 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Unigram-LM Viterbi segmentation (Kudo 2018 §3, the SentencePiece
+    * decode): each whitespace word is segmented by the max-product path
+    * dp[i] = max_j dp[j] · p(word[j..i)) over a plan-embedded piece→prob
+    * map, candidate start positions scanned ASCENDING with strict->
+    * improvement so an exact score tie keeps the smallest j (= the longest
+    * final piece) — the rule the DuckDB oracle replays as
+    * `ORDER BY s DESC, j ASC LIMIT 1`. Unknown SINGLE codepoints fall back
+    * to `unkScore` (Kudo's fixed unknown penalty), so the DP is total on
+    * any input; multi-codepoint substrings absent from the vocab never
+    * form a piece. All positions are CODEPOINT indices (DuckDB
+    * substr/length semantics — a surrogate pair is one position).
+    */
+  def unigramSegment(s: UTF8String,
+      vocab: java.util.HashMap[String, java.lang.Double],
+      unkScore: Double, maxLen: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val n = w.codePointCount(0, w.length)
+        val offs = new Array[Int](n + 1)
+        var ci = 0
+        var k = 0
+        while (k < n) {
+          offs(k) = ci
+          ci += Character.charCount(w.codePointAt(ci))
+          k += 1
+        }
+        offs(n) = w.length
+        val dp = new Array[Double](n + 1)
+        val ch = new Array[Int](n + 1)
+        dp(0) = 1.0
+        var i = 1
+        while (i <= n) {
+          var best = Double.NegativeInfinity
+          var bestJ = -1
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            val piece = w.substring(offs(j), offs(i))
+            val p = vocab.get(piece)
+            // the single-codepoint unk fallback keeps every position
+            // reachable, so dp(j) is always a positive product here
+            val score =
+              if (p != null) dp(j) * p.doubleValue()
+              else if (i - j == 1) dp(j) * unkScore
+              else Double.NegativeInfinity
+            if (score > best) { best = score; bestJ = j }
+            j += 1
+          }
+          dp(i) = best
+          ch(i) = bestJ
+          i += 1
+        }
+        var pos = n
+        val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (pos > 0) {
+          val j = ch(pos)
+          rev += w.substring(offs(j), offs(pos))
+          pos = j
+        }
+        var si = rev.length - 1
+        while (si >= 0) {
+          out += UTF8String.fromString(rev(si))
+          si -= 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** SimHash signature over the space-separated token multiset, one char
     * pass per row (no explode/aggregate): bit b of the result is set iff
     * Σ_tokens (±1 by bit b of polyHash(token)) > 0. Token boundaries follow

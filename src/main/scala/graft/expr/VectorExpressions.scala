@@ -244,6 +244,58 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `unigram_segment(text)` → array<string>: SentencePiece-style unigram-LM
+  * Viterbi segmentation (Kudo 2018) over a plan-embedded (piece, prob)
+  * vocabulary — the decode half of operators.TextAnalysis.unigramLmVocab.
+  * A pure codegen projection like BpeSegment: the vocabulary rides the
+  * plan as one reference object (never a join), so segmentation is
+  * zero-shuffle at any corpus size. Constructor args are immutable Seqs
+  * (the BpeSegment/ADVICE r16 lesson: Array params defeat semanticEquals
+  * and exchange reuse).
+  */
+case class UnigramSegment(child: Expression, pieces: Seq[String],
+    probs: Seq[Double], unkScore: Double)
+    extends UnaryExpression {
+
+  require(pieces.nonEmpty && pieces.length == probs.length,
+    "unigram_segment: pieces and probs must be equal-length and non-empty")
+  require(pieces.length <= 65536,
+    "unigram_segment: vocabulary capped at 65536 pieces (plan-embedded)")
+  require(pieces.forall(_.nonEmpty), "unigram_segment: empty piece")
+  require(probs.forall(p => p > 0.0 && p <= 1.0) && unkScore > 0.0,
+    "unigram_segment: probs and unkScore must be in (0, 1]")
+
+  // built once per plan, shared by eval and generated code
+  private val vocabMap: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    pieces.iterator.zip(probs.iterator).foreach { case (pc, p) =>
+      m.put(pc, java.lang.Double.valueOf(p))
+    }
+    m
+  }
+  private val maxLen: Int = pieces.iterator
+    .map(p => p.codePointCount(0, p.length)).max
+
+  override def prettyName: String = "unigram_segment"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.unigramSegment(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      vocabMap, unkScore, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("unigramVocab", vocabMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.Kernels.unigramSegment($c, $vRef, $unkScore, $maxLen)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `simhash64(text, bits)` → bigint: per-row SimHash signature over the
   * space-separated token multiset (Charikar 2002). Fuses split + per-token
   * hash + per-bit vote into one codegen'd char pass — the explode + `bits`

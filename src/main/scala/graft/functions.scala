@@ -99,6 +99,14 @@ object functions {
       merges.map(m => (m(0), m(1))).toIndexedSeq))
   }
 
+  /** Row-level unigram-LM Viterbi segmentation through a plan-embedded
+    * (piece, prob) vocabulary (codegen'd; see graft.expr.UnigramSegment) —
+    * the decode half of operators.TextAnalysis.unigramLmVocab (Kudo 2018).
+    */
+  def unigram_segment(text: Column, pieces: Seq[String], probs: Seq[Double],
+      unkScore: Double): Column =
+    toCol(graft.expr.UnigramSegment(toExpr(text), pieces, probs, unkScore))
+
   /** Per-row SimHash signature of a space-separated text (codegen'd fused
     * split+hash+vote; see graft.expr.SimHash64). A pure projection — the
     * scale-safe replacement for explode + per-bit sum aggregation.

@@ -311,4 +311,95 @@ object Retrieval {
         when(col("kappa_den") =!= 0,
           col("kappa_num").cast("double") / col("kappa_den").cast("double")))
   }
+
+  /** BM25 hard-negative mining (the DPR recipe, Karpukhin et al. 2020 §4.2:
+    * "negative passages... the top passages returned by BM25"): for each
+    * query document, the lexically-closest corpus documents are ranked by
+    * per-query BM25 (query terms = the query doc's distinct tokens, the
+    * doc-as-query protocol), the document itself is excluded, and each
+    * candidate is annotated with its embedding cosine to the query — a
+    * candidate that is lexically top-ranked but semantically DISTANT
+    * (cos < threshold) is a hard negative for contrastive training.
+    *
+    * Scale shape: the query side is bounded, so its distinct (qid, term)
+    * frame and the union term set broadcast; the corpus token stream is
+    * filtered to matched terms UNDER the explode (the bm25TopK discipline —
+    * only postings shuffle, keyed on (doc_id, term)); the per-query
+    * expansion happens on the matched tf frame, not the token stream; the
+    * ranking window keys on qid; and the embedding annotation probes by id
+    * with the ≤ topM·|queries| candidate frame broadcast. Embeddings are
+    * LEFT-joined: a candidate (or query) without a vector keeps cos null
+    * and is_hard false — never silently dropped.
+    *
+    * The per-document score folds term scores in sorted-term order from
+    * 0.0 (the bm25TopKTerms discipline), so the doubles replay exactly;
+    * logIdf = false keeps libm out of the compare path (house rule).
+    *
+    * Output per query: qid, doc_id, n_terms, score, rn, cos,
+    * is_hard = cos IS NOT NULL AND cos < cosThreshold.
+    */
+  def bm25HardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      queryPred: org.apache.spark.sql.Column, emb: DataFrame,
+      topM: Int, cosThreshold: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topM >= 1, s"bm25HardNegatives: topM must be >= 1, got $topM")
+    val toksC = split(col(textCol), " ")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val lens = base.select(col("doc_id"),
+      size(split(col("__text"), " ")).as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = docs.where(queryPred)
+      .select(col(idCol).cast("long").as("qid"), explode(toksC).as("term"))
+      .distinct()
+    val termsAll = qterms.select(col("term")).distinct()
+    val posted = base
+      .select(col("doc_id"), explode(split(col("__text"), " ")).as("term"))
+      .join(broadcast(termsAll), Seq("term"))
+    val tf = posted.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    // operand shapes in lockstep with bm25TopKTerms / the q127 oracle:
+    // identical association order => identical double bits
+    val idf = (col("n_docs").cast("double") - col("dft") + lit(0.5)) /
+      (col("dft") + lit(0.5))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .where(col("doc_id") =!= col("qid"))
+      .join(broadcast(dft), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * (col("tf").cast("double") * lit(k1 + 1.0) / denom))
+    val perDoc = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("s"))).as("ts"))
+      .select(col("qid"), col("doc_id"), size(col("ts")).as("n_terms"),
+        aggregate(array_sort(col("ts")), lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val cand = perDoc.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topM)
+    // the embedding annotation must LEFT-preserve cand, and a left join
+    // cannot broadcast-build its preserved side (the tripletMine note) —
+    // so first reduce emb to the candidate/query ids with a broadcast
+    // inner join (emb scans shuffle-free, ≤ 2·topM·|queries| rows out),
+    // then broadcast the reduced frames as the build sides
+    val candIds = cand.select(col("qid").as("vec_id"))
+      .union(cand.select(col("doc_id").as("vec_id"))).distinct()
+    val embSmall = emb.join(broadcast(candIds), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val qe = embSmall.select(col("vec_id").as("qid"), col("embedding").as("__qe"))
+    val ce = embSmall.select(col("vec_id").as("doc_id"), col("embedding").as("__ce"))
+    cand
+      .join(broadcast(qe), Seq("qid"), "left")
+      .join(broadcast(ce), Seq("doc_id"), "left")
+      .withColumn("cos", graft.functions.cosine_sim(col("__qe"), col("__ce")))
+      .select(col("qid"), col("doc_id"), col("n_terms"), col("score"),
+        col("rn"), col("cos"),
+        (col("cos").isNotNull && col("cos") < lit(cosThreshold)).as("is_hard"))
+  }
 }

@@ -324,4 +324,63 @@ object Similarity {
     selected.reverse.map { case (o, id, f) => (o, id, f) }
       .toDF("sel_order", "vec_id", "far_cos")
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019; the
+    * LASER/CCMatrix bitext-mining criterion used to assemble large-scale
+    * translation training corpora). A raw cosine threshold over-selects
+    * "hub" vectors that sit close to everything; the ratio margin divides
+    * each candidate's cosine by the mean similarity of BOTH endpoints'
+    * own k-nearest neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    *
+    * so a hub's inflated denominator cancels its inflated cosines and only
+    * pairs that are MUTUALLY exceptional survive. Candidates are the
+    * forward top-k of each source vector; both neighborhood means fold
+    * their cosines in rank order from 0.0 (deterministic double bits, the
+    * bm25TopKTerms fold discipline), so the whole score sits on the
+    * exact-hash oracle gate.
+    *
+    * Scale shape: the source side is the bounded query set (broadcast), so
+    * the one |src|x|tgt| scoring pass is shuffle-free; the two rank windows
+    * key on xid / yid (never unpartitioned), and the final margin assembly
+    * joins the k*|src| candidate frame against the two per-endpoint mean
+    * frames by key. At 100 TB the exhaustive pass is replaced by the
+    * IVFADC stack (q212) for candidate generation — the margin rescore is
+    * unchanged because it only ever touches candidate pairs and their
+    * bounded neighbor lists.
+    *
+    * Output: xid, yid, cos, rn (forward rank), margin,
+    * accepted = margin > threshold. Degenerate (zero-norm) vectors have
+    * null cosine and are excluded from scoring, matching tripletMine.
+    */
+  def marginBitextMine(src: DataFrame, tgt: DataFrame, k: Int,
+      threshold: Double = 1.05): DataFrame = {
+    require(k >= 1, s"marginBitextMine: k must be >= 1, got $k")
+    val q = broadcast(src.select(col("vec_id").as("xid"),
+      col("embedding").as("x_emb")))
+    val scored = tgt
+      .select(col("vec_id").as("yid"), col("embedding").as("y_emb"))
+      .crossJoin(q)
+      .withColumn("cos", cosine_sim(col("x_emb"), col("y_emb")))
+      .where(col("cos").isNotNull)
+      .select(col("xid"), col("yid"), col("cos"))
+    def topMean(part: String, order: String) = {
+      val w = Window.partitionBy(col(part)).orderBy(col("cos").desc, col(order))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    }
+    val fwd = topMean("xid", "yid")
+    // mean over the (at most k) found neighbors, folded in rank order
+    def neighborhoodMean(df: DataFrame, key: String, out: String) =
+      df.groupBy(col(key))
+        .agg((aggregate(array_sort(collect_list(struct(col("rn"), col("cos")))),
+          lit(0.0), (acc, x) => acc + x.getField("cos"))
+          / count(lit(1)).cast("double")).as(out))
+    val avgX = neighborhoodMean(fwd, "xid", "avg_x")
+    val avgY = neighborhoodMean(topMean("yid", "xid"), "yid", "avg_y")
+    fwd.join(avgX, Seq("xid")).join(avgY, Seq("yid"))
+      .withColumn("margin", col("cos") / ((col("avg_x") + col("avg_y")) / lit(2.0)))
+      .select(col("xid"), col("yid"), col("cos"), col("rn"),
+        col("margin"), (col("margin") > lit(threshold)).as("accepted"))
+  }
 }

@@ -753,19 +753,75 @@ object TextAnalysis {
     // characters (whitespace-only, or whitespace+space-class only) labels
     // 'space', not a confident 'latin' from an all-zero >= test
     // (round-17 review finding — the ascii-art/table-junk class).
-    out.withColumn("dominant",
-      when(col("n_chars") === 0, lit("empty"))
-        .when(col("n_latin") + col("n_digit") + col("n_hiragana")
-          + col("n_katakana") + col("n_kanji") + col("n_other") === 0, lit("space"))
-        .when(col("n_latin") >= greatest(col("n_digit"), col("n_hiragana"),
-          col("n_katakana"), col("n_kanji"), col("n_other")), lit("latin"))
-        .when(col("n_digit") >= greatest(col("n_hiragana"), col("n_katakana"),
-          col("n_kanji"), col("n_other")), lit("digit"))
-        .when(col("n_hiragana") >= greatest(col("n_katakana"), col("n_kanji"),
-          col("n_other")), lit("hiragana"))
-        .when(col("n_katakana") >= greatest(col("n_kanji"), col("n_other")), lit("katakana"))
-        .when(col("n_kanji") >= col("n_other"), lit("kanji"))
-        .otherwise(lit("other")))
+    out.withColumn("dominant", dominantScriptCase)
+  }
+
+  /** The scriptMixReport priority CASE over its unpacked count columns —
+    * shared with fertilityByScript so the two operators can never drift.
+    */
+  private def dominantScriptCase: Column =
+    when(col("n_chars") === 0, lit("empty"))
+      .when(col("n_latin") + col("n_digit") + col("n_hiragana")
+        + col("n_katakana") + col("n_kanji") + col("n_other") === 0, lit("space"))
+      .when(col("n_latin") >= greatest(col("n_digit"), col("n_hiragana"),
+        col("n_katakana"), col("n_kanji"), col("n_other")), lit("latin"))
+      .when(col("n_digit") >= greatest(col("n_hiragana"), col("n_katakana"),
+        col("n_kanji"), col("n_other")), lit("digit"))
+      .when(col("n_hiragana") >= greatest(col("n_katakana"), col("n_kanji"),
+        col("n_other")), lit("hiragana"))
+      .when(col("n_katakana") >= greatest(col("n_kanji"), col("n_other")), lit("katakana"))
+      .when(col("n_kanji") >= col("n_other"), lit("kanji"))
+      .otherwise(lit("other"))
+
+  /** Tokenizer fertility by writing system (the multilingual-tokenizer
+    * health metric — fertility = subword tokens per whitespace word — that
+    * XLM-R/NLLB-class reports break down per script to show which writing
+    * systems a shared vocabulary over- or under-segments): each document
+    * is labeled with its dominant script (the scriptMixReport CASE, shared
+    * verbatim) and segmented by the corpus-learned BPE merge table
+    * (graft.expr.BpeSegment, the q187 apply path); per script class the
+    * report sums words / subword symbols / chars as integers — the
+    * consumer divides, but two integer-div ppm rates ship for dashboards.
+    *
+    * Scale shape: ONE corpus scan evaluates both codegen kernels
+    * (script_counts + bpe_segment) in a fused projection — fertility is a
+    * zero-shuffle per-row computation until the ≤8-class aggregate. The
+    * merge table rides the plan as a literal (the q187 precedent); no
+    * join, no second scan at any corpus size.
+    */
+  def fertilityByScript(df: DataFrame, idCol: String, textCol: String,
+      merges: Array[Array[String]]): DataFrame = {
+    val perDoc = df.select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.script_counts(col(textCol)).as("sc"),
+        size(filter(toks(col(textCol)), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        size(graft.functions.bpe_segment(col(textCol), merges))
+          .cast("long").as("n_syms"))
+      .select(col("doc_id"),
+        col("sc").getItem(0).as("n_chars"),
+        col("sc").getItem(1).as("n_latin"),
+        col("sc").getItem(2).as("n_digit"),
+        col("sc").getItem(3).as("n_hiragana"),
+        col("sc").getItem(4).as("n_katakana"),
+        col("sc").getItem(5).as("n_kanji"),
+        col("sc").getItem(6).as("n_space"),
+        col("n_words"), col("n_syms"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_digit") - col("n_hiragana")
+          - col("n_katakana") - col("n_kanji") - col("n_space"))
+      .withColumn("dominant", dominantScriptCase)
+    perDoc.groupBy(col("dominant"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_syms")).as("sum_syms"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("fertility_ppm",
+        when(col("sum_words") > 0,
+          expr("(sum_syms * 1000000) div sum_words")).otherwise(lit(0L)))
+      .withColumn("chars_per_sym_ppm",
+        when(col("sum_syms") > 0,
+          expr("(sum_chars * 1000000) div sum_syms")).otherwise(lit(0L)))
   }
 
   /** Heaps-law vocabulary growth curve: cumulative distinct-token counts
@@ -1338,5 +1394,149 @@ object TextAnalysis {
     base.join(floors, Seq("source"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("floor_toks"),
         (col("n_toks") >= col("floor_toks")).as("keep"))
+  }
+
+  /** SentencePiece-style unigram-LM tokenizer induction (Kudo 2018 — the
+    * OTHER major subword algorithm beside BPE; T5/mT5/Llama-family
+    * vocabularies are trained this way): seed a candidate vocabulary from
+    * raw substring frequencies (every single codepoint, Kudo's totality
+    * requirement, plus the topV most frequent multi-codepoint substrings
+    * up to maxPieceLen), assign each piece the empirical probability
+    * freq/total, Viterbi-segment the corpus under that model
+    * (graft.expr.UnigramSegment — the hard-EM E-step), and report each
+    * piece's corpus usage with the prune signal (Kudo §3.2 discards
+    * pieces whose removal costs nothing; a seeded piece the Viterbi path
+    * never uses is exactly that). Iterating the loop re-seeds probs from
+    * usage — the documented upgrade path; one E-step keeps the whole
+    * operator on the exact-hash oracle gate (the DuckDB twin replays the
+    * DP with a recursive CTE).
+    *
+    * Scale shape: word counting and substring seeding are token-keyed
+    * shuffles over the DISTINCT-words frame (corpus-vocabulary-sized, not
+    * corpus-sized — each word is segmented once and weighted by its
+    * count, never once per occurrence); the multi-piece top-V is a
+    * TakeOrdered; the vocabulary collect is bounded (alphabet + topV, the
+    * k-means/IVF driver-state class) and rides the plan as ONE reference
+    * object; the Viterbi apply is a zero-shuffle codegen projection with
+    * O(len · maxPieceLen) hash probes per word.
+    *
+    * Output: piece, freq (seed), p (= freq/total, one double division),
+    * is_char, usage (Viterbi-path occurrences, weighted by word count),
+    * keep (chars always; multi-pieces with usage > 0).
+    */
+  def unigramLmVocab(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topV: Int = 48): DataFrame = {
+    require(maxPieceLen >= 2 && topV >= 1,
+      s"unigramLmVocab: need maxPieceLen >= 2 and topV >= 1, got $maxPieceLen/$topV")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(toks(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val subs = words.select(col("word"), col("wc"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+    val pf = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    val chars = pf.where(length(col("piece")) === 1)
+    val multi = pf.where(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(topV)
+    // bounded collect: |alphabet| + topV rows (the IVF-fit class); the
+    // vocabulary must ride the plan as a literal for the codegen decode
+    val vocabRows = chars.union(multi)
+      .select(col("piece"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (vocabRows.isEmpty)
+      return Seq.empty[(String, Long, Double, Boolean, Long, Boolean)]
+        .toDF("piece", "freq", "p", "is_char", "usage", "keep")
+    val total = vocabRows.map(_._2).sum
+    val pieces = vocabRows.map(_._1).toIndexedSeq
+    val probs = vocabRows.map(_._2.toDouble / total.toDouble).toIndexedSeq
+    val unk = 1.0 / (total.toDouble * 1000000.0)
+    val usage = words
+      .select(col("wc"), explode(graft.functions.unigram_segment(
+        col("word"), pieces, probs, unk)).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("usage"))
+    val vocabDf = spark.createDataFrame(vocabRows.toSeq).toDF("piece", "freq")
+    vocabDf.join(usage, Seq("piece"), "left")
+      .select(col("piece"), col("freq"),
+        (col("freq").cast("double") / lit(total.toDouble)).as("p"),
+        (length(col("piece")) === 1).as("is_char"),
+        coalesce(col("usage"), lit(0L)).as("usage"))
+      .withColumn("keep", col("is_char") || col("usage") > 0)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3: the corpus
+    * is split into head / middle / tail THIRDS by language-model
+    * perplexity, and downstream mixing samples the thirds differently):
+    * each document's Kneser–Ney improbability rate ([[knBigramGate]]'s
+    * integer improb_ppm — the repo's exact-arithmetic perplexity stand-in)
+    * is tertile-binned by the shared histogram-quantile sketch, and the
+    * report rolls up each bucket's population and gate stats. qbin 0
+    * ("head") = lowest improbability = most fluent.
+    *
+    * Scale shape: the KN gate is one vocabulary-keyed join chain (see
+    * knBigramGate); its per-doc output is localCheckpointed ONCE because
+    * the quantile sketch scans its input three times (stats, histogram,
+    * assignment — the q212 residual-frame precedent; at cluster scale an
+    * explicit persist serves the same purpose). Everything after is the
+    * bounded-histogram shape: ≤64 bucket rows, one ≤3-group aggregate.
+    */
+  /** Zipf doubling-bin fit: the integer least-squares slope of
+    * ilog2(types-per-bin) against the [[frequencySpectrum]] bin index — a
+    * one-number corpus-health summary of the heavy tail (a natural corpus
+    * decays with slope near −1 under Zipf's law: each doubling of token
+    * frequency roughly halves the number of types; templated/boilerplate
+    * corpora flatten, OCR noise steepens). Both axes are EXACT integers
+    * (the ilog2 binary-string trick, never libm), so the regression sums
+    * and the num/den pair sit on the exact-hash gate; slope and intercept
+    * are each ONE division of identical integers — bit-reproducible
+    * cross-engine without any float accumulation order to pin.
+    *
+    * Scale shape: the spectrum is one explode + token-keyed count and a
+    * ≤64-group aggregate (log-bounded at any corpus size); the fit adds
+    * one global aggregate over those ≤64 rows. Output: one row
+    * (n_bins, sx, sy, sxy, sxx, slope_num, slope_den, slope, intercept);
+    * slope/intercept null when degenerate (fewer than two distinct bins).
+    */
+  def zipfSpectrumFit(df: DataFrame, textCol: String): DataFrame = {
+    val pts = frequencySpectrum(df, textCol)
+      .select(col("bin").cast("long").as("x"),
+        (length(conv(col("n_types"), 10, 2)) - 1).cast("long").as("y"))
+    pts.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n_bins") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n_bins") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("slope_den") =!= 0,
+          col("slope_num").cast("double") / col("slope_den").cast("double")))
+      .withColumn("intercept",
+        when(col("slope_den") =!= 0,
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n_bins").cast("double")))
+  }
+
+  def perplexityTertiles(docs: DataFrame, refDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val gate = knBigramGate(docs, refDocs, idCol, textCol).localCheckpoint()
+    val binned = HistogramQuantiles.quantileBin(gate, "improb_ppm",
+      buckets = 64, qs = Seq(1.0 / 3, 2.0 / 3))
+    binned.groupBy(col("qbin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        sum(col("n_improb")).as("sum_improb"),
+        min(col("improb_ppm")).as("min_ppm"),
+        max(col("improb_ppm")).as("max_ppm"))
+      .withColumn("bucket_label",
+        when(col("qbin") === 0, lit("head"))
+          .when(col("qbin") === 1, lit("middle"))
+          .otherwise(lit("tail")))
   }
 }

@@ -4897,9 +4897,273 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Margin-based bitext mining (q213; Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-pair criterion): the embeddings table split
+    * into a bounded "source" side (vec_id % 20 = 0) and a "target" side
+    * (odd vec_ids), forward top-4 candidates rescored by the ratio margin
+    * cos / ((avgNN(x) + avgNN(y)) / 2). Both neighborhood means fold in
+    * rank order from 0.0 and divide by the found-neighbor count, so every
+    * double bit replays; the oracle mirrors the windows and folds exactly.
+    */
+  val q213 = Q(
+    "q213_margin_bitext",
+    s"""WITH x AS (SELECT vec_id xid, embedding xe FROM embeddings WHERE vec_id % 20 = 0),
+       |y AS (SELECT vec_id yid, embedding ye FROM embeddings WHERE vec_id % 2 = 1),
+       |sc AS (SELECT xid, yid, ${cosSql("xe", "ye")} AS cos FROM y CROSS JOIN x),
+       |fwd AS (SELECT xid, yid, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY xid ORDER BY cos DESC, yid) AS rn FROM sc),
+       |fk AS (SELECT * FROM fwd WHERE rn <= 4),
+       |ax AS (SELECT xid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(cos ORDER BY rn)), (a, v) -> a + v)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_x FROM fk GROUP BY xid),
+       |bwd AS (SELECT xid, yid, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY yid ORDER BY cos DESC, xid) AS rn FROM sc),
+       |bk AS (SELECT * FROM bwd WHERE rn <= 4),
+       |ay AS (SELECT yid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(cos ORDER BY rn)), (a, v) -> a + v)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_y FROM bk GROUP BY yid)
+       |SELECT f.xid, f.yid, f.cos, CAST(f.rn AS INT) AS rn,
+       |  f.cos / ((ax.avg_x + ay.avg_y) / 2.0) AS margin,
+       |  f.cos / ((ax.avg_x + ay.avg_y) / 2.0) > 1.05 AS accepted
+       |FROM fk f JOIN ax USING (xid) JOIN ay USING (yid)
+       |ORDER BY f.xid, f.rn""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.marginBitextMine(
+        emb.where(col("vec_id") % 20 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        k = 4, threshold = 1.05)
+      .orderBy("xid", "rn")
+  }
+
+  /** BM25 hard-negative mining (q214; the DPR recipe, Karpukhin et al.
+    * 2020): per query doc (doc_id % 100 = 0), the top-8 lexically-closest
+    * corpus docs under doc-as-query BM25 (rational idf — house libm rule),
+    * annotated with the embedding cosine; is_hard flags lexically-close-
+    * but-semantically-distant candidates (cos < 0.1). Embeddings LEFT-join
+    * (sf0.1 has vectors for only the first 2000 doc ids — missing vectors
+    * keep cos null, is_hard false). The oracle replays the per-query BM25
+    * chain with the q127 fold discipline and the same left joins.
+    */
+  val q214 = Q(
+    "q214_bm25_hard_negatives",
+    s"""WITH qd AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
+       |qt AS (SELECT DISTINCT qid, unnest(string_split(text, ' ')) AS term FROM qd),
+       |terms AS (SELECT DISTINCT term FROM qt),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |lens AS (SELECT doc_id, len(t) AS dl FROM tk),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+       |m AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |      FROM m JOIN terms USING (term) GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM f GROUP BY 1),
+       |sc AS (SELECT qt.qid, f.doc_id, f.term,
+       |         ((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
+       |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} / (CAST(tf AS DOUBLE)
+       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))) AS s
+       |       FROM f JOIN qt USING (term) JOIN dfr USING (term)
+       |       JOIN lens USING (doc_id) CROSS JOIN stats
+       |       WHERE f.doc_id <> qt.qid),
+       |d AS (SELECT qid, doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+       |          (a, x) -> a + x) AS score
+       |      FROM sc GROUP BY qid, doc_id),
+       |cand AS (SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn FROM d)
+       |  WHERE rn <= 8),
+       |ann AS (SELECT c.qid, c.doc_id, c.n_terms, c.score, c.rn,
+       |    CASE WHEN qe.embedding IS NULL OR ce.embedding IS NULL THEN NULL
+       |         ELSE ${cosSql("qe.embedding", "ce.embedding")} END AS cos
+       |  FROM cand c
+       |  LEFT JOIN embeddings qe ON qe.vec_id = c.qid
+       |  LEFT JOIN embeddings ce ON ce.vec_id = c.doc_id)
+       |SELECT qid, doc_id, n_terms, score, rn, cos,
+       |  cos IS NOT NULL AND cos < 0.1 AS is_hard
+       |FROM ann ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    Retrieval.bm25HardNegatives(t(s, dir, "documents"), "doc_id", "text",
+        queryPred = col("doc_id") % 100 === 0, emb = t(s, dir, "embeddings"),
+        topM = 8, cosThreshold = 0.1, k1 = Bm25K1, b = Bm25B)
+      .orderBy("qid", "rn")
+  }
+
+  /** Tokenizer fertility by script (q215): subword symbols per whitespace
+    * word, per dominant writing system — the multilingual tokenizer-fit
+    * dashboard (a script whose fertility is far above the corpus mean is
+    * under-served by the learned vocabulary). ONE fused scan evaluates
+    * script_counts + bpe_segment; the oracle replays the q183 merge walk,
+    * the q192 replace chain, and the q199 script CASE, then re-aggregates.
+    */
+  val q215 = Q(
+    "q215_fertility_by_script",
+    s"""${bpeStagesSql(8)},
+       |a0 AS (SELECT doc_id, ' ' || array_to_string(list_transform(
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |    w -> array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)), ' ')),
+       |  '  ') || ' ' AS s FROM documents),
+       |${(1 to 8).map { k =>
+      s"""a$k AS (SELECT doc_id, replace(replace(s,
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' '),
+         |    ' ' || (SELECT pair FROM b$k) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS s
+         |  FROM a${k - 1})""".stripMargin
+    }.mkString(",\n")},
+       |syms AS (SELECT doc_id, CAST(len(list_filter(string_split(trim(s), ' '),
+       |           x -> length(x) > 0)) AS BIGINT) AS n_syms FROM a8),
+       |cnt AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       |    CAST(length(text) - length(regexp_replace(text, '[\\x{3041}-\\x{3096}]', '', 'g')) AS BIGINT) AS n_hiragana,
+       |    CAST(length(text) - length(regexp_replace(text, '[\\x{30A1}-\\x{30FA}\\x{30FC}]', '', 'g')) AS BIGINT) AS n_katakana,
+       |    CAST(length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS n_kanji,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+       |  FROM documents),
+       |lab AS (SELECT doc_id, n_words, n_chars,
+       |    CASE WHEN n_chars = 0 THEN 'empty'
+       |         WHEN n_latin + n_digit + n_hiragana + n_katakana + n_kanji + n_other = 0 THEN 'space'
+       |         WHEN n_latin >= GREATEST(n_digit, n_hiragana, n_katakana, n_kanji, n_other) THEN 'latin'
+       |         WHEN n_digit >= GREATEST(n_hiragana, n_katakana, n_kanji, n_other) THEN 'digit'
+       |         WHEN n_hiragana >= GREATEST(n_katakana, n_kanji, n_other) THEN 'hiragana'
+       |         WHEN n_katakana >= GREATEST(n_kanji, n_other) THEN 'katakana'
+       |         WHEN n_kanji >= n_other THEN 'kanji'
+       |         ELSE 'other' END AS dominant
+       |  FROM (SELECT *, n_chars - n_latin - n_digit - n_hiragana - n_katakana
+       |          - n_kanji - n_space AS n_other FROM cnt)),
+       |g AS (SELECT dominant, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       |    CAST(SUM(n_syms) AS BIGINT) AS sum_syms,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM lab JOIN syms USING (doc_id) GROUP BY dominant)
+       |SELECT dominant, n_docs, sum_words, sum_syms, sum_chars,
+       |  CAST(CASE WHEN sum_words > 0 THEN sum_syms * 1000000 // sum_words
+       |       ELSE 0 END AS BIGINT) AS fertility_ppm,
+       |  CAST(CASE WHEN sum_syms > 0 THEN sum_chars * 1000000 // sum_syms
+       |       ELSE 0 END AS BIGINT) AS chars_per_sym_ppm
+       |FROM g ORDER BY dominant""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", steps = 8)
+      .orderBy("step").collect()
+      .map(r => Array(r.getString(1), r.getString(2))) // bounded: exactly 8 rows
+    TextAnalysis.fertilityByScript(docs, "doc_id", "text", merges)
+      .orderBy("dominant")
+  }
+
+  /** CCNet perplexity tertiles (q216; Wenzek et al. 2020): the corpus
+    * split into head/middle/tail thirds by the q209 KN improbability rate,
+    * bucketed through the shared q136 histogram-quantile sketch (64
+    * buckets, thresholds CAST(1 AS DOUBLE)/3 and 2/3 — double division,
+    * never DuckDB decimal). The oracle replays the whole q209 chain, the
+    * q136 bucket math, and the rollup.
+    */
+  val q216 = Q(
+    "q216_perplexity_tertiles",
+    s"""WITH alltk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |trb AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+       |  SELECT t, unnest(range(1, len(t))) AS i FROM alltk WHERE doc_id % 10 <> 0)),
+       |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM trb GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |        CAST(COUNT(*) AS BIGINT) AS n1fol FROM bi GROUP BY 1),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bi GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bi),
+       |db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+       |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM alltk)),
+       |scd AS (SELECT d.doc_id,
+       |    COALESCE(b.c12, 0) AS c12, COALESCE(x.c1, 0) AS c1,
+       |    COALESCE(x.n1fol, 0) AS n1fol, COALESCE(ct.ncont, 0) AS ncont, tot.nn
+       |  FROM db d LEFT JOIN bi b USING (w1, w2) LEFT JOIN ctx x USING (w1)
+       |  LEFT JOIN cont ct USING (w2) CROSS JOIN tot),
+       |ff AS (SELECT doc_id, c1,
+       |    CASE WHEN c1 > 0
+       |         THEN GREATEST(4 * c12 - 3, 0) * nn + 3 * n1fol * ncont
+       |         ELSE ncont END AS num,
+       |    CASE WHEN c1 > 0 THEN 4 * c1 * nn ELSE nn END AS den
+       |  FROM scd),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN den = 0 OR num * 1000 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_improb
+       |  FROM ff GROUP BY 1),
+       |pp AS (SELECT d.doc_id,
+       |    COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       |    COALESCE(a.n_improb, CAST(0 AS BIGINT)) AS n_improb,
+       |    CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+       |         THEN CAST(a.n_improb * 1000000 // a.n_bigrams AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS improb_ppm,
+       |    COALESCE(a.n_improb, 0) * 5 <= COALESCE(a.n_bigrams, 0) AS keep
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN agg a USING (doc_id)),
+       |r AS (SELECT *, CAST(improb_ppm AS DOUBLE) AS x FROM pp),
+       |stats AS (SELECT MIN(x) AS lo, MAX(x) AS hi,
+       |                 CAST(COUNT(*) AS BIGINT) AS n FROM r),
+       |hist AS (SELECT CASE WHEN hi = lo THEN 0
+       |    ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / $HistB)) AS INT),
+       |               ${HistB - 1}) END AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt, MAX(n) AS n
+       |  FROM r CROSS JOIN stats GROUP BY 1),
+       |cum AS (SELECT *, CAST(SUM(cnt) OVER (ORDER BY bucket
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+       |qs AS (SELECT unnest([CAST(1 AS DOUBLE) / 3, CAST(2 AS DOUBLE) / 3]) AS q),
+       |hit AS (SELECT q, MIN(bucket) AS bucket FROM cum JOIN qs
+       |    ON cum >= CAST(CEIL(q * n) AS BIGINT) GROUP BY q),
+       |tb AS (SELECT list(bucket) AS tb FROM hit),
+       |binned AS (SELECT r.*,
+       |    CAST(len(list_filter(tb, t -> t < CASE WHEN hi = lo THEN 0
+       |      ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / $HistB)) AS INT),
+       |                 ${HistB - 1}) END)) AS INT) AS qbin
+       |  FROM r CROSS JOIN stats CROSS JOIN tb)
+       |SELECT qbin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+       |  CAST(SUM(n_improb) AS BIGINT) AS sum_improb,
+       |  CAST(MIN(improb_ppm) AS BIGINT) AS min_ppm,
+       |  CAST(MAX(improb_ppm) AS BIGINT) AS max_ppm,
+       |  CASE WHEN qbin = 0 THEN 'head' WHEN qbin = 1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket_label
+       |FROM binned GROUP BY qbin ORDER BY qbin""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.perplexityTertiles(docs,
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .orderBy("qbin")
+  }
+
+  /** Zipf doubling-bin fit (q217): integer least squares of
+    * ilog2(types-per-bin) against the q170 spectrum bin — slope near −1 is
+    * the natural-corpus signature. All sums integer; slope/intercept are
+    * single divisions of identical integers on both engines.
+    */
+  val q217 = Q(
+    "q217_zipf_spectrum_fit",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      |sp AS (SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
+      |pts AS (SELECT x, CAST(length(printf('%b', n_types)) - 1 AS BIGINT) AS y FROM sp),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM pts)
+      |SELECT n_bins, sx, sy, sxy, sxx,
+      |  CAST(n_bins * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n_bins * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CASE WHEN n_bins * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(n_bins * sxy - sx * sy AS DOUBLE)
+      |            / CAST(n_bins * sxx - sx * sx AS DOUBLE) END AS slope,
+      |  CASE WHEN n_bins * sxx - sx * sx = 0 THEN NULL
+      |       ELSE (CAST(sy AS DOUBLE)
+      |             - (CAST(n_bins * sxy - sx * sy AS DOUBLE)
+      |                / CAST(n_bins * sxx - sx * sx AS DOUBLE))
+      |               * CAST(sx AS DOUBLE))
+      |            / CAST(n_bins AS DOUBLE) END AS intercept
+      |FROM a""".stripMargin) { (s, dir) =>
+    TextAnalysis.zipfSpectrumFit(t(s, dir, "documents"), "text")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
 }

@@ -75,4 +75,41 @@ class KnBigramGateSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("perplexityTertiles: buckets partition the corpus, labels fixed") {
+    import spark.implicits._
+    // 12 docs spanning fluent (train-identical) to improbable (OOV runs)
+    val docs = ((1 to 4).map(i => (i.toLong, "a b a b")) ++
+      (5 to 8).map(i => (i.toLong, "a b z" + ("z" * (i % 3)))) ++
+      (9 to 12).map(i => (i.toLong, s"q$i r$i s$i t$i u$i"))).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityTertiles(docs, train, "doc_id", "text")
+      .orderBy("qbin").collect()
+    assert(r.map(_.getLong(r(0).fieldIndex("n_docs"))).sum == 12L)
+    val labels = r.map(x => x.getInt(0) -> x.getString(x.fieldIndex("bucket_label")))
+    labels.foreach { case (qbin, lab) =>
+      val want = if (qbin == 0) "head" else if (qbin == 1) "middle" else "tail"
+      assert(lab == want, s"qbin=$qbin label=$lab")
+    }
+    // the head bucket is the fluent group: min_ppm of qbin 0 is the
+    // corpus minimum and max_ppm of the last bucket the corpus maximum
+    val minHead = r.head.getLong(r.head.fieldIndex("min_ppm"))
+    val maxTail = r.last.getLong(r.last.fieldIndex("max_ppm"))
+    assert(minHead == 0L, s"fluent docs have zero improb_ppm, got $minHead")
+    assert(maxTail > minHead)
+  }
+
+  test("perplexityTertiles: equivalence with quantileBin over the gate") {
+    import spark.implicits._
+    val docs = ((1 to 3).map(i => (i.toLong, "a b a b")) ++
+      (4 to 6).map(i => (i.toLong, s"x$i y$i"))).toDF("doc_id", "text")
+    val gate = TextAnalysis.knBigramGate(docs, train, "doc_id", "text")
+    val direct = HistogramQuantiles.quantileBin(gate, "improb_ppm", 64,
+        Seq(1.0 / 3, 2.0 / 3))
+      .groupBy("qbin").count().orderBy("qbin").collect()
+      .map(x => (x.getInt(0), x.getLong(1)))
+    val viaOp = TextAnalysis.perplexityTertiles(docs, train, "doc_id", "text")
+      .orderBy("qbin").collect()
+      .map(x => (x.getInt(0), x.getLong(x.fieldIndex("n_docs"))))
+    assert(viaOp.toSeq == direct.toSeq)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Similarity.marginBitextMine — the Artetxe & Schwenk ratio-margin
+  * criterion for parallel-pair mining. sf-scale behavior is oracle-checked
+  * via q213; these specs pin the margin semantics on hand-built vector
+  * sides: the mutual-best exactness identity, hub dampening (the reason
+  * the margin exists at all), and the short-target-side mean.
+  */
+class MarginBitextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("mutual best pair at k=1 has margin exactly 1.0") {
+    // each x's top-1 is its matched y AND each y's top-1 is its matched x,
+    // so avg_x = avg_y = cos and margin = cos / ((cos + cos) / 2) = 1.0
+    // exactly (same-double addition halved is exact in IEEE)
+    val src = df(Seq(0L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))
+    val tgt = df(Seq(1L -> Seq(0.99f, 0.05f), 3L -> Seq(0.05f, 0.99f)))
+    val rows = Similarity.marginBitextMine(src, tgt, k = 1, threshold = 0.99)
+      .orderBy("xid").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("margin")) == 1.0, r.toString)
+      assert(r.getBoolean(r.fieldIndex("accepted")))
+    }
+    // matched pairing, not crossed
+    assert(rows.map(r => (r.getLong(r.fieldIndex("xid")),
+      r.getLong(r.fieldIndex("yid")))).toSet == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("hub target is dampened below the exclusive match") {
+    // y=1 ("hub") is fairly close to BOTH sources; y=3 is an exclusive
+    // match for x=0. The hub's neighborhood mean is inflated by its second
+    // strong neighbor, so margin(x0, y3) > margin(x0, y1) even though the
+    // raw cosines are comparable.
+    val src = df(Seq(0L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))
+    val tgt = df(Seq(
+      1L -> Seq(0.7f, 0.7f), // hub: cos ~0.7 to both sources
+      3L -> Seq(0.99f, 0.1f), // exclusive match for x=0
+      5L -> Seq(-1f, 0f))) // filler so k=2 neighborhoods differ
+    val rows = Similarity.marginBitextMine(src, tgt, k = 2)
+      .where("xid = 0").collect()
+      .map(r => r.getLong(r.fieldIndex("yid")) -> r.getDouble(r.fieldIndex("margin")))
+      .toMap
+    assert(rows.contains(1L) && rows.contains(3L), rows.toString)
+    assert(rows(3L) > rows(1L),
+      s"exclusive match should out-margin the hub: $rows")
+  }
+
+  test("target side smaller than k: mean over found neighbors only") {
+    val src = df(Seq(0L -> Seq(1f, 0f)))
+    val tgt = df(Seq(1L -> Seq(1f, 0f)))
+    val rows = Similarity.marginBitextMine(src, tgt, k = 4).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // single pair: avg_x = avg_y = cos = 1.0 => margin exactly 1.0
+    assert(r.getDouble(r.fieldIndex("margin")) == 1.0)
+    assert(r.getInt(r.fieldIndex("rn")) == 1)
+  }
+
+  test("plan shape: source side broadcasts; windows are keyed") {
+    val src = df(Seq(0L -> Seq(1f, 0f)))
+    val tgt = df(Seq(1L -> Seq(1f, 0f), 3L -> Seq(0f, 1f)))
+    val plan = Similarity.marginBitextMine(src, tgt, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // both rank windows carry a partition spec (xid / yid) — never a
+    // single-partition global window over the scored frame
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("every forward candidate surfaces with its rank") {
+    val src = df(Seq(0L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))
+    val tgt = df((1 to 9 by 2).map(i =>
+      i.toLong -> Seq(math.cos(i / 10.0).toFloat, math.sin(i / 10.0).toFloat)))
+    val out = Similarity.marginBitextMine(src, tgt, k = 3).collect()
+    assert(out.length == 6) // 2 sources x k=3
+    val ranks = out.groupBy(_.getLong(0)).values.map(_.map(r =>
+      r.getInt(r.fieldIndex("rn"))).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
+}

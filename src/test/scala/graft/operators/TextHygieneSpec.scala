@@ -561,4 +561,68 @@ class TextHygieneSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
     assert(plan.contains("char_stats"), s"expected the codegen kernel:\n$plan")
   }
+
+  test("fertilityByScript: per-script sums and integer ppm rates") {
+    // merge table: (a,b)->ab — 'a b' segments to 1 symbol, others 1/char
+    val merges = Array(Array("a", "b"))
+    val docs = Seq(
+      (1L, "ab cd"), // latin: words 2, syms: 'ab' (merged) 1 + 'cd' 2 = 3
+      (2L, "ひら がな"), // hiragana: words 2, syms 4 (no merges apply)
+      (3L, "ab")) // latin: words 1, syms 1
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fertilityByScript(docs, "doc_id", "text", merges)
+      .orderBy("dominant").collect()
+    val byLabel = r.map(x => x.getString(0) -> x).toMap
+    assert(byLabel.keySet == Set("latin", "hiragana"))
+    val lat = byLabel("latin")
+    assert(lat.getLong(lat.fieldIndex("n_docs")) == 2L)
+    assert(lat.getLong(lat.fieldIndex("sum_words")) == 3L)
+    assert(lat.getLong(lat.fieldIndex("sum_syms")) == 4L)
+    // fertility = 4 syms / 3 words = 1_333_333 ppm (integer div)
+    assert(lat.getLong(lat.fieldIndex("fertility_ppm")) == 1333333L)
+    val hira = byLabel("hiragana")
+    assert(hira.getLong(hira.fieldIndex("sum_words")) == 2L)
+    assert(hira.getLong(hira.fieldIndex("sum_syms")) == 4L)
+    assert(hira.getLong(hira.fieldIndex("fertility_ppm")) == 2000000L)
+  }
+
+  test("zipfSpectrumFit: hand-checked integer regression over a known spectrum") {
+    // corpus engineered to a known spectrum:
+    //   8 types seen once  (bin 0) -> y = ilog2(8) = 3
+    //   4 types seen twice (bin 1) -> y = ilog2(4) = 2
+    //   2 types seen 4x    (bin 2) -> y = ilog2(2) = 1
+    //   1 type  seen 8x    (bin 3) -> y = ilog2(1) = 0
+    // perfect Zipf doubling decay: slope exactly -1, intercept exactly 3
+    val words =
+      (1 to 8).map(i => s"once$i") ++
+        (1 to 4).flatMap(i => Seq.fill(2)(s"twice$i")) ++
+        (1 to 2).flatMap(i => Seq.fill(4)(s"four$i")) ++
+        Seq.fill(8)("eight")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSpectrumFit(docs, "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_bins")) == 4L)
+    assert(r.getLong(r.fieldIndex("slope_num")) == -20L) // 4*4 - 6*6
+    assert(r.getLong(r.fieldIndex("slope_den")) == 20L) // 4*14 - 36
+    assert(r.getDouble(r.fieldIndex("slope")) == -1.0)
+    assert(r.getDouble(r.fieldIndex("intercept")) == 3.0)
+  }
+
+  test("zipfSpectrumFit: degenerate single-bin corpus yields null slope") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // all counts 1
+    val r = TextAnalysis.zipfSpectrumFit(docs, "text").collect()(0)
+    assert(r.getLong(r.fieldIndex("n_bins")) == 1L)
+    assert(r.isNullAt(r.fieldIndex("slope")))
+    assert(r.isNullAt(r.fieldIndex("intercept")))
+  }
+
+  test("fertilityByScript: one fused scan — no join, no pre-aggregate shuffle") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.fertilityByScript(corpus, "doc_id", "text",
+        Array(Array("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fused projection must not join:\n$plan")
+    // exactly the one aggregate exchange (per-dominant hash agg)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("script_counts") && plan.contains("bpe_segment"), plan)
+  }
 }
