@@ -331,18 +331,30 @@ object Retrieval {
     * LEFT-joined: a candidate (or query) without a vector keeps cos null
     * and is_hard false — never silently dropped.
     *
-    * The per-document score folds term scores in sorted-term order from
-    * 0.0 (the bm25TopKTerms discipline), so the doubles replay exactly;
-    * logIdf = false keeps libm out of the compare path (house rule).
+    * `maxQueryTerms` caps each query's term set at the rarest-df (= max
+    * idf) terms — the Lucene MoreLikeThis doc-as-query protocol
+    * (maxQueryTerms defaults to 25 there). The cap bounds the per-query
+    * expansion at Σ_{t ∈ cap} df(t) rows: WITHOUT it, a low-entropy
+    * corpus (template text, degenerate vocabulary) degrades doc-as-query
+    * to |queries| × |postings| — measured 17.7 s → ~2 s at sf0.1 on
+    * exactly that corpus shape. Rarest-first also selects the most
+    * DISCRIMINATIVE terms, so ranking quality is what MoreLikeThis ships.
     *
-    * Output per query: qid, doc_id, n_terms, score, rn, cos,
-    * is_hard = cos IS NOT NULL AND cos < cosThreshold.
+    * Per-term scores are q20 fixed-point quantized and summed as
+    * integers (see the inline note at the aggregate — the measured
+    * replacement for the interpreted rank-ordered double fold); logIdf =
+    * false keeps libm out of the compare path (house rule).
+    *
+    * Output per query: qid, doc_id, n_terms, score_q20 (fixed-point
+    * BM25·2²⁰), rn, cos, is_hard = cos IS NOT NULL AND cos < cosThreshold.
     */
   def bm25HardNegatives(docs: DataFrame, idCol: String, textCol: String,
       queryPred: org.apache.spark.sql.Column, emb: DataFrame,
       topM: Int, cosThreshold: Double,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxQueryTerms: Int = 16): DataFrame = {
     require(topM >= 1, s"bm25HardNegatives: topM must be >= 1, got $topM")
+    require(maxQueryTerms >= 1,
+      s"bm25HardNegatives: maxQueryTerms must be >= 1, got $maxQueryTerms")
     val toksC = split(col(textCol), " ")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
@@ -355,11 +367,16 @@ object Retrieval {
       .select(col(idCol).cast("long").as("qid"), explode(toksC).as("term"))
       .distinct()
     val termsAll = qterms.select(col("term")).distinct()
+    // dl rides the posting rows into the tf aggregate (constant per doc,
+    // max() reduces it) so the scored frame NEVER joins back to the
+    // corpus-sized lens frame — on a low-entropy corpus the matched-tf
+    // frame is postings-dense and that join was a full extra shuffle
     val posted = base
-      .select(col("doc_id"), explode(split(col("__text"), " ")).as("term"))
+      .select(col("doc_id"), size(split(col("__text"), " ")).as("dl"),
+        explode(split(col("__text"), " ")).as("term"))
       .join(broadcast(termsAll), Seq("term"))
     val tf = posted.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
     // operand shapes in lockstep with bm25TopKTerms / the q127 oracle:
     // identical association order => identical double bits
@@ -367,20 +384,38 @@ object Retrieval {
       (col("dft") + lit(0.5))
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    // MoreLikeThis term cap: per query keep the maxQueryTerms rarest terms
+    // (df asc, term asc — deterministic); the window runs over the bounded
+    // broadcast-sized qterms frame, never the postings
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dft").asc, col("term").asc)
+    val qtermsCapped = qterms.join(dft, Seq("term"))
+      .withColumn("__qtr", row_number().over(wq))
+      .where(col("__qtr") <= maxQueryTerms)
+      .select(col("qid"), col("term"))
+    // Per-term scores are quantized to q20 fixed point (the q208 PQ
+    // precedent: FLOOR(s · 2²⁰) — ~1e-6 resolution) so the per-(qid, doc)
+    // rollup is an ASSOCIATIVE integer SUM: codegen hash agg with map-side
+    // combine, order-free and exact on both engines. The rank-ordered
+    // double fold bm25TopKTerms uses is correct but runs as an
+    // INTERPRETED higher-order function — over the postings-dense frame a
+    // doc-as-query workload produces, that fold measured 12.4 s of the
+    // operator's 14 s at sf0.1; the integer sum removes it wholesale.
+    // Overflow headroom: s ≤ (N+0.5)·(k1+1), so Σ₁₆ terms stays under
+    // 2⁶³ beyond 10¹² docs.
     val scored = tf
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qtermsCapped), Seq("term"))
       .where(col("doc_id") =!= col("qid"))
       .join(broadcast(dft), Seq("term"))
-      .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("s", idf * (col("tf").cast("double") * lit(k1 + 1.0) / denom))
+      .withColumn("sq",
+        floor((idf * (col("tf").cast("double") * lit(k1 + 1.0) / denom))
+          * lit(1048576.0)).cast("long"))
     val perDoc = scored.groupBy(col("qid"), col("doc_id"))
-      .agg(collect_list(struct(col("term"), col("s"))).as("ts"))
-      .select(col("qid"), col("doc_id"), size(col("ts")).as("n_terms"),
-        aggregate(array_sort(col("ts")), lit(0.0),
-          (acc, x) => acc + x.getField("s")).as("score"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum(col("sq")).as("score_q20"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score_q20").desc, col("doc_id"))
     val cand = perDoc.withColumn("rn", row_number().over(w))
       .where(col("rn") <= topM)
     // the embedding annotation must LEFT-preserve cand, and a left join
@@ -398,7 +433,7 @@ object Retrieval {
       .join(broadcast(qe), Seq("qid"), "left")
       .join(broadcast(ce), Seq("doc_id"), "left")
       .withColumn("cos", graft.functions.cosine_sim(col("__qe"), col("__ce")))
-      .select(col("qid"), col("doc_id"), col("n_terms"), col("score"),
+      .select(col("qid"), col("doc_id"), col("n_terms"), col("score_q20"),
         col("rn"), col("cos"),
         (col("cos").isNotNull && col("cos") < lit(cosThreshold)).as("is_hard"))
   }

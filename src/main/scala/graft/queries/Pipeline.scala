@@ -4937,12 +4937,15 @@ object Pipeline {
 
   /** BM25 hard-negative mining (q214; the DPR recipe, Karpukhin et al.
     * 2020): per query doc (doc_id % 100 = 0), the top-8 lexically-closest
-    * corpus docs under doc-as-query BM25 (rational idf — house libm rule),
-    * annotated with the embedding cosine; is_hard flags lexically-close-
-    * but-semantically-distant candidates (cos < 0.1). Embeddings LEFT-join
-    * (sf0.1 has vectors for only the first 2000 doc ids — missing vectors
-    * keep cos null, is_hard false). The oracle replays the per-query BM25
-    * chain with the q127 fold discipline and the same left joins.
+    * corpus docs under doc-as-query BM25 (rational idf — house libm rule;
+    * each query capped at its 16 rarest-df terms, the Lucene MoreLikeThis
+    * protocol — the cap is what keeps doc-as-query sub-quadratic on a
+    * low-entropy corpus), annotated with the embedding cosine; is_hard
+    * flags lexically-close-but-semantically-distant candidates (cos <
+    * 0.1). Embeddings LEFT-join (sf0.1 has vectors for only the first
+    * 2000 doc ids — missing vectors keep cos null, is_hard false). The
+    * oracle replays the per-query BM25 chain with the q127 fold
+    * discipline, the term-cap window, and the same left joins.
     */
   val q214 = Q(
     "q214_bm25_hard_negatives",
@@ -4957,33 +4960,38 @@ object Pipeline {
        |f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        |      FROM m JOIN terms USING (term) GROUP BY 1, 2),
        |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dft FROM f GROUP BY 1),
-       |sc AS (SELECT qt.qid, f.doc_id, f.term,
-       |         ((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
+       |qtc AS (SELECT qid, term FROM (
+       |    SELECT qt.qid, qt.term, ROW_NUMBER() OVER (
+       |      PARTITION BY qt.qid ORDER BY dfr.dft ASC, qt.term ASC) AS qtr
+       |    FROM qt JOIN dfr USING (term)) WHERE qtr <= 16),
+       |sc AS (SELECT qtc.qid, f.doc_id, f.term,
+       |         CAST(FLOOR((((CAST(n_docs AS DOUBLE) - dft + 0.5) / (dft + 0.5))
        |           * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} / (CAST(tf AS DOUBLE)
-       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))) AS s
-       |       FROM f JOIN qt USING (term) JOIN dfr USING (term)
+       |              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))))
+       |           * 1048576.0) AS BIGINT) AS sq
+       |       FROM f JOIN qtc USING (term) JOIN dfr USING (term)
        |       JOIN lens USING (doc_id) CROSS JOIN stats
-       |       WHERE f.doc_id <> qt.qid),
+       |       WHERE f.doc_id <> qtc.qid),
        |d AS (SELECT qid, doc_id, CAST(COUNT(*) AS INT) AS n_terms,
-       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
-       |          (a, x) -> a + x) AS score
+       |        CAST(SUM(sq) AS BIGINT) AS score_q20
        |      FROM sc GROUP BY qid, doc_id),
        |cand AS (SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (
-       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn FROM d)
+       |    PARTITION BY qid ORDER BY score_q20 DESC, doc_id) AS INT) AS rn FROM d)
        |  WHERE rn <= 8),
-       |ann AS (SELECT c.qid, c.doc_id, c.n_terms, c.score, c.rn,
+       |ann AS (SELECT c.qid, c.doc_id, c.n_terms, c.score_q20, c.rn,
        |    CASE WHEN qe.embedding IS NULL OR ce.embedding IS NULL THEN NULL
        |         ELSE ${cosSql("qe.embedding", "ce.embedding")} END AS cos
        |  FROM cand c
        |  LEFT JOIN embeddings qe ON qe.vec_id = c.qid
        |  LEFT JOIN embeddings ce ON ce.vec_id = c.doc_id)
-       |SELECT qid, doc_id, n_terms, score, rn, cos,
+       |SELECT qid, doc_id, n_terms, score_q20, rn, cos,
        |  cos IS NOT NULL AND cos < 0.1 AS is_hard
        |FROM ann ORDER BY qid, rn""".stripMargin) { (s, dir) =>
     graft.Graft.register(s)
     Retrieval.bm25HardNegatives(t(s, dir, "documents"), "doc_id", "text",
         queryPred = col("doc_id") % 100 === 0, emb = t(s, dir, "embeddings"),
-        topM = 8, cosThreshold = 0.1, k1 = Bm25K1, b = Bm25B)
+        topM = 8, cosThreshold = 0.1, k1 = Bm25K1, b = Bm25B,
+        maxQueryTerms = 16)
       .orderBy("qid", "rn")
   }
 
@@ -5161,9 +5169,66 @@ object Pipeline {
     TextAnalysis.zipfSpectrumFit(t(s, dir, "documents"), "text")
   }
 
+  /** SentencePiece unigram-LM induction (q218; Kudo 2018): substring-seeded
+    * vocabulary (all chars + top-48 multi-codepoint substrings ≤4), one
+    * hard-EM Viterbi E-step over the distinct-words frame, usage-based
+    * prune signal. The oracle replays the seeding, the DP (recursive CTE
+    * carrying the dp/choice lists, `ORDER BY s DESC, j ASC` = the kernel's
+    * ascending-j strict-> tie rule), the backtrack, and the usage rollup.
+    */
+  val q218 = Q(
+    "q218_unigram_lm_vocab",
+    """WITH RECURSIVE
+      |tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |subs AS (SELECT word, wc, unnest(flatten(list_transform(range(1, length(word) + 1),
+      |    i -> list_transform(range(1, least(4, length(word) - i + 1) + 1),
+      |      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM tokw),
+      |pf AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM subs GROUP BY piece),
+      |chars AS (SELECT piece, freq FROM pf WHERE length(piece) = 1),
+      |multi AS (SELECT piece, freq FROM pf WHERE length(piece) >= 2
+      |  ORDER BY freq DESC, piece LIMIT 48),
+      |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab),
+      |v AS (SELECT piece, freq, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+      |  FROM vocab CROSS JOIN tot),
+      |vm AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v),
+      |dp AS (
+      |  SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS dps, [CAST(0 AS INT)] AS chs FROM tokw
+      |  UNION ALL
+      |  SELECT word, i + 1, list_append(dps, best.s), list_append(chs, CAST(best.j AS INT))
+      |  FROM dp CROSS JOIN vm,
+      |  LATERAL (SELECT s, j FROM (
+      |      SELECT dps[j + 1] * m[substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT))][1] AS s, j
+      |      FROM unnest(range(greatest(0, i + 1 - 4), i + 1)) t(j))
+      |    WHERE s IS NOT NULL ORDER BY s DESC, j ASC LIMIT 1) best
+      |  WHERE i < length(word)
+      |),
+      |fin AS (SELECT word, chs FROM dp WHERE i = length(word)),
+      |bt AS (
+      |  SELECT word, CAST(length(word) AS INT) AS pos, chs, CAST([] AS VARCHAR[]) AS pcs FROM fin
+      |  UNION ALL
+      |  SELECT word, chs[pos + 1], chs,
+      |    list_prepend(substr(word, CAST(chs[pos + 1] + 1 AS INT),
+      |      CAST(pos - chs[pos + 1] AS INT)), pcs)
+      |  FROM bt WHERE pos > 0),
+      |segs AS (SELECT word, unnest(pcs) AS piece FROM bt WHERE pos = 0),
+      |usage AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage
+      |  FROM segs JOIN tokw USING (word) GROUP BY piece)
+      |SELECT v.piece, v.freq, v.p, length(v.piece) = 1 AS is_char,
+      |  COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage,
+      |  (length(v.piece) = 1 OR COALESCE(u.usage, 0) > 0) AS keep
+      |FROM v LEFT JOIN usage u USING (piece) ORDER BY v.piece""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.unigramLmVocab(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, topV = 48)
+      .orderBy("piece")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }

@@ -75,6 +75,22 @@ class HardNegativesSpec extends AnyFunSuite {
     assert(rows(0).getLong(rows(0).fieldIndex("doc_id")) == 1L)
   }
 
+  test("maxQueryTerms keeps only the rarest-df terms (MoreLikeThis cap)") {
+    // query doc 0: terms {common, rare}; df(common)=3, df(rare)=2.
+    // capped at 1 term, only 'rare' scores -> doc 2 (common-only) is
+    // unreachable; uncapped, doc 2 is a candidate via 'common'.
+    val d = Seq(
+      0L -> "common rare",
+      1L -> "common rare",
+      2L -> "common").toDF("doc_id", "text")
+    def ids(cap: Int) = Retrieval.bm25HardNegatives(d, "doc_id", "text",
+        queryPred = col("doc_id") === 0, emb = emb,
+        topM = 5, cosThreshold = 0.5, maxQueryTerms = cap)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    assert(ids(1) == Set(1L))
+    assert(ids(16) == Set(1L, 2L))
+  }
+
   test("plan shape: equi-joins only — no Cartesian product at any size") {
     val df = Retrieval.bm25HardNegatives(docs, "doc_id", "text",
       queryPred = col("doc_id") === 0, emb = emb, topM = 5, cosThreshold = 0.5)

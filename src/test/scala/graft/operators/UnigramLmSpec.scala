@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** graft.expr.UnigramSegment + TextAnalysis.unigramLmVocab — the
+  * SentencePiece unigram-LM rung (Kudo 2018). sf-scale behavior is
+  * oracle-checked via q218 (the DuckDB twin replays the Viterbi DP with a
+  * recursive CTE); these specs pin the DP semantics on hand-built vocabs:
+  * the max-product path, the ascending-j tie rule, the unknown-codepoint
+  * fallback, and the induction loop's usage/prune signal.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def seg(text: String, vocab: Seq[(String, Double)],
+      unk: Double = 1e-9): Seq[String] = {
+    val df = Seq(Tuple1(text)).toDF("t")
+    df.select(graft.functions.unigram_segment(col("t"),
+        vocab.map(_._1), vocab.map(_._2), unk).as("p"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  private val toyVocab = Seq(
+    "a" -> 0.2, "b" -> 0.2, "c" -> 0.1, "ab" -> 0.3, "abc" -> 0.2)
+
+  test("max-product path: 'abcab' -> [abc, ab] (hand-checked DP)") {
+    // dp: abc (0.2) then ab (0.3) = 0.06 beats ab|c|ab (0.3*0.1*0.3=0.009)
+    // and all char paths
+    assert(seg("abcab", toyVocab) == Seq("abc", "ab"))
+    assert(seg("abc", toyVocab) == Seq("abc"))
+    assert(seg("ba", toyVocab) == Seq("b", "a"))
+  }
+
+  test("exact score tie keeps the smallest j (longest final piece)") {
+    // p(aa) = 0.0625 = p(a)^2 exactly (both powers of two): path 'aa'
+    // ties path 'a|a' bit-for-bit, so the ascending-j strict-> rule must
+    // pick j=0, the single piece
+    assert(seg("aa", Seq("a" -> 0.25, "aa" -> 0.0625)) == Seq("aa"))
+  }
+
+  test("unknown single codepoint falls back; unknown pairs never merge") {
+    assert(seg("axa", Seq("a" -> 0.5)) == Seq("a", "x", "a"))
+    // unknown fallback is per-codepoint: a surrogate-pair emoji is ONE
+    // piece, not two broken halves
+    assert(seg("a😀a", Seq("a" -> 0.5)) == Seq("a", "😀", "a"))
+  }
+
+  test("whitespace words segment independently; empty -> []") {
+    assert(seg("ab ab", toyVocab) == Seq("ab", "ab"))
+    assert(seg("", toyVocab) == Seq.empty)
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.unigram_segment(col("t"),
+        Seq("a"), Seq(0.5), 1e-9).as("p")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("unigramLmVocab: chars always kept, unused multi-pieces pruned") {
+    // corpus: 'ababab' x3, 'cd' x1 — 'ab' dominates; 'ba' is a frequent
+    // substring (seeded) but the Viterbi path never uses it
+    val docs = Seq((1L, "ababab ababab ababab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmVocab(docs, "text",
+      maxPieceLen = 2, topV = 4).collect()
+    val byPiece = out.map(r => r.getString(0) -> r).toMap
+    // every single char present and kept
+    Seq("a", "b", "c", "d").foreach { ch =>
+      val r = byPiece(ch)
+      assert(r.getBoolean(r.fieldIndex("is_char")))
+      assert(r.getBoolean(r.fieldIndex("keep")))
+    }
+    val ab = byPiece("ab")
+    assert(ab.getLong(ab.fieldIndex("usage")) == 9L, // 3 words x 3 'ab'
+      ab.toString)
+    assert(ab.getBoolean(ab.fieldIndex("keep")))
+    val ba = byPiece("ba")
+    assert(ba.getLong(ba.fieldIndex("usage")) == 0L, ba.toString)
+    assert(!ba.getBoolean(ba.fieldIndex("keep")))
+  }
+
+  test("unigramLmVocab: usage is weighted by word count, not distinct words") {
+    val docs = Seq((1L, "ab ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmVocab(docs, "text",
+      maxPieceLen = 2, topV = 2).collect()
+    val ab = out.find(_.getString(0) == "ab").get
+    assert(ab.getLong(ab.fieldIndex("usage")) == 4L, ab.toString)
+  }
+
+  test("segmentation plan: zero-shuffle codegen projection") {
+    val words = Seq(Tuple1("abcab")).toDF("word")
+    val plan = words.select(graft.functions.unigram_segment(col("word"),
+        toyVocab.map(_._1), toyVocab.map(_._2), 1e-9))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("unigram_segment"), plan)
+  }
+}
