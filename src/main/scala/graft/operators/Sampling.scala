@@ -623,4 +623,67 @@ object Decontaminate {
       .withColumn("best_jaccard", coalesce(col("best_jaccard"), lit(0.0)))
       .withColumn("contaminated", col("n_matches") > 0L)
   }
+
+  /** Multi-protocol decontamination audit, rolled up per source — the
+    * release-gate dashboard over the four published contamination
+    * protocols this engine ships, which catch DIFFERENT leak classes:
+    * [[flagExact]] (verbatim copies), [[flagNearNgram]] (shingle
+    * containment in the benchmark union — the C4 rule),
+    * [[flagNgramCollision]] (a single colliding n-token window — the
+    * GPT-3 §C rule), and [[fuzzyContamination]] (whole-document near-dup
+    * match — the RefinedWeb/Llama rule). A corpus that looks clean under
+    * one protocol routinely isn't under another; the audit reports all
+    * four side by side plus the any-protocol union.
+    *
+    * Scale shape: each protocol subtree keeps its own audited shape
+    * (broadcast benchmark fingerprints / plan-embedded probe array /
+    * banded LSH candidates — the corpus text is scanned once per protocol
+    * and never shuffles); the per-doc flags are slim (id, bool) frames
+    * joined id-keyed, then ONE |sources|-group aggregate. Protocols whose
+    * frames omit short documents (no shingles) LEFT-join with a false
+    * default — a sub-k-token doc is trivially uncontaminated there.
+    *
+    * Output per source: n_docs, n_exact, n_contain, n_window, n_fuzzy,
+    * n_any, clean_ppm (integer div).
+    */
+  def auditBySource(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      containK: Int = 6, windowN: Int = 13,
+      fuzzyThreshold: Double = 0.8): DataFrame = {
+    val ids = corpus.select(col(idCol).cast("long").as("id"),
+      col(sourceCol).as("source"))
+    val bfp = broadcast(benchmark.select(fp(textCol).as("__fp")).distinct()
+      .withColumn("__hitE", lit(true)))
+    val exact = corpus
+      .select(col(idCol).cast("long").as("id"), fp(textCol).as("__fp"))
+      .join(bfp, Seq("__fp"), "left")
+      .select(col("id"), coalesce(col("__hitE"), lit(false)).as("exact_hit"))
+    val contain = flagNearNgram(corpus, benchmark, idCol, textCol, k = containK)
+      .select(col("id"), col("contaminated").as("contain_hit"))
+    val window = flagNgramCollision(corpus, benchmark, idCol, textCol, n = windowN)
+      .select(col("id"), col("contaminated").as("window_hit"))
+    val fuzzy = fuzzyContamination(corpus, benchmark, idCol, textCol,
+        threshold = fuzzyThreshold)
+      .select(col("id"), col("contaminated").as("fuzzy_hit"))
+    ids
+      .join(exact, Seq("id"))
+      .join(contain, Seq("id"), "left")
+      .join(window, Seq("id"))
+      .join(fuzzy, Seq("id"), "left")
+      .select(col("id"), col("source"), col("exact_hit"),
+        coalesce(col("contain_hit"), lit(false)).as("contain_hit"),
+        col("window_hit"),
+        coalesce(col("fuzzy_hit"), lit(false)).as("fuzzy_hit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("contain_hit"), 1L).otherwise(0L)).as("n_contain"),
+        sum(when(col("window_hit"), 1L).otherwise(0L)).as("n_window"),
+        sum(when(col("fuzzy_hit"), 1L).otherwise(0L)).as("n_fuzzy"),
+        sum(when(col("exact_hit") || col("contain_hit") || col("window_hit")
+          || col("fuzzy_hit"), 1L).otherwise(0L)).as("n_any"))
+      .withColumn("clean_ppm",
+        expr("((n_docs - n_any) * 1000000) div n_docs"))
+  }
 }
+

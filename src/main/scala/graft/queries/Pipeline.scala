@@ -5226,9 +5226,88 @@ object Pipeline {
       .orderBy("piece")
   }
 
+  /** Multi-protocol decontamination audit (q219): the four contamination
+    * protocols (exact md5, q65 shingle containment, q203 13-gram window
+    * collision, q206 fuzzy match at 0.5) over the q65/q203/q206 benchmark
+    * convention (doc_id % 89), rolled up per source with the any-protocol
+    * union — the release-gate dashboard. The oracle concatenates the four
+    * committed protocol chains verbatim and re-aggregates.
+    */
+  val q219 = Q(
+    "q219_decontamination_audit",
+    s"""WITH $shingleCtes,
+       |ebh AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 89 = 0),
+       |ex AS (SELECT doc_id, md5(text) IN (SELECT fp FROM ebh) AS exact_hit
+       |       FROM documents),
+       |cbh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 89 = 0),
+       |cshared AS (SELECT doc_id, COUNT(*) n_shared FROM hs
+       |            WHERE h IN (SELECT h FROM cbh) GROUP BY doc_id),
+       |contain AS (SELECT sizes.doc_id,
+       |    COALESCE(cshared.n_shared, 0) * 2 >= sizes.n AS contain_hit
+       |  FROM sizes LEFT JOIN cshared USING (doc_id)),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ww AS (SELECT doc_id, unnest(range(0, len(toks) - 13 + 1)) AS pos, toks
+       |       FROM wt WHERE len(toks) >= 13),
+       |wh AS (SELECT doc_id,
+       |         md5(array_to_string(list_slice(toks, pos + 1, pos + 13), ' ')) AS h
+       |       FROM ww),
+       |wbh AS (SELECT DISTINCT h FROM wh WHERE doc_id % 89 = 0),
+       |whits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM wh
+       |          WHERE h IN (SELECT h FROM wbh) GROUP BY doc_id),
+       |win AS (SELECT wt.doc_id, COALESCE(whits.n_hits, 0) > 0 AS window_hit
+       |        FROM wt LEFT JOIN whits USING (doc_id)),
+       |params(i, a, b) AS (VALUES $minhashParamsSql),
+       |mh AS (SELECT doc_id, i, MIN((a * h + b) % 1000000007) m
+       |       FROM hs CROSS JOIN params GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, j,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, j*4 + 1, j*4 + 4)),
+       |                (acc, x) -> (acc * 131 + x) % 1000000007) bval
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+       |cand AS (SELECT DISTINCT c.doc_id AS id, b.doc_id AS id_b
+       |  FROM bands c JOIN bands b ON c.j = b.j AND c.bval = b.bval
+       |  WHERE c.doc_id % 89 <> 0 AND b.doc_id % 89 = 0),
+       |shr AS (SELECT c.id, c.id_b, COUNT(*) AS shared
+       |  FROM cand c JOIN hs a ON a.doc_id = c.id
+       |  JOIN hs b2 ON b2.doc_id = c.id_b AND b2.h = a.h
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT c.id, c.id_b,
+       |    COALESCE(s.shared, 0) / (sa.n + sb.n - COALESCE(s.shared, 0)) AS j
+       |  FROM cand c LEFT JOIN shr s ON s.id = c.id AND s.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id
+       |  JOIN sizes sb ON sb.doc_id = c.id_b),
+       |fz AS (SELECT id AS doc_id,
+       |    CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) > 0 AS fuzzy_hit
+       |  FROM jac GROUP BY id)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN ex.exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN COALESCE(contain.contain_hit, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_contain,
+       |  CAST(SUM(CASE WHEN win.window_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_window,
+       |  CAST(SUM(CASE WHEN COALESCE(fz.fuzzy_hit, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+       |  CAST(SUM(CASE WHEN ex.exact_hit OR COALESCE(contain.contain_hit, FALSE)
+       |    OR win.window_hit OR COALESCE(fz.fuzzy_hit, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+       |  CAST((COUNT(*) - SUM(CASE WHEN ex.exact_hit OR COALESCE(contain.contain_hit, FALSE)
+       |    OR win.window_hit OR COALESCE(fz.fuzzy_hit, FALSE) THEN 1 ELSE 0 END)) * 1000000
+       |    // COUNT(*) AS BIGINT) AS clean_ppm
+       |FROM documents d
+       |JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN contain ON contain.doc_id = d.doc_id
+       |JOIN win ON win.doc_id = d.doc_id
+       |LEFT JOIN fz ON fz.doc_id = d.doc_id
+       |WHERE d.doc_id % 89 <> 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.auditBySource(
+        docs.where(col("doc_id") % 89 =!= 0),
+        docs.where(col("doc_id") % 89 === 0),
+        "doc_id", "text", "source", fuzzyThreshold = 0.5)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
 }
