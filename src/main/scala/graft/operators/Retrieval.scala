@@ -401,8 +401,9 @@ object Retrieval {
     // INTERPRETED higher-order function — over the postings-dense frame a
     // doc-as-query workload produces, that fold measured 12.4 s of the
     // operator's 14 s at sf0.1; the integer sum removes it wholesale.
-    // Overflow headroom: s ≤ (N+0.5)·(k1+1), so Σ₁₆ terms stays under
-    // 2⁶³ beyond 10¹² docs.
+    // Overflow headroom: s < idf(df=1)·(k1+1) ≈ 1.47·N, so the 16-term
+    // q20 sum stays under 2⁶³ up to N ≈ 3.7·10¹¹ docs — beyond that,
+    // widen to DECIMAL(38,0) (the q209 upgrade path).
     val scored = tf
       .join(broadcast(qtermsCapped), Seq("term"))
       .where(col("doc_id") =!= col("qid"))

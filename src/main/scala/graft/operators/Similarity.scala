@@ -342,13 +342,19 @@ object Similarity {
     * exact-hash oracle gate.
     *
     * Scale shape: the source side is the bounded query set (broadcast), so
-    * the one |src|x|tgt| scoring pass is shuffle-free; the two rank windows
-    * key on xid / yid (never unpartitioned), and the final margin assembly
-    * joins the k*|src| candidate frame against the two per-endpoint mean
-    * frames by key. At 100 TB the exhaustive pass is replaced by the
-    * IVFADC stack (q212) for candidate generation — the margin rescore is
-    * unchanged because it only ever touches candidate pairs and their
-    * bounded neighbor lists.
+    * the |src|x|tgt| scoring projection is shuffle-free; the two rank
+    * windows key on xid / yid (never unpartitioned), and the final margin
+    * assembly joins the k*|src| candidate frame against the two
+    * per-endpoint mean frames by key. The scoring projection is evaluated
+    * TWICE (once under each window's exchange) — deliberately: the two
+    * windows need different partitionings either way, and materializing
+    * the |src|x|tgt| frame (bigger than the corpus) to save a broadcast-
+    * scan recompute would trade cheap CPU for expensive storage — the
+    * opposite call from perplexityTertiles, whose checkpointed gate frame
+    * is only |docs| rows but costs a join chain to rebuild. At 100 TB the
+    * exhaustive pass is replaced by the IVFADC stack (q212) for candidate
+    * generation — the margin rescore is unchanged because it only ever
+    * touches candidate pairs and their bounded neighbor lists.
     *
     * Output: xid, yid, cos, rn (forward rank), margin,
     * accepted = margin > threshold. Degenerate (zero-norm) vectors have

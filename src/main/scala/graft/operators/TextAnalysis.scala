@@ -1430,9 +1430,14 @@ object TextAnalysis {
       s"unigramLmVocab: need maxPieceLen >= 2 and topV >= 1, got $maxPieceLen/$topV")
     val spark = df.sparkSession
     import spark.implicits._
+    // the distinct-words frame feeds BOTH the seeding collect and the
+    // usage job — localCheckpoint so the corpus explode + token-keyed
+    // shuffle runs once, not twice (the bpeCore precedent; the frame is
+    // vocabulary-sized, cheap to hold)
     val words = df.select(explode(toks(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
     val subs = words.select(col("word"), col("wc"),
       explode(flatten(transform(
         sequence(lit(1), length(col("word"))),

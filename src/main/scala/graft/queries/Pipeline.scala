@@ -4909,7 +4909,9 @@ object Pipeline {
     "q213_margin_bitext",
     s"""WITH x AS (SELECT vec_id xid, embedding xe FROM embeddings WHERE vec_id % 20 = 0),
        |y AS (SELECT vec_id yid, embedding ye FROM embeddings WHERE vec_id % 2 = 1),
-       |sc AS (SELECT xid, yid, ${cosSql("xe", "ye")} AS cos FROM y CROSS JOIN x),
+       |sc AS (SELECT * FROM (
+       |  SELECT xid, yid, ${cosSql("xe", "ye")} AS cos FROM y CROSS JOIN x)
+       |  WHERE cos IS NOT NULL),
        |fwd AS (SELECT xid, yid, cos, ROW_NUMBER() OVER (
        |    PARTITION BY xid ORDER BY cos DESC, yid) AS rn FROM sc),
        |fk AS (SELECT * FROM fwd WHERE rn <= 4),
