@@ -325,4 +325,53 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(r2 == Map("s1" -> ((2L, 1L)), "s2" -> ((1L, 1L))))
     } finally q.stop()
   }
+
+  test("subword decode is streaming-native: unigram_segment over a MemoryStream") {
+    // The unigram-LM vocabulary rides the plan as a literal reference
+    // object (the q218 decode half), so Viterbi segmentation is a pure
+    // stateless projection — a tokenizer trained in batch applies to a
+    // live ingest stream with zero state and values identical to batch.
+    implicit val sqlCtx = spark.sqlContext
+    val pieces = Seq("a", "b", "c", "ab", "abc")
+    val probs = Seq(0.2, 0.2, 0.1, 0.3, 0.2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"), concat_ws("|",
+        graft.functions.unigram_segment(col("text"), pieces, probs, 1e-9)).as("segs"))
+      .writeStream.format("memory").queryName("unigram_live")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "abcab ba"), (2L, "abc"))
+      q.processAllAvailable()
+      val rows = spark.table("unigram_live").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(1L -> "abc|ab|b|a", 2L -> "abc"))
+    } finally q.stop()
+  }
+
+  test("fertility by script is a live streaming dashboard (complete mode)") {
+    // fertilityByScript = one fused kernel projection (script_counts +
+    // bpe_segment) + one <=8-class aggregate, the same shape as the
+    // funnel dashboard: complete-mode state is <=8 rows of four longs,
+    // tracking tokenizer fit per writing system as the stream grows.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.fertilityByScript(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        merges = Array(Array("a", "b")))
+      .writeStream.format("memory").queryName("fertility_live")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "ab cd"), (2L, "ひら がな"))
+      q.processAllAvailable()
+      val r1 = spark.table("fertility_live").collect()
+        .map(r => r.getString(0) -> r.getLong(r.fieldIndex("sum_syms"))).toMap
+      assert(r1 == Map("latin" -> 3L, "hiragana" -> 4L))
+      mem.addData((3L, "ab"))
+      q.processAllAvailable()
+      val r2 = spark.table("fertility_live").collect()
+        .map(r => r.getString(0) -> r.getLong(r.fieldIndex("sum_syms"))).toMap
+      assert(r2 == Map("latin" -> 4L, "hiragana" -> 4L))
+    } finally q.stop()
+  }
 }
