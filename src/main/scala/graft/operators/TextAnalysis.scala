@@ -1473,6 +1473,88 @@ object TextAnalysis {
       .withColumn("keep", col("is_char") || col("usage") > 0)
   }
 
+  /** The iterated half of [[unigramLmVocab]] — one full hard-EM cycle of
+    * the Kudo 2018 loop (prune + re-estimate + re-segment): pass 1 seeds
+    * and Viterbi-segments exactly like unigramLmVocab; pass 2 PRUNES
+    * multi-codepoint pieces the pass-1 path never used (§3.2 — a piece
+    * whose removal costs nothing), re-estimates piece probabilities from
+    * pass-1 usage (single codepoints get +1 so the character backbone
+    * survives with zero usage — Kudo never drops characters; multi-pieces
+    * get no smoothing so pruned stays pruned), and re-segments under the
+    * new model. The report shows the loop working: seed freq, pass-1
+    * usage, the prune verdict, the re-estimated p2, and pass-2 usage.
+    *
+    * Scale shape: identical to unigramLmVocab plus ONE more bounded
+    * driver collect (pass-1 usage, ≤ |vocab| rows — segmentation pieces
+    * are always vocab members since every corpus codepoint is seeded) and
+    * ONE more zero-shuffle codegen segmentation pass over the
+    * checkpointed distinct-words frame. The oracle replays BOTH Viterbi
+    * passes (two recursive-CTE DP/backtrack pairs over the two embedded
+    * models).
+    */
+  def unigramLmEm(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topV: Int = 48): DataFrame = {
+    require(maxPieceLen >= 2 && topV >= 1,
+      s"unigramLmEm: need maxPieceLen >= 2 and topV >= 1, got $maxPieceLen/$topV")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(toks(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val subs = words.select(col("word"), col("wc"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+    val pf = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    val vocabRows = pf.where(length(col("piece")) === 1)
+      .union(pf.where(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(topV))
+      .select(col("piece"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (vocabRows.isEmpty)
+      return Seq.empty[(String, Long, Long, Boolean, Option[Double], Long)]
+        .toDF("piece", "freq", "usage_1", "pruned", "p2", "usage_2")
+    val total1 = vocabRows.map(_._2).sum
+    val pieces1 = vocabRows.map(_._1).toIndexedSeq
+    val probs1 = vocabRows.map(_._2.toDouble / total1.toDouble).toIndexedSeq
+    // checkpointed: the pass-1 usage frame feeds BOTH the re-estimation
+    // collect and the final report join — one segmentation pass, not two
+    val seg1 = words.select(col("wc"),
+        explode(graft.functions.unigram_segment(col("word"), pieces1, probs1,
+          1.0 / (total1.toDouble * 1000000.0))).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("usage_1"))
+      .localCheckpoint()
+    // bounded collect #2: pass-1 usage is keyed by vocab pieces only
+    val usage1 = seg1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def isChar(p: String) = p.codePointCount(0, p.length) == 1
+    val kept = vocabRows
+      .map { case (p, f) =>
+        (p, f, usage1.getOrElse(p, 0L) + (if (isChar(p)) 1L else 0L)) }
+      .filter(_._3 > 0)
+    val total2 = kept.map(_._3).sum
+    val pieces2 = kept.map(_._1).toIndexedSeq
+    val probs2 = kept.map(_._3.toDouble / total2.toDouble).toIndexedSeq
+    val usage2 = words.select(col("wc"),
+        explode(graft.functions.unigram_segment(col("word"), pieces2, probs2,
+          1.0 / (total2.toDouble * 1000000.0))).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("usage_2"))
+    val keptDf = broadcast(spark.createDataFrame(
+      kept.map { case (p, _, w) => (p, w.toDouble / total2.toDouble) }.toSeq)
+      .toDF("piece", "p2"))
+    spark.createDataFrame(vocabRows.toSeq).toDF("piece", "freq")
+      .join(broadcast(seg1.withColumnRenamed("usage_1", "__u1")), Seq("piece"), "left")
+      .join(keptDf, Seq("piece"), "left")
+      .join(broadcast(usage2.withColumnRenamed("usage_2", "__u2")), Seq("piece"), "left")
+      .select(col("piece"), col("freq"),
+        coalesce(col("__u1"), lit(0L)).as("usage_1"),
+        col("p2").isNull.as("pruned"),
+        col("p2"),
+        coalesce(col("__u2"), lit(0L)).as("usage_2"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3: the corpus
     * is split into head / middle / tail THIRDS by language-model
     * perplexity, and downstream mixing samples the thirds differently):

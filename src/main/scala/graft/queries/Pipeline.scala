@@ -5307,9 +5307,86 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** One Viterbi DP + backtrack recursive-CTE pair over the embedded model
+    * `vm` (the q218 oracle shape), emitting `segs$sfx(word, piece)`.
+    */
+  private def unigramDpCtes(sfx: String, vm: String): String =
+    s"""dp$sfx AS (
+       |  SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS dps, [CAST(0 AS INT)] AS chs FROM tokw
+       |  UNION ALL
+       |  SELECT word, i + 1, list_append(dps, best.s), list_append(chs, CAST(best.j AS INT))
+       |  FROM dp$sfx CROSS JOIN $vm,
+       |  LATERAL (SELECT s, j FROM (
+       |      SELECT dps[j + 1] * m[substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT))][1] AS s, j
+       |      FROM unnest(range(greatest(0, i + 1 - 4), i + 1)) t(j))
+       |    WHERE s IS NOT NULL ORDER BY s DESC, j ASC LIMIT 1) best
+       |  WHERE i < length(word)
+       |),
+       |fin$sfx AS (SELECT word, chs FROM dp$sfx WHERE i = length(word)),
+       |bt$sfx AS (
+       |  SELECT word, CAST(length(word) AS INT) AS pos, chs, CAST([] AS VARCHAR[]) AS pcs FROM fin$sfx
+       |  UNION ALL
+       |  SELECT word, chs[pos + 1], chs,
+       |    list_prepend(substr(word, CAST(chs[pos + 1] + 1 AS INT),
+       |      CAST(pos - chs[pos + 1] AS INT)), pcs)
+       |  FROM bt$sfx WHERE pos > 0),
+       |segs$sfx AS (SELECT word, unnest(pcs) AS piece FROM bt$sfx WHERE pos = 0)""".stripMargin
+
+  /** Unigram-LM hard-EM iteration (q220; the full Kudo 2018 loop working:
+    * seed → Viterbi → PRUNE unused multi-pieces → re-estimate from usage
+    * (+1 on single codepoints only, the character backbone) → re-segment).
+    * The oracle replays BOTH Viterbi passes — two recursive-CTE DP pairs
+    * over the pass-1 and pass-2 embedded models.
+    */
+  val q220 = Q(
+    "q220_unigram_lm_em",
+    s"""WITH RECURSIVE
+       |tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |subs AS (SELECT word, wc, unnest(flatten(list_transform(range(1, length(word) + 1),
+       |    i -> list_transform(range(1, least(4, length(word) - i + 1) + 1),
+       |      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM tokw),
+       |pf AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM subs GROUP BY piece),
+       |vocab AS (SELECT piece, freq FROM pf WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (SELECT piece, freq FROM pf WHERE length(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT 48)),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab),
+       |v AS (SELECT piece, freq, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+       |  FROM vocab CROSS JOIN tot),
+       |vm AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v),
+       |${unigramDpCtes("", "vm")},
+       |u1 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage_1
+       |  FROM segs JOIN tokw USING (word) GROUP BY piece),
+       |w2 AS (SELECT v.piece,
+       |    COALESCE(u1.usage_1, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS w
+       |  FROM v LEFT JOIN u1 USING (piece)),
+       |kept AS (SELECT piece, w FROM w2 WHERE w > 0),
+       |tot2 AS (SELECT CAST(SUM(w) AS BIGINT) AS total2 FROM kept),
+       |v2 AS (SELECT piece, CAST(w AS DOUBLE) / CAST(total2 AS DOUBLE) AS p2
+       |  FROM kept CROSS JOIN tot2),
+       |vm2 AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p2))) AS m FROM v2),
+       |${unigramDpCtes("2", "vm2")},
+       |u2 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage_2
+       |  FROM segs2 JOIN tokw USING (word) GROUP BY piece)
+       |SELECT v.piece, v.freq,
+       |  COALESCE(u1.usage_1, CAST(0 AS BIGINT)) AS usage_1,
+       |  v2.p2 IS NULL AS pruned,
+       |  v2.p2,
+       |  COALESCE(u2.usage_2, CAST(0 AS BIGINT)) AS usage_2
+       |FROM v LEFT JOIN u1 USING (piece) LEFT JOIN v2 USING (piece)
+       |LEFT JOIN u2 USING (piece)
+       |ORDER BY v.piece""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.unigramLmEm(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, topV = 48)
+      .orderBy("piece")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
 }

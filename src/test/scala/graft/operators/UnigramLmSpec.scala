@@ -88,6 +88,28 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(ab.getLong(ab.fieldIndex("usage")) == 4L, ab.toString)
   }
 
+  test("unigramLmEm: prune sticks, characters survive, p2 re-estimates from usage") {
+    // corpus: 'ababab' x3 + 'cd' — pass-1 usage: ab=9, cd=1, ba=0, chars 0.
+    // w2: ab=9, cd=1, chars +1 each (a b c d), ba pruned -> total2 = 14.
+    val docs = Seq((1L, "ababab ababab ababab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmEm(docs, "text", maxPieceLen = 2, topV = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ba = out("ba")
+    assert(ba.getBoolean(ba.fieldIndex("pruned")))
+    assert(ba.isNullAt(ba.fieldIndex("p2")))
+    assert(ba.getLong(ba.fieldIndex("usage_2")) == 0L)
+    val ab = out("ab")
+    assert(!ab.getBoolean(ab.fieldIndex("pruned")))
+    assert(ab.getDouble(ab.fieldIndex("p2")) == 9.0 / 14.0)
+    assert(ab.getLong(ab.fieldIndex("usage_1")) == 9L)
+    assert(ab.getLong(ab.fieldIndex("usage_2")) == 9L)
+    val a = out("a")
+    assert(!a.getBoolean(a.fieldIndex("pruned")), "zero-usage chars survive")
+    assert(a.getDouble(a.fieldIndex("p2")) == 1.0 / 14.0)
+    val cd = out("cd")
+    assert(cd.getLong(cd.fieldIndex("usage_2")) == 1L)
+  }
+
   test("segmentation plan: zero-shuffle codegen projection") {
     val words = Seq(Tuple1("abcab")).toDF("word")
     val plan = words.select(graft.functions.unigram_segment(col("word"),
