@@ -365,6 +365,36 @@ object JaGolden {
   lazy val heldoutCorpus22: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus22.tsv")
 
+  /** Twenty-third blind held-out set (pizza delivery / riverside barbecue /
+    * ENT clinic / paper airplanes / flea market / apartment viewing),
+    * pre-registered round 18 and evaluated round 19 before any dictionary
+    * change: first-run 33/40 = 82.5%. Adjudication: FOUR lexeme gaps
+    * (おつり — the batch-61 contamination deferral now closed; 鼻づまり;
+    * kana おこす; 紙飛行機 per the 下駄箱 non-compositional function
+    * test), THREE author amendments (通り stays 通り per five standing
+    * golden pins 573/773/995/1727/1940; フリーマーケット recorded atomic —
+    * records win; 気|入る per golden 1836), ZERO lattice findings.
+    * Pinned at 40/40; drives q221.
+    */
+  lazy val heldoutCorpus23: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus23.tsv")
+
+  /** Twenty-fourth blind held-out set (photo studio / soba class / kite
+    * flying / sewing / tatami / bamboo-copter workshop — the original
+    * disaster-drill block swapped at registration by the disjointness
+    * check), pre-registered round 18 and evaluated round 19 after set 23,
+    * before any dictionary change: first-run 32/40 = 80.0%. Adjudication:
+    * SIX lexeme gaps over seven entries (手つき + kana まねる; 持ち手 —
+    * the author's flagged risk, 取っ手/縫い目 class holds; 竹とんぼ
+    * function test; kana くず; 両手), THREE author amendments (写真|館 —
+    * golden 1066 pins the split, flipping the first X館-sibling
+    * adjudication, the 店内 rule; 焼き増し — recorded sv shadows the
+    * deverbal reading per the 見積もり judgment; 一気 per goldens
+    * 1244/1805), ZERO lattice findings. Pinned at 40/40; drives q222.
+    */
+  lazy val heldoutCorpus24: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus24.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -422,6 +452,10 @@ object JaGolden {
     literalTable(heldoutCorpus21.map { case (sid, _, toks) => (sid, toks) })
   def heldout22OracleSql: String =
     literalTable(heldoutCorpus22.map { case (sid, _, toks) => (sid, toks) })
+  def heldout23OracleSql: String =
+    literalTable(heldoutCorpus23.map { case (sid, _, toks) => (sid, toks) })
+  def heldout24OracleSql: String =
+    literalTable(heldoutCorpus24.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =
