@@ -268,12 +268,33 @@ object Kernels {
     * map, candidate start positions scanned ASCENDING with strict->
     * improvement so an exact score tie keeps the smallest j (= the longest
     * final piece) — the rule the DuckDB oracle replays as
-    * `ORDER BY s DESC, j ASC LIMIT 1`. Unknown SINGLE codepoints fall back
-    * to `unkScore` (Kudo's fixed unknown penalty), so the DP is total on
-    * any input; multi-codepoint substrings absent from the vocab never
-    * form a piece. All positions are CODEPOINT indices (DuckDB
+    * `ORDER BY b ASC, s DESC, j ASC LIMIT 1`. Unknown SINGLE codepoints
+    * fall back to `unkScore` (Kudo's fixed unknown penalty), so the DP is
+    * total on any input; multi-codepoint substrings absent from the vocab
+    * never form a piece. All positions are CODEPOINT indices (DuckDB
     * substr/length semantics — a surrogate pair is one position).
+    *
+    * Underflow (ADVICE r18): the plain product underflows to 0.0 after
+    * ~25–150 pieces on long words, silently degenerating selection to
+    * greedy. Fix = per-position power-of-two renormalization: whenever a
+    * candidate score falls to ≤ 2^-256 it is multiplied by 2^256 (EXACT in
+    * IEEE — only the exponent moves) and an integer boost count
+    * increments; candidates compare by (boost ASC, stored DESC). This is
+    * bit-identical to the old linear DP with an unbounded exponent — and
+    * unlike log-space (the advice's first suggestion) it needs no
+    * transcendental: Java Math.log and DuckDB ln() are each ≤1 ulp but not
+    * correctly rounded, so their results can differ and break the
+    * exact-hash oracle gate; every operation here (multiply, power-of-two
+    * scale, compare) is IEEE-deterministic in both engines. One boost per
+    * step suffices: probs are ≥ 1/2^63 (freq/total with BIGINT total) and
+    * unkScore ≥ 1/(2^63·10^6), so stored stays ≥ 2^-256·2^-83, far above
+    * the 2^-1022 subnormal edge.
     */
+  /** 2^-256 — the boost threshold; shortest-repr literal of this value is
+    * embedded in the DuckDB oracle (round-trip exact in both parsers). */
+  val UnigramBoostLo: Double = java.lang.Math.scalb(1.0, -256)
+  /** 2^256 — the boost factor. */
+  val UnigramBoostHi: Double = java.lang.Math.scalb(1.0, 256)
   def unigramSegment(s: UTF8String,
       vocab: java.util.HashMap[String, java.lang.Double],
       unkScore: Double, maxLen: Int)
@@ -295,11 +316,13 @@ object Kernels {
         }
         offs(n) = w.length
         val dp = new Array[Double](n + 1)
+        val dpB = new Array[Int](n + 1)
         val ch = new Array[Int](n + 1)
         dp(0) = 1.0
         var i = 1
         while (i <= n) {
-          var best = Double.NegativeInfinity
+          var best = 0.0
+          var bestB = Int.MaxValue
           var bestJ = -1
           var j = math.max(0, i - maxLen)
           while (j < i) {
@@ -307,14 +330,22 @@ object Kernels {
             val p = vocab.get(piece)
             // the single-codepoint unk fallback keeps every position
             // reachable, so dp(j) is always a positive product here
-            val score =
+            val raw =
               if (p != null) dp(j) * p.doubleValue()
               else if (i - j == 1) dp(j) * unkScore
-              else Double.NegativeInfinity
-            if (score > best) { best = score; bestJ = j }
+              else -1.0
+            if (raw > 0.0) {
+              var s = raw
+              var b = dpB(j)
+              if (s <= UnigramBoostLo) { s *= UnigramBoostHi; b += 1 }
+              if (b < bestB || (b == bestB && s > best)) {
+                best = s; bestB = b; bestJ = j
+              }
+            }
             j += 1
           }
           dp(i) = best
+          dpB(i) = bestB
           ch(i) = bestJ
           i += 1
         }

@@ -356,9 +356,12 @@ object Similarity {
     * generation — the margin rescore is unchanged because it only ever
     * touches candidate pairs and their bounded neighbor lists.
     *
-    * Output: xid, yid, cos, rn (forward rank), margin,
-    * accepted = margin > threshold. Degenerate (zero-norm) vectors have
-    * null cosine and are excluded from scoring, matching tripletMine.
+    * Output: xid, yid, cos, rn (forward rank), margin, accepted =
+    * (avg_x + avg_y) > 0 && margin > threshold — the positive-denominator
+    * gate keeps an all-negative neighborhood from accepting a maximally
+    * dissimilar pair through a negative-over-negative ratio. Degenerate
+    * (zero-norm) vectors have null cosine and are excluded from scoring,
+    * matching tripletMine.
     */
   def marginBitextMine(src: DataFrame, tgt: DataFrame, k: Int,
       threshold: Double = 1.05): DataFrame = {
@@ -386,7 +389,15 @@ object Similarity {
     val avgY = neighborhoodMean(topMean("yid", "xid"), "yid", "avg_y")
     fwd.join(avgX, Seq("xid")).join(avgY, Seq("yid"))
       .withColumn("margin", col("cos") / ((col("avg_x") + col("avg_y")) / lit(2.0)))
+      // accepted gates on a POSITIVE denominator (ADVICE r18): when a
+      // vector's entire neighborhood has negative cosines, a candidate
+      // MORE negative than the means yields margin > 1 (cos = -1.0 over
+      // means -0.9 gives 1.11), so the raw threshold would accept a
+      // maximally dissimilar pair. The ratio-margin criterion is only
+      // meaningful over a positive similarity neighborhood.
       .select(col("xid"), col("yid"), col("cos"), col("rn"),
-        col("margin"), (col("margin") > lit(threshold)).as("accepted"))
+        col("margin"),
+        (col("avg_x") + col("avg_y") > lit(0.0) &&
+          col("margin") > lit(threshold)).as("accepted"))
   }
 }

@@ -1399,8 +1399,10 @@ object TextAnalysis {
   /** SentencePiece-style unigram-LM tokenizer induction (Kudo 2018 — the
     * OTHER major subword algorithm beside BPE; T5/mT5/Llama-family
     * vocabularies are trained this way): seed a candidate vocabulary from
-    * raw substring frequencies (every single codepoint, Kudo's totality
-    * requirement, plus the topV most frequent multi-codepoint substrings
+    * raw substring frequencies (every single codepoint up to the
+    * 65536-piece plan-embed bound — Kudo's totality requirement, with the
+    * tail beyond the cap served by the decoder's single-codepoint unk
+    * fallback — plus the topV most frequent multi-codepoint substrings
     * up to maxPieceLen), assign each piece the empirical probability
     * freq/total, Viterbi-segment the corpus under that model
     * (graft.expr.UnigramSegment — the hard-EM E-step), and report each
@@ -1445,11 +1447,23 @@ object TextAnalysis {
           sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
           l => col("word").substr(i, l))))).as("piece"))
     val pf = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    // the alphabet seed is CAPPED at the UnigramSegment plan-embed bound
+    // (ADVICE r18): a full multilingual codepoint inventory (CJK
+    // extensions + symbols + emoji) can exceed 65536 distinct
+    // codepoints, which would make the decode expression throw at plan
+    // build despite the advertised any-corpus scale shape. Keeping the
+    // top-(65536 − topV) codepoints by frequency routes the long tail
+    // through the kernel's single-codepoint unk fallback (which already
+    // exists exactly for out-of-vocab codepoints), so the DP stays
+    // total. The cap never binds at oracle scale, so the DuckDB replay
+    // (which seeds every codepoint) is unaffected where it runs.
     val chars = pf.where(length(col("piece")) === 1)
+      .orderBy(col("freq").desc, col("piece")).limit(65536 - topV)
     val multi = pf.where(length(col("piece")) >= 2)
       .orderBy(col("freq").desc, col("piece")).limit(topV)
-    // bounded collect: |alphabet| + topV rows (the IVF-fit class); the
-    // vocabulary must ride the plan as a literal for the codegen decode
+    // bounded collect: min(|alphabet|, 65536 − topV) + topV rows (the
+    // IVF-fit class); the vocabulary must ride the plan as a literal for
+    // the codegen decode
     val vocabRows = chars.union(multi)
       .select(col("piece"), col("freq")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -1509,7 +1523,10 @@ object TextAnalysis {
           sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
           l => col("word").substr(i, l))))).as("piece"))
     val pf = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    // alphabet capped at the plan-embed bound, tail → unk fallback (the
+    // unigramLmVocab cap rationale; never binds at oracle scale)
     val vocabRows = pf.where(length(col("piece")) === 1)
+      .orderBy(col("freq").desc, col("piece")).limit(65536 - topV)
       .union(pf.where(length(col("piece")) >= 2)
         .orderBy(col("freq").desc, col("piece")).limit(topV))
       .select(col("piece"), col("freq")).collect()
@@ -1555,22 +1572,6 @@ object TextAnalysis {
         coalesce(col("__u2"), lit(0L)).as("usage_2"))
   }
 
-  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3: the corpus
-    * is split into head / middle / tail THIRDS by language-model
-    * perplexity, and downstream mixing samples the thirds differently):
-    * each document's Kneser–Ney improbability rate ([[knBigramGate]]'s
-    * integer improb_ppm — the repo's exact-arithmetic perplexity stand-in)
-    * is tertile-binned by the shared histogram-quantile sketch, and the
-    * report rolls up each bucket's population and gate stats. qbin 0
-    * ("head") = lowest improbability = most fluent.
-    *
-    * Scale shape: the KN gate is one vocabulary-keyed join chain (see
-    * knBigramGate); its per-doc output is localCheckpointed ONCE because
-    * the quantile sketch scans its input three times (stats, histogram,
-    * assignment — the q212 residual-frame precedent; at cluster scale an
-    * explicit persist serves the same purpose). Everything after is the
-    * bounded-histogram shape: ≤64 bucket rows, one ≤3-group aggregate.
-    */
   /** Zipf doubling-bin fit: the integer least-squares slope of
     * ilog2(types-per-bin) against the [[frequencySpectrum]] bin index — a
     * one-number corpus-health summary of the heavy tail (a natural corpus
@@ -1609,6 +1610,22 @@ object TextAnalysis {
             / col("n_bins").cast("double")))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3: the corpus
+    * is split into head / middle / tail THIRDS by language-model
+    * perplexity, and downstream mixing samples the thirds differently):
+    * each document's Kneser–Ney improbability rate ([[knBigramGate]]'s
+    * integer improb_ppm — the repo's exact-arithmetic perplexity stand-in)
+    * is tertile-binned by the shared histogram-quantile sketch, and the
+    * report rolls up each bucket's population and gate stats. qbin 0
+    * ("head") = lowest improbability = most fluent.
+    *
+    * Scale shape: the KN gate is one vocabulary-keyed join chain (see
+    * knBigramGate); its per-doc output is localCheckpointed ONCE because
+    * the quantile sketch scans its input three times (stats, histogram,
+    * assignment — the q212 residual-frame precedent; at cluster scale an
+    * explicit persist serves the same purpose). Everything after is the
+    * bounded-histogram shape: ≤64 bucket rows, one ≤3-group aggregate.
+    */
   def perplexityTertiles(docs: DataFrame, refDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val gate = knBigramGate(docs, refDocs, idCol, textCol).localCheckpoint()

@@ -3844,6 +3844,28 @@ object Pipeline {
       .orderBy("sid")
   }
 
+  val q221 = Q("q221_tokenize_ja_heldout23", graft.ja.JaGolden.heldout23OracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus23.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
+  val q222 = Q("q222_tokenize_ja_heldout24", graft.ja.JaGolden.heldout24OracleSql) { (s, dir) =>
+    graft.Graft.register(s)
+    s.createDataFrame(graft.ja.JaGolden.heldoutCorpus24.map { case (sid, sentence, _) => (sid, sentence) })
+      .toDF("sid", "sentence")
+      .select(col("sid"),
+        graft.functions.tokenize_ja_neologd(col("sentence")).as("toks"))
+      .select(col("sid"), size(col("toks")).as("n_toks"),
+        concat_ws("|", col("toks")).as("tokens"))
+      .orderBy("sid")
+  }
+
   val q194 = Q("q194_tokenize_ja_heldout19", graft.ja.JaGolden.heldout19OracleSql) { (s, dir) =>
     graft.Graft.register(s)
     s.createDataFrame(graft.ja.JaGolden.heldoutCorpus19.map { case (sid, sentence, _) => (sid, sentence) })
@@ -4926,7 +4948,8 @@ object Pipeline {
        |    / CAST(COUNT(*) AS DOUBLE) AS avg_y FROM bk GROUP BY yid)
        |SELECT f.xid, f.yid, f.cos, CAST(f.rn AS INT) AS rn,
        |  f.cos / ((ax.avg_x + ay.avg_y) / 2.0) AS margin,
-       |  f.cos / ((ax.avg_x + ay.avg_y) / 2.0) > 1.05 AS accepted
+       |  (ax.avg_x + ay.avg_y) > 0.0 AND
+       |    f.cos / ((ax.avg_x + ay.avg_y) / 2.0) > 1.05 AS accepted
        |FROM fk f JOIN ax USING (xid) JOIN ay USING (yid)
        |ORDER BY f.xid, f.rn""".stripMargin) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
@@ -5180,7 +5203,7 @@ object Pipeline {
     */
   val q218 = Q(
     "q218_unigram_lm_vocab",
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE length(word) > 0 GROUP BY word),
@@ -5196,26 +5219,7 @@ object Pipeline {
       |v AS (SELECT piece, freq, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
       |  FROM vocab CROSS JOIN tot),
       |vm AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v),
-      |dp AS (
-      |  SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS dps, [CAST(0 AS INT)] AS chs FROM tokw
-      |  UNION ALL
-      |  SELECT word, i + 1, list_append(dps, best.s), list_append(chs, CAST(best.j AS INT))
-      |  FROM dp CROSS JOIN vm,
-      |  LATERAL (SELECT s, j FROM (
-      |      SELECT dps[j + 1] * m[substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT))][1] AS s, j
-      |      FROM unnest(range(greatest(0, i + 1 - 4), i + 1)) t(j))
-      |    WHERE s IS NOT NULL ORDER BY s DESC, j ASC LIMIT 1) best
-      |  WHERE i < length(word)
-      |),
-      |fin AS (SELECT word, chs FROM dp WHERE i = length(word)),
-      |bt AS (
-      |  SELECT word, CAST(length(word) AS INT) AS pos, chs, CAST([] AS VARCHAR[]) AS pcs FROM fin
-      |  UNION ALL
-      |  SELECT word, chs[pos + 1], chs,
-      |    list_prepend(substr(word, CAST(chs[pos + 1] + 1 AS INT),
-      |      CAST(pos - chs[pos + 1] AS INT)), pcs)
-      |  FROM bt WHERE pos > 0),
-      |segs AS (SELECT word, unnest(pcs) AS piece FROM bt WHERE pos = 0),
+      |${unigramDpCtes("", "vm")},
       |usage AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage
       |  FROM segs JOIN tokw USING (word) GROUP BY piece)
       |SELECT v.piece, v.freq, v.p, length(v.piece) = 1 AS is_char,
@@ -5309,17 +5313,32 @@ object Pipeline {
 
   /** One Viterbi DP + backtrack recursive-CTE pair over the embedded model
     * `vm` (the q218 oracle shape), emitting `segs$sfx(word, piece)`.
+    *
+    * Scores carry the kernel's power-of-two renormalization (ADVICE r18
+    * underflow fix, [[graft.expr.Kernels.unigramSegment]]): a raw product
+    * ≤ 2^-256 is multiplied by 2^256 (exact — only the exponent moves) and
+    * its integer boost count increments; candidates order by
+    * (boost ASC, stored DESC, j ASC). The thresholds are the Java shortest
+    * double representations, which DuckDB's correctly-rounded parser maps
+    * back to the identical bits, so both engines run the same arithmetic.
     */
-  private def unigramDpCtes(sfx: String, vm: String): String =
+  private def unigramDpCtes(sfx: String, vm: String): String = {
+    val lo = graft.expr.Kernels.UnigramBoostLo
+    val hi = graft.expr.Kernels.UnigramBoostHi
     s"""dp$sfx AS (
-       |  SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS dps, [CAST(0 AS INT)] AS chs FROM tokw
+       |  SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS dps, [CAST(0 AS INT)] AS bts,
+       |    [CAST(0 AS INT)] AS chs FROM tokw
        |  UNION ALL
-       |  SELECT word, i + 1, list_append(dps, best.s), list_append(chs, CAST(best.j AS INT))
+       |  SELECT word, i + 1, list_append(dps, best.s), list_append(bts, CAST(best.b AS INT)),
+       |    list_append(chs, CAST(best.j AS INT))
        |  FROM dp$sfx CROSS JOIN $vm,
-       |  LATERAL (SELECT s, j FROM (
-       |      SELECT dps[j + 1] * m[substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT))][1] AS s, j
-       |      FROM unnest(range(greatest(0, i + 1 - 4), i + 1)) t(j))
-       |    WHERE s IS NOT NULL ORDER BY s DESC, j ASC LIMIT 1) best
+       |  LATERAL (SELECT b, s, j FROM (
+       |      SELECT CASE WHEN raw <= $lo THEN bs + 1 ELSE bs END AS b,
+       |        CASE WHEN raw <= $lo THEN raw * $hi ELSE raw END AS s, j
+       |      FROM (SELECT dps[j + 1] * m[substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT))][1] AS raw,
+       |          bts[j + 1] AS bs, j
+       |        FROM unnest(range(greatest(0, i + 1 - 4), i + 1)) t(j)))
+       |    WHERE s IS NOT NULL ORDER BY b ASC, s DESC, j ASC LIMIT 1) best
        |  WHERE i < length(word)
        |),
        |fin$sfx AS (SELECT word, chs FROM dp$sfx WHERE i = length(word)),
@@ -5331,6 +5350,7 @@ object Pipeline {
        |      CAST(pos - chs[pos + 1] AS INT)), pcs)
        |  FROM bt$sfx WHERE pos > 0),
        |segs$sfx AS (SELECT word, unnest(pcs) AS piece FROM bt$sfx WHERE pos = 0)""".stripMargin
+  }
 
   /** Unigram-LM hard-EM iteration (q220; the full Kudo 2018 loop working:
     * seed → Viterbi → PRUNE unused multi-pieces → re-estimate from usage
@@ -5388,5 +5408,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }

@@ -65,6 +65,24 @@ class MarginBitextSpec extends AnyFunSuite {
     assert(r.getInt(r.fieldIndex("rn")) == 1)
   }
 
+  test("all-negative neighborhood never accepts (ADVICE r18 sign guard)") {
+    // x=0's only targets are all dissimilar: cos(x0,y1) = -1.0 and
+    // cos(x0,y3) ~ -0.6, so avg_x and avg_y are negative. The raw ratio
+    // for the MOST dissimilar pair is then > 1 (more-negative over
+    // less-negative), which the unguarded threshold would accept; the
+    // positive-denominator gate must reject every such pair while still
+    // reporting the margin value itself.
+    val src = df(Seq(0L -> Seq(1f, 0f)))
+    val tgt = df(Seq(1L -> Seq(-1f, 0f), 3L -> Seq(-0.6f, -0.8f)))
+    val rows = Similarity.marginBitextMine(src, tgt, k = 2, threshold = 1.05)
+      .collect()
+    assert(rows.length == 2)
+    val worst = rows.maxBy(r => r.getDouble(r.fieldIndex("margin")))
+    assert(worst.getDouble(worst.fieldIndex("margin")) > 1.05,
+      s"fixture must exercise the margin>threshold branch: ${rows.mkString(";")}")
+    rows.foreach(r => assert(!r.getBoolean(r.fieldIndex("accepted")), r.toString))
+  }
+
   test("plan shape: source side broadcasts; windows are keyed") {
     val src = df(Seq(0L -> Seq(1f, 0f)))
     val tgt = df(Seq(1L -> Seq(1f, 0f), 3L -> Seq(0f, 1f)))

@@ -49,6 +49,20 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(seg("a😀a", Seq("a" -> 0.5)) == Seq("a", "😀", "a"))
   }
 
+  test("long-word underflow: boosted DP keeps the max-product path (ADVICE r18)") {
+    // 400 'a's with p(a)=1e-3, p(aa)=1e-7: the true max-product path is
+    // all singles ((1e-3)^400 = 1e-1200 beats the aa-tiling's 1e-1400),
+    // but the PLAIN linear dp underflows to 0.0 after ~103 chars, every
+    // candidate then ties at 0, and first-j-wins degenerates to greedy
+    // longest-piece — emitting "aa" pairs. The power-of-two boost
+    // representation keeps the comparison exact at any length.
+    val word = "a" * 400
+    assert(seg(word, Seq("a" -> 1e-3, "aa" -> 1e-7)) == Seq.fill(400)("a"))
+    // and the opposite preference still holds on the same shape: when the
+    // pair really is better, the boosted DP picks it at depth too
+    assert(seg(word, Seq("a" -> 1e-4, "aa" -> 1e-3)) == Seq.fill(200)("aa"))
+  }
+
   test("whitespace words segment independently; empty -> []") {
     assert(seg("ab ab", toyVocab) == Seq("ab", "ab"))
     assert(seg("", toyVocab) == Seq.empty)
@@ -56,6 +70,22 @@ class UnigramLmSpec extends AnyFunSuite {
       .select(graft.functions.unigram_segment(col("t"),
         Seq("a"), Seq(0.5), 1e-9).as("p")).collect()(0)
     assert(r.isNullAt(0))
+  }
+
+  test("alphabet beyond 65536 codepoints: capped seed, tail via unk (ADVICE r18)") {
+    // 70k distinct codepoints exceed the UnigramSegment plan-embed bound;
+    // before the cap this threw at plan build. Now the seed keeps the
+    // top-(65536 − topV) codepoints by frequency and the tail rides the
+    // decoder's unk fallback. 'a' repeats, so it must survive the cut.
+    val cps = ((0x1000 to 0xD7FF) ++ (0x10000 until 0x15000)).take(70000)
+    assert(cps.size == 70000)
+    val text = ("a a a " + cps.map(cp => new String(Character.toChars(cp))).mkString(" "))
+    val out = TextAnalysis.unigramLmVocab(Seq(Tuple1(text)).toDF("text"), "text",
+      maxPieceLen = 4, topV = 48)
+    val rows = out.collect()
+    assert(rows.length <= 65536, s"vocab must respect the plan-embed bound, got ${rows.length}")
+    assert(rows.exists(r => r.getString(0) == "a" && r.getLong(1) == 3L),
+      "the high-frequency codepoint must survive the cap")
   }
 
   test("unigramLmVocab: chars always kept, unused multi-pieces pruned") {
