@@ -215,10 +215,19 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
-    val inflated = results.count { case (n, v) =>
-      v > 0 && priorQueries.get(n).exists(o => o >= 0.05 && v > o * 3)
+    val ratios = results.flatMap { case (n, v) =>
+      if (v > 0) priorQueries.get(n).filter(_ >= 0.05).map(o => v / o) else None
     }
-    val perQueryBad = inflated >= 5
+    val inflated = ratios.count(_ > 3)
+    // Two per-query triggers (VERDICT r18 #4): the original wide burst
+    // (>= 5 shared queries over 3x), and the NARROW-burst form the r18
+    // driver run exposed — exactly 3 queries inflated (5.0x / 4.1x /
+    // 3.4x, clean times flat, code unchanged) and the 130.1 s contended
+    // artifact overwrote the committed clean 122.9 s one. A genuine
+    // 3-query regression rarely carries a >4x outlier while everything
+    // else is flat; contention bursts do. BenchDivertSpec pins the r18
+    // artifact numbers as the fixture.
+    val perQueryBad = inflated >= 5 || (inflated >= 3 && ratios.exists(_ > 4))
     if (perQueryBad)
       System.err.println(s"[bench] $inflated shared queries over 3x their committed times — bursty contention")
     floorBad || perQueryBad || (spreadBad && oldFloor.isEmpty)

@@ -41,12 +41,42 @@ class BenchDivertSpec extends AnyFunSuite {
     assert(Bench.shouldDivert(prior, versionFloor = 0.024, medianSpread = 1.6, now))
   }
 
-  test("four 3x queries do not divert (threshold is five)") {
+  test("four mild 3x queries without a 4x outlier do not divert") {
+    // the wide trigger needs five; the narrow trigger needs a >4x outlier —
+    // four queries at 3.2-3.5x (a plausible genuine regression band after
+    // a shared-code change) land in bench_full.json and get compared
+    // honestly
     val prior = artifact(0.021, 1.4, "q01" -> 0.6, "q02" -> 0.4, "q03" -> 0.5,
       "q04" -> 0.7, "q05" -> 0.3, "q62" -> 0.021)
-    val now = Seq("q01" -> 6.0, "q02" -> 4.0, "q03" -> 5.0,
-      "q04" -> 7.0, "q05" -> 0.31, "q62" -> 0.022)
+    val now = Seq("q01" -> 1.95, "q02" -> 1.3, "q03" -> 1.7,
+      "q04" -> 2.3, "q05" -> 0.31, "q62" -> 0.022)
     assert(!Bench.shouldDivert(prior, versionFloor = 0.022, medianSpread = 1.4, now))
+  }
+
+  test("narrow burst with a 4x outlier diverts (the r18 driver-run fixture)") {
+    // VERDICT r18 #4: the r18 contended driver run inflated EXACTLY three
+    // queries (q129 0.4076 -> 2.0390 = 5.0x, q166 0.8775 -> 3.6147 =
+    // 4.1x, q167 0.1879 -> 0.6434 = 3.4x) with a clean floor and flat
+    // clean times — one short of the wide >=5 trigger — and the 130.1 s
+    // artifact overwrote the committed clean 122.9 s bench_full.json.
+    // These are the artifact's real numbers.
+    val prior = artifact(0.018, 1.44,
+      "q129_histogram_quantiles" -> 0.407625569,
+      "q166_bigram_fluency" -> 0.877492845,
+      "q167_random_projection" -> 0.1878577,
+      "q01" -> 0.6, "q02" -> 0.4, "q62" -> 0.018)
+    val now = Seq(
+      "q129_histogram_quantiles" -> 2.039045306,
+      "q166_bigram_fluency" -> 3.614671559,
+      "q167_random_projection" -> 0.643433395,
+      "q01" -> 0.62, "q02" -> 0.41, "q62" -> 0.019)
+    assert(Bench.shouldDivert(prior, versionFloor = 0.019, medianSpread = 1.47, now),
+      "the r18 three-query burst must divert under the narrow trigger")
+    // and two inflated queries alone (even huge) stay below the narrow
+    // trigger's count floor
+    val two = Seq("q129_histogram_quantiles" -> 2.039045306,
+      "q166_bigram_fluency" -> 3.614671559, "q01" -> 0.62, "q62" -> 0.019)
+    assert(!Bench.shouldDivert(prior, versionFloor = 0.019, medianSpread = 1.45, two))
   }
 
   test("sub-0.05s prior times cannot vote (noise immunity)") {
