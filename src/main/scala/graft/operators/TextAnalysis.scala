@@ -1572,6 +1572,117 @@ object TextAnalysis {
         coalesce(col("__u2"), lit(0L)).as("usage_2"))
   }
 
+  /** The prune schedule [[unigramLmTrain]] iterates: multi-piece keep
+    * counts from seedV down to targetV, each round keeping
+    * max(targetV, ceil(v · (1 − pruneFrac))) — Kudo 2018 §3.2's "prune a
+    * fixed fraction per round until the vocabulary reaches the target
+    * size", the schedule T5/mT5/Llama-family vocabularies were trained
+    * on. Deterministic and data-independent, so the DuckDB oracle can
+    * replay a FIXED number of Viterbi passes.
+    */
+  def unigramPruneSchedule(seedV: Int, targetV: Int, pruneFrac: Double): Seq[Int] = {
+    require(seedV > targetV && targetV >= 1 && pruneFrac > 0 && pruneFrac < 1,
+      s"unigramPruneSchedule: need seedV > targetV >= 1 and pruneFrac in (0,1), got $seedV/$targetV/$pruneFrac")
+    Iterator.iterate(seedV)(v =>
+        math.max(targetV, math.ceil(v * (1.0 - pruneFrac)).toInt))
+      .drop(1).takeWhile(_ > targetV).toSeq :+ targetV
+  }
+
+  /** The FULL Kudo 2018 §3.2 training loop (VERDICT r18 #2), generalizing
+    * the single [[unigramLmEm]] cycle: seed a large candidate vocabulary
+    * (top seedV multi-codepoint substrings + the capped character
+    * backbone), then iterate Viterbi-segment → usage-estimate → prune the
+    * lowest-usage multi-pieces down the [[unigramPruneSchedule]] →
+    * re-estimate probabilities, until the multi-piece vocabulary reaches
+    * targetV; one final Viterbi pass under the target model reports final
+    * usage. Pruning keeps the top schedule-count multi-pieces by
+    * (usage DESC, piece ASC) among those with usage > 0 — a round can
+    * undershoot its schedule slot when fewer pieces were used at all
+    * (vocabulary shrinkage is monotone either way); characters are never
+    * pruned and carry the +1 backbone weight (Kudo never drops the
+    * totality alphabet).
+    *
+    * Scale shape: per iteration, ONE zero-shuffle codegen segmentation
+    * pass over the checkpointed distinct-words frame plus ONE bounded
+    * (≤ |vocab|-row) usage collect — the q220 per-iteration shape in a
+    * loop; the iteration count is fixed by the schedule
+    * (ceil(log(targetV/seedV)/log(1−pruneFrac)) rounds), independent of
+    * corpus size. The oracle replays every pass: schedule length + 1
+    * recursive-CTE DP/backtrack pairs over the embedded models.
+    *
+    * Output per seeded piece: piece, freq (seed), is_char,
+    * rounds_survived (prune rounds outlived: 0 = cut at the first prune,
+    * schedule-length = reached the final model; chars always reach it),
+    * final_p (null once pruned), final_usage (usage under the final
+    * model).
+    */
+  def unigramLmTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedV: Int = 96, targetV: Int = 24, pruneFrac: Double = 0.5): DataFrame = {
+    require(maxPieceLen >= 2, s"unigramLmTrain: need maxPieceLen >= 2, got $maxPieceLen")
+    val sched = unigramPruneSchedule(seedV, targetV, pruneFrac)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(toks(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val subs = words.select(col("word"), col("wc"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+    val pf = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    // alphabet capped at the plan-embed bound minus the multi budget (the
+    // unigramLmVocab cap rationale; tail → unk fallback)
+    val seedRows = pf.where(length(col("piece")) === 1)
+      .orderBy(col("freq").desc, col("piece")).limit(65536 - seedV)
+      .union(pf.where(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(seedV))
+      .select(col("piece"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (seedRows.isEmpty)
+      return Seq.empty[(String, Long, Boolean, Int, Option[Double], Long)]
+        .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+    def isChar(p: String) = p.codePointCount(0, p.length) == 1
+    // the evolving model: (piece, weight); seg() = one zero-shuffle
+    // codegen pass + one bounded usage collect
+    def segUsage(model: Array[(String, Long)]): Map[String, Long] = {
+      val total = model.map(_._2).sum
+      val pieces = model.map(_._1).toIndexedSeq
+      val probs = model.map(_._2.toDouble / total.toDouble).toIndexedSeq
+      words.select(col("wc"), explode(graft.functions.unigram_segment(
+          col("word"), pieces, probs, 1.0 / (total.toDouble * 1000000.0))).as("piece"))
+        .groupBy("piece").agg(sum(col("wc")).as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    var model: Array[(String, Long)] = seedRows
+    val survivedRounds = scala.collection.mutable.HashMap.empty[String, Int]
+    seedRows.foreach { case (p, _) => survivedRounds(p) = 0 }
+    sched.zipWithIndex.foreach { case (keepV, round) =>
+      val usage = segUsage(model)
+      val charsW = model.filter(m => isChar(m._1))
+        .map { case (p, _) => (p, usage.getOrElse(p, 0L) + 1L) }
+      val multiKept = model.filter(m => !isChar(m._1))
+        .map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+        .filter(_._2 > 0)
+        .sortBy { case (p, u) => (-u, p) }
+        .take(keepV)
+      model = charsW ++ multiKept
+      (charsW.iterator.map(_._1) ++ multiKept.iterator.map(_._1))
+        .foreach(p => survivedRounds(p) = round + 1)
+    }
+    val finalUsage = segUsage(model)
+    val finalTotal = model.map(_._2).sum
+    val finalP = model.map { case (p, w) =>
+      p -> w.toDouble / finalTotal.toDouble }.toMap
+    spark.createDataFrame(seedRows.map { case (p, f) =>
+        (p, f, isChar(p), survivedRounds(p), finalP.get(p),
+          finalUsage.getOrElse(p, 0L))
+      }.toSeq)
+      .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+  }
+
   /** Zipf doubling-bin fit: the integer least-squares slope of
     * ilog2(types-per-bin) against the [[frequencySpectrum]] bin index — a
     * one-number corpus-health summary of the heavy tail (a natural corpus

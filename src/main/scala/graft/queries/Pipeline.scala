@@ -5404,9 +5404,86 @@ object Pipeline {
       .orderBy("piece")
   }
 
+  /** Full unigram-LM training loop (q223; Kudo 2018 §3.2 — the schedule
+    * T5/mT5/Llama vocabularies ran): seed 96 multi-pieces + the character
+    * backbone, prune half the multi vocabulary per round down to 24
+    * (schedule 96 → 48 → 24: two prune rounds, three Viterbi passes),
+    * keeping the top survivors by (usage DESC, piece ASC) and
+    * re-estimating probabilities from usage each round. The oracle
+    * replays ALL THREE passes as recursive-CTE DP/backtrack pairs over
+    * the three embedded models and re-derives both prune cuts with
+    * integer-ordered windows.
+    */
+  val q223 = Q(
+    "q223_unigram_lm_train",
+    s"""WITH RECURSIVE
+       |tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |subs AS (SELECT word, wc, unnest(flatten(list_transform(range(1, length(word) + 1),
+       |    i -> list_transform(range(1, least(4, length(word) - i + 1) + 1),
+       |      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM tokw),
+       |pf AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM subs GROUP BY piece),
+       |vocab AS (SELECT piece, freq FROM pf WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (SELECT piece, freq FROM pf WHERE length(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT 96)),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab),
+       |v AS (SELECT piece, freq, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+       |  FROM vocab CROSS JOIN tot),
+       |vm AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v),
+       |${unigramDpCtes("", "vm")},
+       |u1 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage
+       |  FROM segs JOIN tokw USING (word) GROUP BY piece),
+       |cu1 AS (SELECT v.piece, COALESCE(u1.usage, 0) + 1 AS w
+       |  FROM v LEFT JOIN u1 USING (piece) WHERE length(v.piece) = 1),
+       |mu1 AS (SELECT piece, usage AS w FROM (
+       |    SELECT u1.piece, u1.usage, ROW_NUMBER() OVER (
+       |      ORDER BY u1.usage DESC, u1.piece) AS rn
+       |    FROM u1 JOIN v USING (piece)
+       |    WHERE length(u1.piece) >= 2 AND u1.usage > 0) WHERE rn <= 48),
+       |m1 AS (SELECT * FROM cu1 UNION ALL SELECT * FROM mu1),
+       |t1 AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM m1),
+       |v1 AS (SELECT piece, CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p
+       |  FROM m1 CROSS JOIN t1),
+       |vmb AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v1),
+       |${unigramDpCtes("b", "vmb")},
+       |u2 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage
+       |  FROM segsb JOIN tokw USING (word) GROUP BY piece),
+       |cu2 AS (SELECT cu1.piece, COALESCE(u2.usage, 0) + 1 AS w
+       |  FROM cu1 LEFT JOIN u2 USING (piece)),
+       |mu2 AS (SELECT piece, usage AS w FROM (
+       |    SELECT u2.piece, u2.usage, ROW_NUMBER() OVER (
+       |      ORDER BY u2.usage DESC, u2.piece) AS rn
+       |    FROM u2 JOIN mu1 USING (piece)
+       |    WHERE u2.usage > 0) WHERE rn <= 24),
+       |m2 AS (SELECT * FROM cu2 UNION ALL SELECT * FROM mu2),
+       |t2 AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM m2),
+       |v2 AS (SELECT piece, CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p
+       |  FROM m2 CROSS JOIN t2),
+       |vmc AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v2),
+       |${unigramDpCtes("c", "vmc")},
+       |u3 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage
+       |  FROM segsc JOIN tokw USING (word) GROUP BY piece)
+       |SELECT v.piece, v.freq, length(v.piece) = 1 AS is_char,
+       |  CAST(CASE WHEN length(v.piece) = 1 THEN 2
+       |    WHEN mu2.piece IS NOT NULL THEN 2
+       |    WHEN mu1.piece IS NOT NULL THEN 1
+       |    ELSE 0 END AS INT) AS rounds_survived,
+       |  v2.p AS final_p,
+       |  COALESCE(u3.usage, CAST(0 AS BIGINT)) AS final_usage
+       |FROM v LEFT JOIN mu1 USING (piece) LEFT JOIN mu2 USING (piece)
+       |LEFT JOIN v2 USING (piece) LEFT JOIN u3 USING (piece)
+       |ORDER BY v.piece""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.unigramLmTrain(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, seedV = 96, targetV = 24, pruneFrac = 0.5)
+      .orderBy("piece")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
 }

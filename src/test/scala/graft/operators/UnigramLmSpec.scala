@@ -88,6 +88,44 @@ class UnigramLmSpec extends AnyFunSuite {
       "the high-frequency codepoint must survive the cap")
   }
 
+  test("unigramPruneSchedule: geometric keep counts down to the target") {
+    assert(TextAnalysis.unigramPruneSchedule(96, 24, 0.5) == Seq(48, 24))
+    assert(TextAnalysis.unigramPruneSchedule(100, 10, 0.3) ==
+      Seq(70, 49, 35, 25, 18, 13, 10))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramPruneSchedule(10, 10, 0.5)
+    }
+  }
+
+  test("unigramLmTrain: full Kudo loop — monotone shrinkage, chars never die (hand-checked)") {
+    // corpus: ab x4, cd x2, xy x1. Seed multi = {ab, cd, xy}; schedule
+    // (seedV=4, targetV=1, frac=0.5) = [2, 1]. Pass 1 uses all three
+    // pairs; round 1 keeps top-2 by usage (ab:4, cd:2 — xy pruned);
+    // round 2 keeps top-1 (ab). Final model = chars + ab with weights
+    // a:1 b:1 c:1 d:1 x:2 y:2 ab:4 (usage under the round-2 model, +1
+    // char backbone), so final_p(ab) = 4/12 exactly.
+    val out = TextAnalysis.unigramLmTrain(
+        Seq(Tuple1("ab ab ab ab cd cd xy")).toDF("text"), "text",
+        maxPieceLen = 4, seedV = 4, targetV = 1, pruneFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getInt(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getLong(5))).toMap
+    // rounds_survived: the nested prune ladder
+    assert(out("ab") == ((false, 2, Some(4.0 / 12.0), 4L)), out("ab").toString)
+    assert(out("cd")._2 == 1 && out("cd")._3.isEmpty && out("cd")._4 == 0L)
+    assert(out("xy")._2 == 0 && out("xy")._3.isEmpty)
+    // characters always reach the final model
+    Seq("a", "b", "c", "d", "x", "y").foreach { c =>
+      assert(out(c)._1 && out(c)._2 == 2 && out(c)._3.isDefined, s"$c: ${out(c)}")
+    }
+    // final usage: cd decodes c|d (wc 2), xy decodes x|y (wc 1)
+    assert(out("c")._4 == 2L && out("x")._4 == 1L)
+    // monotone multi-vocabulary shrinkage: 3 seeded -> 2 -> 1
+    val multiByRound = (0 to 2).map(r =>
+      out.count { case (_, (isChar, rs, _, _)) => !isChar && rs >= r })
+    assert(multiByRound == Seq(3, 2, 1), multiByRound.toString)
+  }
+
   test("unigramLmVocab: chars always kept, unused multi-pieces pruned") {
     // corpus: 'ababab' x3, 'cd' x1 — 'ab' dominates; 'ba' is a frequent
     // substring (seeded) but the Viterbi path never uses it
