@@ -1165,6 +1165,131 @@ object TextAnalysis {
       .withColumn("keep", col("n_improb") * lit(5L) <= col("n_bigrams"))
   }
 
+  /** Adjacent-token trigram structs (w1, w2, w3) — [[bigramStructs]]
+    * composed once more: the two tail slots pad with null and the filter
+    * drops them, so 0/1/2-token rows yield an empty array.
+    */
+  private def trigramStructs(text: Column): Column = {
+    val tk = toks(text)
+    val t2 = slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))
+    val t3 = slice(tk, lit(3), greatest(size(tk) - 2, lit(0)))
+    filter(
+      zip_with(
+        zip_with(tk, t2, (a, b) => struct(a.as("w1"), b.as("w2"))),
+        t3,
+        (ab, c) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c.as("w3"))),
+      x => x.getField("w1").isNotNull && x.getField("w2").isNotNull &&
+        x.getField("w3").isNotNull)
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM gate (VERDICT r18 #3) — one backoff
+    * level above [[knBigramGate]], closing most of the daylight to the
+    * 5-gram KenLM CCNet actually runs (Wenzek et al. 2020; same smoothing
+    * family, same discount D = 3/4 at every level):
+    *
+    *   P(w3|w1w2) = max(c₁₂₃−D,0)/c₁₂ + (D·N₁₊(w1w2·)/c₁₂)·P₂(w3|w2)
+    *   P₂(w3|w2)  = max(n₂₃−D,0)/N₁₊(·w2·) + (D·N₁₊(w2·)/N₁₊(·w2·))·Pc(w3)
+    *   Pc(w3)     = N₁₊(·w3) / N
+    *
+    * with all lower-order statistics the CONTINUATION counts (modified
+    * KN): n₂₃ = N₁₊(·w2w3) distinct left-contexts of the bigram,
+    * N₁₊(·w2·) its row-sum, N = distinct (w2,w3) pair types. Every
+    * probability is the exact rational over nested common denominators:
+    *
+    *   P2num = max(4·n₂₃−3, 0)·N + 3·N₁₊(w2·)·N₁₊(·w3)
+    *   P2den = 4·N₁₊(·w2·)·N
+    *   num   = max(4·c₁₂₃−3, 0)·P2den + 3·N₁₊(w1w2·)·P2num
+    *   den   = 4·c₁₂·P2den
+    *
+    * backing off a level when its context is unseen (c₁₂ = 0 → the
+    * (P2num, P2den) pair; N₁₊(·w2·) = 0 → the (N₁₊(·w3), N) pair).
+    * Improbable = num·threshDen < den by cross-multiply. The cubed count
+    * products overflow BIGINT on large training splits (den =
+    * 16·c₁₂·N₁₊(·w2·)·N·threshDen), so the INTERNAL arithmetic runs in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to 10³⁸, good past
+    * any physical corpus — while every OUTPUT column stays BIGINT.
+    *
+    * Scale shape: the model is ONE trigram explode + one (w1,w2,w3)
+    * aggregate on the reference; every other statistic (context counts,
+    * continuation counts, row-sums, the type total) derives from that
+    * vocabulary-sized frame by further shrinking aggregates. Scoring is
+    * one trigram explode + five model-keyed LEFT joins (never broadcast —
+    * the q145 rule) + one doc-keyed rollup. Output mirrors knBigramGate:
+    * doc_id, n_trigrams, n_unseen_ctx, n_improb, improb_ppm, keep.
+    */
+  def knTrigramGate(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String, threshDen: Long = 1000L): DataFrame = {
+    require(threshDen >= 1L, "knTrigramGate: threshDen must be >= 1")
+    val tri = refDocs.select(explode(trigramStructs(col(textCol))).as("tg"))
+      .select(col("tg.w1"), col("tg.w2"), col("tg.w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    // top-level context stats: c12 = token count of (w1,w2) as a context,
+    // nfol12 = N₁₊(w1w2·) distinct continuations
+    val ctx12 = tri.groupBy("w1", "w2")
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("nfol12"))
+    // continuation-count family (each row of tri is one distinct triple,
+    // so COUNT(*) over a grouping = the distinct-type count)
+    val n23 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n23"))
+    val mid2 = n23.groupBy("w2")
+      .agg(sum(col("n23")).as("nmid2"), count(lit(1)).as("nfol2"))
+    val cont3 = n23.groupBy("w3").agg(count(lit(1)).as("ncont3"))
+    val tot = n23.agg(count(lit(1)).as("nn"))
+    val docTg = docs.select(col(idCol).as("doc_id"),
+        explode(trigramStructs(col(textCol))).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val scored = docTg
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(n23, Seq("w2", "w3"), "left")
+      .join(mid2, Seq("w2"), "left")
+      .join(cont3, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        dec(coalesce(col("c123"), lit(0L))).as("c123"),
+        coalesce(col("c12"), lit(0L)).as("c12_l"),
+        dec(coalesce(col("c12"), lit(0L))).as("c12"),
+        dec(coalesce(col("nfol12"), lit(0L))).as("nfol12"),
+        dec(coalesce(col("n23"), lit(0L))).as("n23"),
+        dec(coalesce(col("nmid2"), lit(0L))).as("nmid2"),
+        dec(coalesce(col("nfol2"), lit(0L))).as("nfol2"),
+        dec(coalesce(col("ncont3"), lit(0L))).as("ncont3"),
+        dec(col("nn")).as("nn"))
+      .withColumn("p2num",
+        when(col("nmid2") > 0,
+          greatest(lit(4) * col("n23") - lit(3), lit(0)) * col("nn")
+            + lit(3) * col("nfol2") * col("ncont3"))
+          .otherwise(col("ncont3")))
+      .withColumn("p2den",
+        when(col("nmid2") > 0, lit(4) * col("nmid2") * col("nn"))
+          .otherwise(col("nn")))
+      .withColumn("num",
+        when(col("c12") > 0,
+          greatest(lit(4) * col("c123") - lit(3), lit(0)) * col("p2den")
+            + lit(3) * col("nfol12") * col("p2num"))
+          .otherwise(col("p2num")))
+      .withColumn("den",
+        when(col("c12") > 0, lit(4) * col("c12") * col("p2den"))
+          .otherwise(col("p2den")))
+      .withColumn("improb",
+        col("den") === 0 || col("num") * lit(threshDen) < col("den"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_trigrams"),
+          sum(when(col("c12_l") === 0L, 1L).otherwise(0L)).as("n_unseen_ctx"),
+          sum(when(col("improb"), 1L).otherwise(0L)).as("n_improb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_unseen_ctx"), lit(0L)).as("n_unseen_ctx"),
+        coalesce(col("n_improb"), lit(0L)).as("n_improb"))
+      .withColumn("improb_ppm",
+        when(col("n_trigrams") > 0,
+          expr("(n_improb * 1000000L) div n_trigrams")).otherwise(lit(0L)))
+      .withColumn("keep", col("n_improb") * lit(5L) <= col("n_trigrams"))
+  }
+
   /** Vocabulary frequency spectrum: token types binned by ⌊log₂(count)⌋ —
     * the heavy-tail diagnostic of corpus health (a natural corpus shows a
     * smooth Zipf-like decay of types per doubling bin; boilerplate-heavy

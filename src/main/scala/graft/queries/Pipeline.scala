@@ -5481,9 +5481,81 @@ object Pipeline {
       .orderBy("piece")
   }
 
+  /** Interpolated Kneser–Ney trigram gate (q224; VERDICT r18 #3 — one
+    * backoff level above q209, the same smoothing family CCNet's 5-gram
+    * KenLM runs): model on the doc_id % 10 ≠ 0 split, every doc scored so
+    * both backoff branches run on real held-out rows. Nested exact
+    * rationals with continuation counts at the lower orders; the cubed
+    * count products run in HUGEINT (the operator uses DECIMAL(38,0)) —
+    * outputs stay BIGINT. The oracle replays the single trigram
+    * aggregate, every derived continuation statistic, both backoffs, and
+    * the rollup.
+    */
+  val q224 = Q(
+    "q224_kn_trigram_gate",
+    """WITH alltk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |trt AS (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM (
+      |  SELECT t, unnest(range(1, len(t) - 1)) AS i FROM alltk WHERE doc_id % 10 <> 0)),
+      |tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123 FROM trt GROUP BY 1, 2, 3),
+      |ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+      |        CAST(COUNT(*) AS BIGINT) AS nfol12 FROM tri GROUP BY 1, 2),
+      |nb AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n23 FROM tri GROUP BY 1, 2),
+      |mid2 AS (SELECT w2, CAST(SUM(n23) AS BIGINT) AS nmid2,
+      |        CAST(COUNT(*) AS BIGINT) AS nfol2 FROM nb GROUP BY 1),
+      |cont3 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS ncont3 FROM nb GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nb),
+      |dtr AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM alltk)),
+      |sc AS (SELECT d.doc_id,
+      |    CAST(COALESCE(tr.c123, 0) AS HUGEINT) AS c123,
+      |    COALESCE(x.c12, 0) AS c12_l,
+      |    CAST(COALESCE(x.c12, 0) AS HUGEINT) AS c12,
+      |    CAST(COALESCE(x.nfol12, 0) AS HUGEINT) AS nfol12,
+      |    CAST(COALESCE(b.n23, 0) AS HUGEINT) AS n23,
+      |    CAST(COALESCE(m.nmid2, 0) AS HUGEINT) AS nmid2,
+      |    CAST(COALESCE(m.nfol2, 0) AS HUGEINT) AS nfol2,
+      |    CAST(COALESCE(c3.ncont3, 0) AS HUGEINT) AS ncont3,
+      |    CAST(tot.nn AS HUGEINT) AS nn
+      |  FROM dtr d LEFT JOIN tri tr USING (w1, w2, w3)
+      |  LEFT JOIN ctx12 x USING (w1, w2) LEFT JOIN nb b USING (w2, w3)
+      |  LEFT JOIN mid2 m USING (w2) LEFT JOIN cont3 c3 USING (w3)
+      |  CROSS JOIN tot),
+      |f1 AS (SELECT doc_id, c12_l, c123, c12, nfol12,
+      |    CASE WHEN nmid2 > 0
+      |         THEN GREATEST(4 * n23 - 3, 0) * nn + 3 * nfol2 * ncont3
+      |         ELSE ncont3 END AS p2num,
+      |    CASE WHEN nmid2 > 0 THEN 4 * nmid2 * nn ELSE nn END AS p2den
+      |  FROM sc),
+      |f2 AS (SELECT doc_id, c12_l,
+      |    CASE WHEN c12 > 0
+      |         THEN GREATEST(4 * c123 - 3, 0) * p2den + 3 * nfol12 * p2num
+      |         ELSE p2num END AS num,
+      |    CASE WHEN c12 > 0 THEN 4 * c12 * p2den ELSE p2den END AS den
+      |  FROM f1),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |    CAST(SUM(CASE WHEN c12_l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+      |    CAST(SUM(CASE WHEN den = 0 OR num * 1000 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_improb
+      |  FROM f2 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_trigrams, CAST(0 AS BIGINT)) AS n_trigrams,
+      |  COALESCE(a.n_unseen_ctx, CAST(0 AS BIGINT)) AS n_unseen_ctx,
+      |  COALESCE(a.n_improb, CAST(0 AS BIGINT)) AS n_improb,
+      |  CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+      |       THEN CAST(a.n_improb * 1000000 // a.n_trigrams AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS improb_ppm,
+      |  COALESCE(a.n_improb, 0) * 5 <= COALESCE(a.n_trigrams, 0) AS keep
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    TextAnalysis.knTrigramGate(docs, docs.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
 }
