@@ -354,7 +354,9 @@ object Similarity {
     * is only |docs| rows but costs a join chain to rebuild. At 100 TB the
     * exhaustive pass is replaced by the IVFADC stack (q212) for candidate
     * generation — the margin rescore is unchanged because it only ever
-    * touches candidate pairs and their bounded neighbor lists.
+    * touches candidate pairs and their bounded neighbor lists — that
+    * composition is a TESTED code path, [[marginBitextRescore]], not a
+    * doc claim.
     *
     * Output: xid, yid, cos, rn (forward rank), margin, accepted =
     * (avg_x + avg_y) > 0 && margin > threshold — the positive-denominator
@@ -374,6 +376,48 @@ object Similarity {
       .withColumn("cos", cosine_sim(col("x_emb"), col("y_emb")))
       .where(col("cos").isNotNull)
       .select(col("xid"), col("yid"), col("cos"))
+    marginFromScored(scored, k, threshold)
+  }
+
+  /** The bitext-SCALE composition the exhaustive [[marginBitextMine]]
+    * documents: candidate (xid, yid) pairs come from an ANN stage (the
+    * q212 IVFADC stack — forward src-over-tgt search UNIONed with the
+    * reversed tgt-over-src search, the Artetxe & Schwenk bidirectional
+    * kNN protocol) and ONLY those pairs are cosine-scored; the margin
+    * rescore — rank windows, rank-ordered neighborhood folds, the
+    * positive-denominator gate — is byte-identical code
+    * ([[marginFromScored]]). When the candidate set covers both true
+    * top-k neighborhoods this returns EXACTLY the exhaustive frame
+    * (MarginBitextSpec pins the equivalence over IVFADC candidates);
+    * when coverage is partial it degrades to the ANN recall, never to
+    * wrong arithmetic.
+    *
+    * Scale shape: the |src|×|tgt| projection disappears — scoring
+    * touches |candidates| rows (ANN-bounded, ~k·(|src|+|tgt|)); the two
+    * rank windows stay keyed on xid / yid; src embeddings broadcast; tgt
+    * embeddings join candidates on the yid equi-key, so the corpus-sized
+    * side shuffles once on its own id, never pairwise.
+    */
+  def marginBitextRescore(src: DataFrame, tgt: DataFrame,
+      candidates: DataFrame, k: Int, threshold: Double = 1.05): DataFrame = {
+    require(k >= 1, s"marginBitextRescore: k must be >= 1, got $k")
+    val q = broadcast(src.select(col("vec_id").as("xid"),
+      col("embedding").as("x_emb")))
+    val scored = candidates.select(col("xid"), col("yid")).distinct()
+      .join(tgt.select(col("vec_id").as("yid"), col("embedding").as("y_emb")),
+        Seq("yid"))
+      .join(q, Seq("xid"))
+      .withColumn("cos", cosine_sim(col("x_emb"), col("y_emb")))
+      .where(col("cos").isNotNull)
+      .select(col("xid"), col("yid"), col("cos"))
+    marginFromScored(scored, k, threshold)
+  }
+
+  /** The shared margin rescore over a (xid, yid, cos) frame — the
+    * exhaustive path and the ANN-candidate path differ ONLY in how that
+    * frame is produced. */
+  private def marginFromScored(scored: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
     def topMean(part: String, order: String) = {
       val w = Window.partitionBy(col(part)).orderBy(col("cos").desc, col(order))
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)

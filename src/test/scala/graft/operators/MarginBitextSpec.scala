@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -81,6 +82,36 @@ class MarginBitextSpec extends AnyFunSuite {
     assert(worst.getDouble(worst.fieldIndex("margin")) > 1.05,
       s"fixture must exercise the margin>threshold branch: ${rows.mkString(";")}")
     rows.foreach(r => assert(!r.getBoolean(r.fieldIndex("accepted")), r.toString))
+  }
+
+  test("IVFADC-candidate rescore equals the exhaustive pass when probes cover (the bitext-scale composition)") {
+    // 4 sources x 6 targets on the unit circle; candidates from the q212
+    // IVFADC stack run BIDIRECTIONALLY (forward src-over-tgt + reversed
+    // tgt-over-src — the Artetxe & Schwenk protocol) with full coverage
+    // (nprobe = kCoarse, topK = side size), so the candidate set contains
+    // both true top-k neighborhoods and the rescore must reproduce the
+    // exhaustive frame EXACTLY — same pairs, same doubles, same flags.
+    def ring(ids: Seq[Long], phase: Double) = df(ids.zipWithIndex.map {
+      case (id, i) =>
+        val a = phase + i * 0.7
+        id -> Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f)
+    })
+    val src = ring(Seq(0L, 2L, 4L, 6L), 0.1)
+    val tgt = ring(Seq(1L, 3L, 5L, 7L, 9L, 11L), 0.35)
+    val fwd = Quantize.ivfAdcTopK(tgt, src, kCoarse = 2, nprobe = 2,
+        m = 2, kCent = 4, iters = 2, topK = 6)
+      .select(col("qid").as("xid"), col("nid").as("yid"))
+    val bwd = Quantize.ivfAdcTopK(src, tgt, kCoarse = 2, nprobe = 2,
+        m = 2, kCent = 4, iters = 2, topK = 4)
+      .select(col("nid").as("xid"), col("qid").as("yid"))
+    val cand = fwd.union(bwd)
+    val exhaustive = Similarity.marginBitextMine(src, tgt, k = 2)
+      .collect().map(_.toSeq).toSet
+    val rescored = Similarity.marginBitextRescore(src, tgt, cand, k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(rescored == exhaustive,
+      s"rescore over covering IVFADC candidates must equal the exhaustive pass\n" +
+        s"exhaustive=$exhaustive\nrescored=$rescored")
   }
 
   test("plan shape: source side broadcasts; windows are keyed") {
