@@ -601,6 +601,56 @@ case class HashHits128(child: Expression, probe: Seq[Long]) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `hash_hits_64(hashes)` → bigint: how many of the row's 64-bit hashes
+  * (an `array<bigint>` — shingle hashes, folded band keys) are in the
+  * plan-embedded SORTED probe set — the long-array sibling of
+  * [[HashHits128]], and the kernel that makes the shingle-containment and
+  * LSH-band decontamination rungs pure projections (no explode, no
+  * semi-join, no per-doc re-aggregation — the shape a STREAMING ingest
+  * gate needs, where grouped re-aggregation would demand state). Binary
+  * search per element: O(n · log |probe|), zero shuffle.
+  */
+case class HashHits64(child: Expression, probe: Seq[Long]) extends UnaryExpression {
+
+  require(probe.isEmpty || probe.sliding(2).forall(w =>
+      w.length < 2 || java.lang.Long.compare(w(0), w(1)) <= 0),
+    "hash_hits_64: probe must be sorted ascending")
+
+  @transient private lazy val arr: Array[Long] = probe.toArray
+
+  override def prettyName: String = "hash_hits_64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName expects array<bigint>")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashProbe64.hits(arr, v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashProbe64", arr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashProbe64.hits($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static probe kernel for [[HashHits64]]: sorted signed longs. */
+object HashProbe64 {
+  def hits(probe: Array[Long], hashes: ArrayData): Long = {
+    var cnt = 0L
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(probe, hashes.getLong(i)) >= 0) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+}
+
 /** Static probe kernel for [[HashHits128]]: interleaved (hi, lo) pairs,
   * sorted by signed (hi, then lo) — the same comparator
   * `Decontaminate.benchmarkWindowHashes` sorts with on the driver.

@@ -80,6 +80,14 @@ object functions {
   def hash_hits_128(hashes: Column, probe: Seq[Long]): Column =
     toCol(graft.expr.HashHits128(toExpr(hashes), probe))
 
+  /** Count of the row's 64-bit hashes present in the plan-embedded sorted
+    * probe (codegen'd; see graft.expr.HashHits64) — the long-array sibling
+    * of hash_hits_128 that turns shingle-containment and LSH-band checks
+    * into pure projections (the streaming ingest-gate shape).
+    */
+  def hash_hits_64(hashes: Column, probe: Seq[Long]): Column =
+    toCol(graft.expr.HashHits64(toExpr(hashes), probe))
+
   /** Sorted distinct blocklist patterns occurring in `text` — one
     * Aho–Corasick pass regardless of pattern-list size (codegen'd; see
     * graft.expr.AcMatch). The curation blocklist scan: O(n + matches) per

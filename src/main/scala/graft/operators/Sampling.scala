@@ -624,6 +624,89 @@ object Decontaminate {
       .withColumn("contaminated", col("n_matches") > 0L)
   }
 
+  /** The STREAMING-NATIVE ingest-time decontamination gate (VERDICT r18
+    * stretch #8): the per-document protocol flags of [[auditBySource]]
+    * re-expressed so EVERY rung is a stateless projection or a
+    * stream-static join — the shapes Structured Streaming runs in append
+    * mode with zero state, so a live corpus stream is flagged at ingest:
+    *
+    *  - exact: md5 fingerprint LEFT-joined against the broadcast static
+    *    benchmark fingerprints (a stream-static join);
+    *  - contain: distinct shingle hashes counted against a plan-embedded
+    *    sorted benchmark probe by `hash_hits_64` — the semi-join +
+    *    per-doc re-aggregation of [[flagNearNgram]] (stateful on a
+    *    stream) collapses into one projection;
+    *  - window: the [[flagNgramCollision]] rolling-hash probe, already a
+    *    projection;
+    *  - fuzzy: the MinHash BAND-COLLISION SCREEN — per-row `minhash_bands`
+    *    keys (bval·bands + j) probed against the benchmark's band keys.
+    *    A band hit is a CANDIDATE, not a confirmed near-dup (the exact
+    *    Jaccard verify needs the candidate join — batch territory), so
+    *    the column is `fuzzy_candidate`: stream-side it quarantines for
+    *    the batch audit to confirm; it can only over-flag, never miss a
+    *    pair the batch fuzzy protocol would catch (same bands, same
+    *    arithmetic — [[fuzzyContamination]]'s candidates are exactly the
+    *    band collisions).
+    *
+    * The benchmark side is STATIC (an eval suite): its three probe
+    * arrays are collected once at plan build, bounded by `maxBenchHashes`
+    * (the benchmarkWindowHashes contract). Output: every corpus column +
+    * exact_hit, contain_hit, window_hit, fuzzy_candidate, any_hit.
+    * DecontamIngestGateSpec runs it over a MemoryStream with one
+    * engineered leak per class and pins batch-parity on the three exact
+    * protocols.
+    */
+  def ingestGate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      containK: Int = 6, containNum: Int = 1, containDen: Int = 2,
+      windowN: Int = 13, fuzzyK: Int = 6, fuzzyNumHashes: Int = 16,
+      fuzzyBands: Int = 4, maxBenchHashes: Int = 1 << 21): DataFrame = {
+    require(fuzzyNumHashes % fuzzyBands == 0, "bands must divide numHashes")
+    def boundedLongs(df: DataFrame, what: String): Seq[Long] = {
+      val rows = df.distinct().limit(maxBenchHashes + 1).collect()
+      require(rows.length <= maxBenchHashes,
+        s"benchmark has over $maxBenchHashes distinct $what — raise maxBenchHashes")
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        rows.map(_.getLong(0)).sorted)
+    }
+    val windowProbe = benchmarkWindowHashes(benchmark, textCol, windowN, maxBenchHashes)
+    val shingleProbe = boundedLongs(
+      benchmark.select(explode(array_distinct(
+        graft.functions.shingle_hashes(col(textCol), containK))).as("h")),
+      s"$containK-shingle hashes")
+    val aCo = (0 until fuzzyNumHashes).map(Dedup.hashA)
+    val bCo = (0 until fuzzyNumHashes).map(Dedup.hashB)
+    def bandKeys: Column = {
+      val ms = graft.functions.minhash_bands(col(textCol), fuzzyK, aCo, bCo, fuzzyBands)
+      transform(slice(ms, 2, fuzzyBands),
+        (bval, j) => bval * lit(fuzzyBands.toLong) + j.cast("long"))
+    }
+    val bandProbe = boundedLongs(
+      benchmark.select(explode(bandKeys).as("h")), "LSH band keys")
+    val bfp = broadcast(benchmark.select(fp(textCol).as("__fp")).distinct()
+      .withColumn("__hitE", lit(true)))
+    corpus
+      .withColumn("__fp", fp(textCol))
+      .join(bfp, Seq("__fp"), "left")
+      .withColumn("__hs", array_distinct(
+        graft.functions.shingle_hashes(col(textCol), containK)))
+      .withColumn("exact_hit", coalesce(col("__hitE"), lit(false)))
+      .withColumn("contain_hit",
+        size(col("__hs")) > 0 &&
+          graft.functions.hash_hits_64(col("__hs"), shingleProbe) * lit(containDen.toLong)
+            >= size(col("__hs")).cast("long") * lit(containNum.toLong))
+      .withColumn("window_hit",
+        graft.functions.hash_hits_128(
+          graft.functions.rolling_window_hashes(col(textCol), windowN),
+          windowProbe) > 0L)
+      .withColumn("fuzzy_candidate",
+        graft.functions.hash_hits_64(bandKeys, bandProbe) > 0L)
+      .withColumn("any_hit",
+        col("exact_hit") || col("contain_hit") || col("window_hit")
+          || col("fuzzy_candidate"))
+      .drop("__fp", "__hitE", "__hs")
+  }
+
   /** Multi-protocol decontamination audit, rolled up per source — the
     * release-gate dashboard over the four published contamination
     * protocols this engine ships, which catch DIFFERENT leak classes:

@@ -5553,9 +5553,75 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Streaming ingest-time decontamination gate, batch twin (q225): the
+    * per-document protocol flags of Decontaminate.ingestGate — every rung
+    * a stateless projection or stream-static join (the append-mode shapes;
+    * DecontamIngestGateSpec runs the same operator over a MemoryStream).
+    * The oracle reuses the q219 protocol chains and emits per-doc flags;
+    * fuzzy_candidate is the band-collision SCREEN (the batch fuzzy
+    * protocol's candidate set, pre-verification).
+    */
+  val q225 = Q(
+    "q225_decontamination_ingest_gate",
+    s"""WITH $shingleCtes,
+       |ebh AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 89 = 0),
+       |ex AS (SELECT doc_id, md5(text) IN (SELECT fp FROM ebh) AS exact_hit
+       |       FROM documents),
+       |cbh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 89 = 0),
+       |cshared AS (SELECT doc_id, COUNT(*) n_shared FROM hs
+       |            WHERE h IN (SELECT h FROM cbh) GROUP BY doc_id),
+       |contain AS (SELECT sizes.doc_id,
+       |    COALESCE(cshared.n_shared, 0) * 2 >= sizes.n AS contain_hit
+       |  FROM sizes LEFT JOIN cshared USING (doc_id)),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ww AS (SELECT doc_id, unnest(range(0, len(toks) - 13 + 1)) AS pos, toks
+       |       FROM wt WHERE len(toks) >= 13),
+       |wh AS (SELECT doc_id,
+       |         md5(array_to_string(list_slice(toks, pos + 1, pos + 13), ' ')) AS h
+       |       FROM ww),
+       |wbh AS (SELECT DISTINCT h FROM wh WHERE doc_id % 89 = 0),
+       |whits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM wh
+       |          WHERE h IN (SELECT h FROM wbh) GROUP BY doc_id),
+       |win AS (SELECT wt.doc_id, COALESCE(whits.n_hits, 0) > 0 AS window_hit
+       |        FROM wt LEFT JOIN whits USING (doc_id)),
+       |params(i, a, b) AS (VALUES $minhashParamsSql),
+       |mh AS (SELECT doc_id, i, MIN((a * h + b) % 1000000007) m
+       |       FROM hs CROSS JOIN params GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) sig FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, j,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, j*4 + 1, j*4 + 4)),
+       |                (acc, x) -> (acc * 131 + x) % 1000000007) bval
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+       |fzc AS (SELECT DISTINCT c.doc_id FROM bands c
+       |  JOIN bands b ON c.j = b.j AND c.bval = b.bval
+       |  WHERE c.doc_id % 89 <> 0 AND b.doc_id % 89 = 0)
+       |SELECT d.doc_id, ex.exact_hit,
+       |  COALESCE(contain.contain_hit, FALSE) AS contain_hit,
+       |  win.window_hit,
+       |  fzc.doc_id IS NOT NULL AS fuzzy_candidate,
+       |  ex.exact_hit OR COALESCE(contain.contain_hit, FALSE) OR win.window_hit
+       |    OR fzc.doc_id IS NOT NULL AS any_hit
+       |FROM documents d
+       |JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN contain ON contain.doc_id = d.doc_id
+       |JOIN win ON win.doc_id = d.doc_id
+       |LEFT JOIN fzc ON fzc.doc_id = d.doc_id
+       |WHERE d.doc_id % 89 <> 0
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.ingestGate(
+        docs.where(col("doc_id") % 89 =!= 0),
+        docs.where(col("doc_id") % 89 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("exact_hit"), col("contain_hit"),
+        col("window_hit"), col("fuzzy_candidate"), col("any_hit"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }
