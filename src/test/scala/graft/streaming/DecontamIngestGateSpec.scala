@@ -60,6 +60,25 @@ class DecontamIngestGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("plan shape: corpus never enters a corpus-keyed exchange; benchmark side broadcasts") {
+    // the gate is one corpus scan + one broadcast (stream-static-shaped)
+    // join + pure projections. The ONLY shuffle in the plan is the
+    // BENCHMARK fingerprint distinct, and it sits inside the broadcast
+    // build subtree — the corpus side shuffles nothing and aggregates
+    // nothing (the append-mode contract the MemoryStream test exercises).
+    val corp = Seq((1L, docA), (2L, docD)).toDF("doc_id", "text")
+    val plan = Decontaminate.ingestGate(corp, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected only the benchmark-distinct shuffle, got $shuffles\n$plan")
+    // that one shuffle is keyed on the benchmark fingerprint column, not
+    // on any corpus column
+    val at = plan.indexOf("Exchange hashpartitioning")
+    assert(plan.substring(at, at + 60).contains("__fp"), plan.substring(at, at + 120))
+  }
+
   test("batch parity: gate flags equal the per-protocol batch operators; fuzzy screen covers fuzzy hits") {
     val corp = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
       .toDF("doc_id", "text")
