@@ -253,6 +253,12 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   * (the BpeSegment/ADVICE r16 lesson: Array params defeat semanticEquals
   * and exchange reuse).
   */
+object UnigramSegment {
+  /** 2^-84 — the smallest piece/unk probability compatible with the
+    * kernel's one-boost-per-step renormalization invariant. */
+  val MinProb: Double = java.lang.Math.scalb(1.0, -84)
+}
+
 case class UnigramSegment(child: Expression, pieces: Seq[String],
     probs: Seq[Double], unkScore: Double)
     extends UnaryExpression {
@@ -262,8 +268,15 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
   require(pieces.length <= 65536,
     "unigram_segment: vocabulary capped at 65536 pieces (plan-embedded)")
   require(pieces.forall(_.nonEmpty), "unigram_segment: empty piece")
-  require(probs.forall(p => p > 0.0 && p <= 1.0) && unkScore > 0.0,
-    "unigram_segment: probs and unkScore must be in (0, 1]")
+  // the floor 2^-84 is the one-boost-per-step invariant of the kernel's
+  // power-of-two renormalization (round-19 review finding): a prob below
+  // it can drive the stored dp to exactly 0.0 despite the boost, leaving
+  // no chosen predecessor (the backtrack would read index -1). Library
+  // callers always satisfy it — probs are freq/total with BIGINT totals
+  // (>= 2^-63) and unkScore is 1/(total·10^6) (>= ~2^-83).
+  require(probs.forall(p => p >= UnigramSegment.MinProb && p <= 1.0)
+      && unkScore >= UnigramSegment.MinProb && unkScore <= 1.0,
+    s"unigram_segment: probs and unkScore must be in [2^-84, 1]")
 
   // built once per plan, shared by eval and generated code
   private val vocabMap: java.util.HashMap[String, java.lang.Double] = {
@@ -612,9 +625,11 @@ case class HashHits128(child: Expression, probe: Seq[Long]) extends UnaryExpress
   */
 case class HashHits64(child: Expression, probe: Seq[Long]) extends UnaryExpression {
 
-  require(probe.isEmpty || probe.sliding(2).forall(w =>
-      w.length < 2 || java.lang.Long.compare(w(0), w(1)) <= 0),
-    "hash_hits_64: probe must be sorted ascending")
+  // primitive-loop validation (the HashProbe128.isSortedPairs pattern):
+  // this require re-runs on every Catalyst copy() of the expression, and
+  // a sliding(2) over a ~2M-long probe would box two-element Seqs per
+  // step each time (round-19 review finding)
+  require(HashProbe64.isSorted(probe), "hash_hits_64: probe must be sorted ascending")
 
   @transient private lazy val arr: Array[Long] = probe.toArray
 
@@ -639,6 +654,15 @@ case class HashHits64(child: Expression, probe: Seq[Long]) extends UnaryExpressi
 
 /** Static probe kernel for [[HashHits64]]: sorted signed longs. */
 object HashProbe64 {
+  def isSorted(p: Seq[Long]): Boolean = {
+    var i = 1
+    while (i < p.length) {
+      if (p(i - 1) > p(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def hits(probe: Array[Long], hashes: ArrayData): Long = {
     var cnt = 0L
     var i = 0

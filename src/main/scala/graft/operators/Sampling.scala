@@ -690,17 +690,23 @@ object Decontaminate {
       .join(bfp, Seq("__fp"), "left")
       .withColumn("__hs", array_distinct(
         graft.functions.shingle_hashes(col(textCol), containK)))
+      // every flag coalesces to false so a NULL-text ingest row reads as
+      // uniformly clean (round-19 review finding): the hash kernels
+      // null-propagate, and an any_hit of NULL would vanish from BOTH
+      // sides of a downstream quarantine filter instead of classifying
       .withColumn("exact_hit", coalesce(col("__hitE"), lit(false)))
-      .withColumn("contain_hit",
+      .withColumn("contain_hit", coalesce(
         size(col("__hs")) > 0 &&
           graft.functions.hash_hits_64(col("__hs"), shingleProbe) * lit(containDen.toLong)
-            >= size(col("__hs")).cast("long") * lit(containNum.toLong))
-      .withColumn("window_hit",
+            >= size(col("__hs")).cast("long") * lit(containNum.toLong),
+        lit(false)))
+      .withColumn("window_hit", coalesce(
         graft.functions.hash_hits_128(
           graft.functions.rolling_window_hashes(col(textCol), windowN),
-          windowProbe) > 0L)
-      .withColumn("fuzzy_candidate",
-        graft.functions.hash_hits_64(bandKeys, bandProbe) > 0L)
+          windowProbe) > 0L,
+        lit(false)))
+      .withColumn("fuzzy_candidate", coalesce(
+        graft.functions.hash_hits_64(bandKeys, bandProbe) > 0L, lit(false)))
       .withColumn("any_hit",
         col("exact_hit") || col("contain_hit") || col("window_hit")
           || col("fuzzy_candidate"))

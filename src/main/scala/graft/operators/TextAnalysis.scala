@@ -1205,10 +1205,14 @@ object TextAnalysis {
     * backing off a level when its context is unseen (c₁₂ = 0 → the
     * (P2num, P2den) pair; N₁₊(·w2·) = 0 → the (N₁₊(·w3), N) pair).
     * Improbable = num·threshDen < den by cross-multiply. The cubed count
-    * products overflow BIGINT on large training splits (den =
-    * 16·c₁₂·N₁₊(·w2·)·N·threshDen), so the INTERNAL arithmetic runs in
-    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to 10³⁸, good past
-    * any physical corpus — while every OUTPUT column stays BIGINT.
+    * products overflow BIGINT on large training splits, so the INTERNAL
+    * arithmetic runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) while
+    * every OUTPUT column stays BIGINT. Operating envelope: num and den
+    * themselves are exact to 10³⁸; the improbability compare multiplies
+    * num by threshDen, so ITS envelope is 10³⁸/threshDen — past that,
+    * non-ANSI Spark nulls the product and the coalesce(…, false) below
+    * resolves it to the provably-correct "probable" verdict, while ANSI
+    * Spark and DuckDB error loudly instead.
     *
     * Scale shape: the model is ONE trigram explode + one (w1,w2,w3)
     * aggregate on the reference; every other statistic (context counts,
@@ -1272,8 +1276,17 @@ object TextAnalysis {
       .withColumn("den",
         when(col("c12") > 0, lit(4) * col("c12") * col("p2den"))
           .otherwise(col("p2den")))
+      // num·threshDen can exceed DECIMAL(38,0) (round-19 review finding);
+      // under non-ANSI Spark that yields NULL. coalesce(…, false) is then
+      // EXACTLY correct, not a degradation: an overflowed product means
+      // num·threshDen > 10³⁸ ≥ den (den is a valid decimal(38,0) value on
+      // this row), so the true comparison is false — the trigram is
+      // genuinely probable. Under ANSI the overflow errors loudly instead,
+      // and DuckDB HUGEINT errors past 1.7·10³⁸ — same envelope, louder
+      // failure mode, documented in the scaladoc.
       .withColumn("improb",
-        col("den") === 0 || col("num") * lit(threshDen) < col("den"))
+        col("den") === 0 ||
+          coalesce(col("num") * lit(threshDen) < col("den"), lit(false)))
     docs.select(col(idCol).as("doc_id")).distinct()
       .join(scored.groupBy("doc_id").agg(
           count(lit(1)).as("n_trigrams"),
@@ -1708,8 +1721,12 @@ object TextAnalysis {
   def unigramPruneSchedule(seedV: Int, targetV: Int, pruneFrac: Double): Seq[Int] = {
     require(seedV > targetV && targetV >= 1 && pruneFrac > 0 && pruneFrac < 1,
       s"unigramPruneSchedule: need seedV > targetV >= 1 and pruneFrac in (0,1), got $seedV/$targetV/$pruneFrac")
+    // the min(v - 1, …) forces strict decrease: for v < 1/pruneFrac the
+    // bare ceil is a FIXED POINT (ceil(v·(1−f)) = v whenever f·v < 1), so
+    // e.g. (200, 50, 0.01) would stall at 99 and never terminate
+    // (round-19 review finding)
     Iterator.iterate(seedV)(v =>
-        math.max(targetV, math.ceil(v * (1.0 - pruneFrac)).toInt))
+        math.max(targetV, math.min(v - 1, math.ceil(v * (1.0 - pruneFrac)).toInt)))
       .drop(1).takeWhile(_ > targetV).toSeq :+ targetV
   }
 
@@ -1741,6 +1758,21 @@ object TextAnalysis {
     * final_p (null once pruned), final_usage (usage under the final
     * model).
     */
+  /** Unsigned lexicographic UTF-8 byte comparison — the order Spark's
+    * UTF8String and DuckDB use for strings. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   def unigramLmTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
       seedV: Int = 96, targetV: Int = 24, pruneFrac: Double = 0.5): DataFrame = {
     require(maxPieceLen >= 2, s"unigramLmTrain: need maxPieceLen >= 2, got $maxPieceLen")
@@ -1788,10 +1820,17 @@ object TextAnalysis {
       val usage = segUsage(model)
       val charsW = model.filter(m => isChar(m._1))
         .map { case (p, _) => (p, usage.getOrElse(p, 0L) + 1L) }
+      // tie-break by UNSIGNED UTF-8 byte order, not Java String order
+      // (round-19 review finding): Spark's UTF8String and DuckDB both
+      // compare binary UTF-8, while String.compareTo compares UTF-16
+      // code units — a usage tie at the cut between a supplementary
+      // codepoint and a high-BMP char would otherwise pick different
+      // survivors per engine
       val multiKept = model.filter(m => !isChar(m._1))
         .map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
         .filter(_._2 > 0)
-        .sortBy { case (p, u) => (-u, p) }
+        .sortWith { case ((p1, u1), (p2, u2)) =>
+          u1 > u2 || (u1 == u2 && utf8Less(p1, p2)) }
         .take(keepV)
       model = charsW ++ multiKept
       (charsW.iterator.map(_._1) ++ multiKept.iterator.map(_._1))

@@ -95,6 +95,27 @@ class UnigramLmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.unigramPruneSchedule(10, 10, 0.5)
     }
+    // ceil fixed point (round-19 review finding): for v < 1/frac the bare
+    // ceil(v·(1−f)) equals v, so without the strict-decrease clamp this
+    // call never terminated; the schedule must still end at the target
+    val s = TextAnalysis.unigramPruneSchedule(200, 50, 0.01)
+    assert(s.last == 50 && s.zip(s.tail).forall { case (a, b) => a > b },
+      s"schedule must strictly decrease to the target: $s")
+    // tiny fractions degrade to linear single-step pruning, not a hang
+    assert(s.head == 198 && s.length == 149, s"$s")
+  }
+
+  test("probs below the one-boost floor are rejected at plan build (round-19 review)") {
+    // 1e-100 < 2^-84 would drive the boosted dp to exactly 0.0 and leave
+    // the backtrack with no predecessor — the expression must refuse
+    val e = intercept[IllegalArgumentException] {
+      seg("aaa", Seq("a" -> 1e-100))
+    }
+    assert(e.getMessage.contains("2^-84"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      seg("aaa", Seq("a" -> 0.5), unk = 1e-100)
+    }
+    assert(e2.getMessage.contains("2^-84"), e2.getMessage)
   }
 
   test("unigramLmTrain: full Kudo loop — monotone shrinkage, chars never die (hand-checked)") {

@@ -60,6 +60,22 @@ class DecontamIngestGateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null-text rows classify as uniformly clean, never NULL (round-19 review)") {
+    // a NULL any_hit would vanish from both sides of a quarantine filter;
+    // every flag must coalesce to false
+    val corp = Seq((1L, null.asInstanceOf[String]), (2L, docA))
+      .toDF("doc_id", "text")
+    val rows = Decontaminate.ingestGate(corp, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    val nullRow = rows(1L)
+    Seq("exact_hit", "contain_hit", "window_hit", "fuzzy_candidate", "any_hit")
+      .foreach { c =>
+        assert(!nullRow.isNullAt(nullRow.fieldIndex(c)), s"$c must not be NULL")
+        assert(!nullRow.getBoolean(nullRow.fieldIndex(c)), s"$c must be false")
+      }
+    assert(rows(2L).getBoolean(rows(2L).fieldIndex("any_hit")))
+  }
+
   test("plan shape: corpus never enters a corpus-keyed exchange; benchmark side broadcasts") {
     // the gate is one corpus scan + one broadcast (stream-static-shaped)
     // join + pure projections. The ONLY shuffle in the plan is the
