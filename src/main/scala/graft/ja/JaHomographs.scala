@@ -208,7 +208,28 @@ object JaHomographs {
         "釣り→釣る). Semantics would be needed to pick the drawer in " +
         "引き出しの中; sid 34's expectation amended per the 下り/群れ " +
         "precedent, noun entry kept as this ledger's SCORED rejected " +
-        "side — the 0 margin makes any future drift visible here"))
+        "side — the 0 margin makes any future drift visible here"),
+    Ledger(
+      name = "こり: 凝る-連用 vs 懲りる-連用 (shadowed)",
+      carrier = "肩のこりをほぐした。",
+      pinnedTokens = Seq("肩", "こる", "ほぐす"),
+      pinned = Seq(Tok("肩", "名詞"), Tok("の", "助詞"),
+        Tok("こり", "動詞", base = "こる"), Tok("を", "助詞"),
+        Tok("ほぐし", "動詞", base = "ほぐす"), Tok("た", "助動詞")),
+      rejected = Seq(Tok("肩", "名詞"), Tok("の", "助詞"),
+        Tok("こり", "動詞", base = "こりる"), Tok("を", "助詞"),
+        Tok("ほぐし", "動詞", base = "ほぐす"), Tok("た", "助動詞")),
+      note = "probe batch 69 (shiatsu register): surface こり is the " +
+        "連用形 of both 凝る and 懲りる — a zero-information homograph " +
+        "(the 下り/降り class). Body-condition usage dominates the bare " +
+        "surface (the recorded 肩こり carries the same sense), so " +
+        "core.tsv pins こり→こる, shadowing こりる's derived 連用 under " +
+        "first-wins (surface, pos). A full kana こる r-row seed was " +
+        "REJECTED by the replay gate first (its 仮定/命令形 これ stole " +
+        "the pronoun これ from golden 200 — the single-kana-stem " +
+        "zero-reward lesson); only the attested 連用 surface is pinned. " +
+        "A noun こり was also tried and REJECTED: the 楽しみ convention " +
+        "(goldens 1051/1190) takes the verb lemma before を"))
 
   private lazy val bySurface: Map[String, Seq[DictEntry]] =
     JaDictionary.embeddedEntries.groupBy(_.surface)
