@@ -1773,12 +1773,24 @@ object TextAnalysis {
     x.length < y.length
   }
 
-  def unigramLmTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
-      seedV: Int = 96, targetV: Int = 24, pruneFrac: Double = 0.5): DataFrame = {
-    require(maxPieceLen >= 2, s"unigramLmTrain: need maxPieceLen >= 2, got $maxPieceLen")
+  /** Trained state shared by [[unigramLmTrain]] (the per-piece report) and
+    * [[unigramFertilityBySource]] (the corpus-fit dashboard): the seed
+    * rows, prune-survival rounds, and the FINAL model (piece → weight). */
+  private final case class UnigramTrained(
+      seedRows: Array[(String, Long)],
+      survivedRounds: collection.Map[String, Int],
+      model: Array[(String, Long)],
+      finalUsage: Map[String, Long],
+      nRounds: Int)
+
+  /** The [[unigramLmTrain]] loop body — one zero-shuffle codegen Viterbi
+    * pass + one bounded usage collect per schedule round (see the public
+    * scaladoc for the full contract). Returns None on an empty corpus. */
+  private def unigramTrainCore(df: DataFrame, textCol: String,
+      maxPieceLen: Int, seedV: Int, targetV: Int,
+      pruneFrac: Double): Option[UnigramTrained] = {
+    require(maxPieceLen >= 2, s"unigram training: need maxPieceLen >= 2, got $maxPieceLen")
     val sched = unigramPruneSchedule(seedV, targetV, pruneFrac)
-    val spark = df.sparkSession
-    import spark.implicits._
     val words = df.select(explode(toks(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wc"))
@@ -1798,18 +1810,14 @@ object TextAnalysis {
         .orderBy(col("freq").desc, col("piece")).limit(seedV))
       .select(col("piece"), col("freq")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    if (seedRows.isEmpty)
-      return Seq.empty[(String, Long, Boolean, Int, Option[Double], Long)]
-        .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+    if (seedRows.isEmpty) return None
     def isChar(p: String) = p.codePointCount(0, p.length) == 1
     // the evolving model: (piece, weight); seg() = one zero-shuffle
     // codegen pass + one bounded usage collect
     def segUsage(model: Array[(String, Long)]): Map[String, Long] = {
-      val total = model.map(_._2).sum
-      val pieces = model.map(_._1).toIndexedSeq
-      val probs = model.map(_._2.toDouble / total.toDouble).toIndexedSeq
+      val (pieces, probs, unk) = modelProbs(model)
       words.select(col("wc"), explode(graft.functions.unigram_segment(
-          col("word"), pieces, probs, 1.0 / (total.toDouble * 1000000.0))).as("piece"))
+          col("word"), pieces, probs, unk)).as("piece"))
         .groupBy("piece").agg(sum(col("wc")).as("usage"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
@@ -1836,15 +1844,82 @@ object TextAnalysis {
       (charsW.iterator.map(_._1) ++ multiKept.iterator.map(_._1))
         .foreach(p => survivedRounds(p) = round + 1)
     }
-    val finalUsage = segUsage(model)
-    val finalTotal = model.map(_._2).sum
-    val finalP = model.map { case (p, w) =>
-      p -> w.toDouble / finalTotal.toDouble }.toMap
-    spark.createDataFrame(seedRows.map { case (p, f) =>
-        (p, f, isChar(p), survivedRounds(p), finalP.get(p),
-          finalUsage.getOrElse(p, 0L))
-      }.toSeq)
-      .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+    Some(UnigramTrained(seedRows, survivedRounds, model, segUsage(model),
+      sched.length))
+  }
+
+  /** (pieces, probs, unkScore) for a (piece, weight) model — the single
+    * place the probability arithmetic lives so every consumer hands the
+    * IDENTICAL doubles to the codegen kernel. */
+  private def modelProbs(model: Array[(String, Long)])
+      : (IndexedSeq[String], IndexedSeq[Double], Double) = {
+    val total = model.map(_._2).sum
+    (model.map(_._1).toIndexedSeq,
+      model.map(_._2.toDouble / total.toDouble).toIndexedSeq,
+      1.0 / (total.toDouble * 1000000.0))
+  }
+
+  def unigramLmTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedV: Int = 96, targetV: Int = 24, pruneFrac: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramTrainCore(df, textCol, maxPieceLen, seedV, targetV, pruneFrac) match {
+      case None =>
+        Seq.empty[(String, Long, Boolean, Int, Option[Double], Long)]
+          .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+      case Some(t) =>
+        def isChar(p: String) = p.codePointCount(0, p.length) == 1
+        val finalTotal = t.model.map(_._2).sum
+        val finalP = t.model.map { case (p, w) =>
+          p -> w.toDouble / finalTotal.toDouble }.toMap
+        spark.createDataFrame(t.seedRows.map { case (p, f) =>
+            (p, f, isChar(p), t.survivedRounds(p), finalP.get(p),
+              t.finalUsage.getOrElse(p, 0L))
+          }.toSeq)
+          .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+    }
+  }
+
+  /** Tokenizer fit of the TRAINED unigram vocabulary, per source — the
+    * [[fertilityByScript]] dashboard re-aimed at the [[unigramLmTrain]]
+    * output (the question a tokenizer-training run actually asks: how many
+    * subword pieces per character does the trained vocabulary spend on
+    * each corpus slice — XLM-R/NLLB report exactly this per language):
+    * train the vocabulary down the prune schedule, then ONE zero-shuffle
+    * codegen decode projection over the corpus rows (the trained model
+    * rides the plan; `unigram_segment` segments every whitespace word of
+    * the row in one pass) and ONE source-keyed aggregate. Integer
+    * fertility: pieces_per_kchar = n_pieces·1000 div n_chars (chars =
+    * non-space codepoints, the kernel's own word alphabet).
+    *
+    * Scale shape: training cost is the q223 loop (schedule-bounded
+    * passes over the DISTINCT-words frame); the corpus-sized work is the
+    * single decode projection + one ≤|sources|-group aggregate — no
+    * joins, no corpus-keyed exchange beyond the aggregate's.
+    */
+  def unigramFertilityBySource(df: DataFrame, textCol: String,
+      sourceCol: String, maxPieceLen: Int = 4, seedV: Int = 96,
+      targetV: Int = 24, pruneFrac: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramTrainCore(df, textCol, maxPieceLen, seedV, targetV, pruneFrac) match {
+      case None =>
+        Seq.empty[(String, Long, Long, Long, Long)]
+          .toDF("source", "n_docs", "n_chars", "n_pieces", "pieces_per_kchar")
+      case Some(t) =>
+        val (pieces, probs, unk) = modelProbs(t.model)
+        df.select(col(sourceCol).as("source"),
+            size(graft.functions.unigram_segment(col(textCol), pieces, probs, unk))
+              .cast("long").as("n_pieces"),
+            length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_pieces")).as("n_pieces"))
+          .withColumn("pieces_per_kchar",
+            when(col("n_chars") > 0,
+              expr("(n_pieces * 1000L) div n_chars")).otherwise(lit(0L)))
+    }
   }
 
   /** Zipf doubling-bin fit: the integer least-squares slope of

@@ -5414,10 +5414,13 @@ object Pipeline {
     * the three embedded models and re-derives both prune cuts with
     * integer-ordered windows.
     */
-  val q223 = Q(
-    "q223_unigram_lm_train",
-    s"""WITH RECURSIVE
-       |tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+  /** The q223/q226 shared training replay: seed → three Viterbi passes
+    * (models vm → vmb → vmc down the 96 → 48 → 24 schedule) with both
+    * prune cuts as integer-ordered windows. Ends having defined
+    * `segsc(word, piece)` — the corpus decode under the FINAL model —
+    * plus the v/mu1/v2 frames the report tails join. */
+  private def unigramTrainCtes: String =
+    s"""tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) > 0 GROUP BY word),
        |subs AS (SELECT word, wc, unnest(flatten(list_transform(range(1, length(word) + 1),
@@ -5462,7 +5465,12 @@ object Pipeline {
        |v2 AS (SELECT piece, CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p
        |  FROM m2 CROSS JOIN t2),
        |vmc AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v2),
-       |${unigramDpCtes("c", "vmc")},
+       |${unigramDpCtes("c", "vmc")}""".stripMargin
+
+  val q223 = Q(
+    "q223_unigram_lm_train",
+    s"""WITH RECURSIVE
+       |$unigramTrainCtes,
        |u3 AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage
        |  FROM segsc JOIN tokw USING (word) GROUP BY piece)
        |SELECT v.piece, v.freq, length(v.piece) = 1 AS is_char,
@@ -5553,6 +5561,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Fertility of the TRAINED unigram vocabulary, per source (q226): the
+    * question a tokenizer-training run reports per corpus slice — pieces
+    * per thousand characters under the q223-trained model (XLM-R/NLLB
+    * report exactly this per language). Trains down the 96 → 48 → 24
+    * schedule, then ONE zero-shuffle decode projection over the corpus
+    * and ONE source-keyed aggregate. The oracle replays the full q223
+    * training chain (three recursive-CTE DP pairs), rolls the final
+    * decode up per word, and re-weights by per-source word occurrences.
+    */
+  val q226 = Q(
+    "q226_unigram_fertility",
+    s"""WITH RECURSIVE
+       |$unigramTrainCtes,
+       |wpc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np FROM segsc GROUP BY word),
+       |dw AS (SELECT source, word FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0),
+       |ps AS (SELECT source, CAST(SUM(np) AS BIGINT) AS n_pieces
+       |  FROM dw JOIN wpc USING (word) GROUP BY source),
+       |cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY source)
+       |SELECT cs.source, cs.n_docs, cs.n_chars,
+       |  COALESCE(ps.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+       |  CASE WHEN cs.n_chars > 0
+       |       THEN CAST(COALESCE(ps.n_pieces, 0) * 1000 // cs.n_chars AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS pieces_per_kchar
+       |FROM cs LEFT JOIN ps USING (source)
+       |ORDER BY cs.source""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.unigramFertilityBySource(t(s, dir, "documents"), "text",
+        "source", maxPieceLen = 4, seedV = 96, targetV = 24, pruneFrac = 0.5)
+      .orderBy("source")
+  }
+
   /** Streaming ingest-time decontamination gate, batch twin (q225): the
     * per-document protocol flags of Decontaminate.ingestGate — every rung
     * a stateless projection or stream-static join (the append-mode shapes;
@@ -5623,5 +5666,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
 }

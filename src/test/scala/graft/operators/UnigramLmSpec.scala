@@ -147,6 +147,27 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(multiByRound == Seq(3, 2, 1), multiByRound.toString)
   }
 
+  test("unigramFertilityBySource: trained-vocab pieces per kchar, join-free corpus side") {
+    // sources A ("ab ab") and B ("a b"): the trained model keeps multi
+    // piece "ab", so A decodes 2 pieces over 4 chars (500/kchar) and B
+    // decodes 2 single-char pieces over 2 chars (1000/kchar) — the
+    // fertility gap IS the signal (the vocabulary fits A, not B)
+    val df = Seq(("A", "ab ab"), ("B", "a b")).toDF("source", "text")
+    val out = TextAnalysis.unigramFertilityBySource(df, "text", "source",
+        maxPieceLen = 4, seedV = 4, targetV = 1, pruneFrac = 0.5)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out("A") == ((1L, 4L, 2L, 500L)), out("A").toString)
+    assert(out("B") == ((1L, 2L, 2L, 1000L)), out("B").toString)
+    // the corpus-sized side is a pure decode projection + one aggregate:
+    // no join anywhere in the final plan
+    val plan = TextAnalysis.unigramFertilityBySource(df, "text", "source",
+        maxPieceLen = 4, seedV = 4, targetV = 1, pruneFrac = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("unigramLmVocab: chars always kept, unused multi-pieces pruned") {
     // corpus: 'ababab' x3, 'cd' x1 — 'ab' dominates; 'ba' is a frequent
     // substring (seeded) but the Viterbi path never uses it
