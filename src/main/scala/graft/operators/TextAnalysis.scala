@@ -84,6 +84,53 @@ object TextAnalysis {
         ((col("cum") - 1) / contextLen).cast("long").as("last_bin"))
   }
 
+  /** Whole-document bin packing by first-fit decreasing — the NO-SPLIT
+    * example-packing layout ([[packSequences]]'s concat-and-split cuts
+    * documents across context windows; SFT/instruction corpora must keep
+    * each example whole, so examples are packed into fixed-capacity bins
+    * instead — FFD is the classic 11/9·OPT + 6/9 approximation, Johnson
+    * 1973). Documents are sharded by `doc_id mod nShards` (a DETERMINISTIC
+    * relational key, so the oracle replays the exact same grouping — not
+    * Spark's physical partitioning), and each shard runs FFD over its
+    * documents in (n_tokens DESC, doc_id ASC) order: first open bin with
+    * room takes the document, else a new bin opens. A document longer
+    * than the capacity opens its own permanently-overfull bin and is
+    * flagged oversize.
+    *
+    * Scale shape: the per-shard state is ONLY (doc_id, n_tokens) pairs
+    * and open-bin fills — never text — so a shard of 10⁶ documents is
+    * ~16 MB of longs inside one `flatMapGroups` task; nShards scales the
+    * layout to any corpus (the epochShuffle parallelism argument).
+    * One token-count projection + one shard-keyed exchange.
+    *
+    * Output per doc: doc_id, shard, bin (0-based within shard),
+    * n_tokens, oversize.
+    */
+  def packBinsFfd(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, nShards: Int = 32): DataFrame = {
+    require(capacity > 0 && nShards > 0,
+      s"packBinsFfd: need capacity > 0 and nShards > 0, got $capacity/$nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("shard"),
+        size(toks(col(textCol))).as("n_tokens"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy { case (id, _, n) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, _, n) =>
+          var b = 0
+          while (b < fills.length && fills(b) + n > capacity) b += 1
+          if (b == fills.length) fills += n.toLong else fills(b) += n
+          (id, shard, b, n.toLong, n > capacity)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tokens", "oversize")
+  }
+
   /** Corpus-frequency quality signals: per document, the mean corpus
     * frequency of its tokens and the fraction of rare tokens (corpus count
     * < minCount) — the integer-arithmetic core of unigram-LM scoring

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** TextAnalysis.packBinsFfd — whole-document first-fit-decreasing packing
+  * (the no-split SFT example layout). sf-scale behavior is oracle-checked
+  * via q227; these specs hand-run the FFD walk, the oversize contract, and
+  * the capacity invariant.
+  */
+class PackBinsFfdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+
+  private def pack(docs: Seq[(Long, String)], capacity: Int) =
+    TextAnalysis.packBinsFfd(docs.toDF("doc_id", "text"), "doc_id", "text",
+        capacity, nShards = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+
+  test("first-fit decreasing, hand-run: the 7/6/4/3/3/2 walk at capacity 10") {
+    // sorted desc: 7,6,4,3,3,2. FFD: 7->bin0; 6->bin1; 4 SKIPS bin0
+    // (7+4>10) and fills bin1 to 10 (the first-fit step next-fit would
+    // miss); 3 fills bin0 to 10; 3->bin2; 2->bin2.
+    val out = pack(Seq(doc(1, 7), doc(2, 6), doc(3, 4), doc(4, 3),
+      doc(5, 3), doc(6, 2)), capacity = 10)
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 2, 6L -> 2), out.toString)
+    assert(out.values.forall(!_._3))
+  }
+
+  test("oversize document opens its own permanently-overfull bin") {
+    val out = pack(Seq(doc(7, 12), doc(1, 7), doc(2, 6), doc(3, 4),
+      doc(4, 3), doc(5, 3), doc(6, 2)), capacity = 10)
+    assert(out(7L) == ((0, 12L, true)), out(7L).toString)
+    // nothing else ever lands in the overfull bin; the rest shift one up
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(7L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 3, 6L -> 3))
+  }
+
+  test("capacity invariant: no multi-doc bin exceeds capacity; shards are independent") {
+    val docs = (1L to 40L).map(i => doc(i, (i % 9 + 1).toInt))
+    val rows = TextAnalysis.packBinsFfd(docs.toDF("doc_id", "text"),
+        "doc_id", "text", capacity = 12, nShards = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((shard, bin), grp) =>
+      val fill = grp.map(_._3).sum
+      assert(fill <= 12 || grp.length == 1,
+        s"shard $shard bin $bin overfull with ${grp.length} docs: $fill")
+    }
+    // shard assignment is the deterministic doc_id mod, not physical
+    rows.foreach { case (shard, _, _) => assert(shard >= 0 && shard < 4) }
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+}
