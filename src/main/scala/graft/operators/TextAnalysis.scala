@@ -131,6 +131,29 @@ object TextAnalysis {
       .toDF("doc_id", "shard", "bin", "n_tokens", "oversize")
   }
 
+  /** Packing-efficiency dashboard over [[packBinsFfd]]: per shard, bins
+    * used vs the ⌈Σtokens / capacity⌉ lower bound and the occupancy rate —
+    * the number a training-infra team actually watches (wasted pad tokens
+    * = wasted accelerator hours; FFD's gap to the lower bound is the
+    * actionable headroom). occupancy_ppm = Σtokens·10⁶ div (bins·capacity)
+    * counts oversize bins at their true fill, so a shard of oversize
+    * documents can exceed 10⁶ — visible, not clamped. All integer
+    * arithmetic; one ≤|shards|-group aggregate over the packing frame.
+    */
+  def packBinsReport(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, nShards: Int = 32): DataFrame = {
+    val packed = packBinsFfd(df, idCol, textCol, capacity, nShards)
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin")) + 1).cast("long").as("n_bins"),
+        sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"))
+      .withColumn("lower_bound",
+        expr(s"(n_tokens + ${capacity - 1}L) div ${capacity}L"))
+      .withColumn("occupancy_ppm",
+        expr(s"(n_tokens * 1000000L) div (n_bins * ${capacity}L)"))
+  }
+
   /** Corpus-frequency quality signals: per document, the mean corpus
     * frequency of its tokens and the fraction of rare tokens (corpus count
     * < minCount) — the integer-arithmetic core of unigram-LM scoring

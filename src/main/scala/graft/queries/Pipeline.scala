@@ -5640,6 +5640,54 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency dashboard (q228): per shard, FFD bins used vs the
+    * token lower bound and occupancy — the pad-waste number a training
+    * run watches. The oracle extends the q227 replay with the rollup.
+    */
+  val q228 = Q(
+    "q228_pack_efficiency",
+    """WITH RECURSIVE
+      |dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(doc_id % 8 AS BIGINT) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n
+      |  FROM documents WHERE length(text) > 0),
+      |ord AS (SELECT doc_id, shard, n, ROW_NUMBER() OVER (
+      |    PARTITION BY shard ORDER BY n DESC, doc_id) AS rn FROM dl),
+      |cnt AS (SELECT shard, CAST(COUNT(*) AS INT) AS m FROM ord GROUP BY shard),
+      |pk AS (
+      |  SELECT shard, 0 AS i, CAST([] AS BIGINT[]) AS fills, CAST([] AS INT[]) AS bins
+      |  FROM cnt
+      |  UNION ALL
+      |  SELECT shard, i + 1,
+      |    CASE WHEN b <= len(fills)
+      |         THEN list_transform(range(1, len(fills) + 1),
+      |           j -> CASE WHEN j = b THEN fills[j] + n ELSE fills[j] END)
+      |         ELSE list_append(fills, CAST(n AS BIGINT)) END,
+      |    list_append(bins, CAST(b - 1 AS INT))
+      |  FROM (
+      |    SELECT p.shard, p.i, p.fills, p.bins, o.n,
+      |      COALESCE(list_filter(range(1, len(p.fills) + 1),
+      |          j -> p.fills[j] + o.n <= 128)[1],
+      |        len(p.fills) + 1) AS b
+      |    FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.i + 1)
+      |),
+      |fin AS (SELECT pk.shard, pk.fills FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m),
+      |tot AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN n > 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+      |  FROM ord GROUP BY shard)
+      |SELECT t.shard, t.n_docs, t.n_tokens,
+      |  CAST(len(f.fills) AS BIGINT) AS n_bins,
+      |  t.n_oversize,
+      |  CAST((t.n_tokens + 127) // 128 AS BIGINT) AS lower_bound,
+      |  CAST(t.n_tokens * 1000000 // (len(f.fills) * 128) AS BIGINT) AS occupancy_ppm
+      |FROM tot t JOIN fin f USING (shard)
+      |ORDER BY t.shard""".stripMargin) { (s, dir) =>
+    TextAnalysis.packBinsReport(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 128, nShards = 8)
+      .orderBy("shard")
+  }
+
   /** Streaming ingest-time decontamination gate, batch twin (q225): the
     * per-document protocol flags of Decontaminate.ingestGate — every rung
     * a stateless projection or stream-static join (the append-mode shapes;
@@ -5710,5 +5758,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 }

@@ -42,6 +42,23 @@ class PackBinsFfdSpec extends AnyFunSuite {
       Map(7L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 3, 6L -> 3))
   }
 
+  test("packBinsReport: bins vs lower bound and occupancy, hand-checked") {
+    // the 7/6/4/3/3/2 walk: 25 tokens, 3 bins at capacity 10 —
+    // lower bound ceil(25/10) = 3 (FFD meets it), occupancy
+    // 25_000_000 div 30 = 833_333 ppm
+    val r = TextAnalysis.packBinsReport(
+        Seq(doc(1, 7), doc(2, 6), doc(3, 4), doc(4, 3), doc(5, 3), doc(6, 2))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", capacity = 10, nShards = 1)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    def g(c: String) = row.getLong(row.fieldIndex(c))
+    assert((g("n_docs"), g("n_tokens"), g("n_bins"), g("n_oversize"),
+      g("lower_bound"), g("occupancy_ppm")) == ((6L, 25L, 3L, 0L, 3L, 833333L)),
+      row.toString)
+  }
+
   test("capacity invariant: no multi-doc bin exceeds capacity; shards are independent") {
     val docs = (1L to 40L).map(i => doc(i, (i % 9 + 1).toInt))
     val rows = TextAnalysis.packBinsFfd(docs.toDF("doc_id", "text"),
