@@ -98,10 +98,17 @@ object TextAnalysis {
     * flagged oversize.
     *
     * Scale shape: the per-shard state is ONLY (doc_id, n_tokens) pairs
-    * and open-bin fills — never text — so a shard of 10⁶ documents is
-    * ~16 MB of longs inside one `flatMapGroups` task; nShards scales the
-    * layout to any corpus (the epochShuffle parallelism argument).
-    * One token-count projection + one shard-keyed exchange.
+    * and per-bin remaining capacities — never text — a few tens of MB for
+    * a 10⁶-document shard inside one `flatMapGroups` task; nShards scales
+    * the layout to any corpus (the epochShuffle parallelism argument).
+    * The first-fit search runs on a leftmost-fit SEGMENT TREE over bin
+    * remainders (O(log bins) per document — the naive linear scan is
+    * O(docs·bins) per shard, hours of single-core CPU at the advertised
+    * shard size; round-19 review finding). One token-count projection +
+    * one shard-keyed exchange. Shard = `doc_id % nShards` with the SIGN
+    * FOLLOWING THE DIVIDEND — both Spark's `%` and DuckDB's `%` truncate
+    * toward zero, so the oracle replays the exact grouping for negative
+    * ids too (pmod would not).
     *
     * Output per doc: doc_id, shard, bin (0-based within shard),
     * n_tokens, oversize.
@@ -114,18 +121,15 @@ object TextAnalysis {
     import spark.implicits._
     df.where(length(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
-        pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("shard"),
+        (col(idCol).cast("long") % lit(nShards.toLong)).as("shard"),
         size(toks(col(textCol))).as("n_tokens"))
       .as[(Long, Long, Int)]
       .groupByKey(_._2)
       .flatMapGroups { (shard, it) =>
         val docs = it.toArray.sortBy { case (id, _, n) => (-n, id) }
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val ff = new FirstFitTree(capacity)
         docs.iterator.map { case (id, _, n) =>
-          var b = 0
-          while (b < fills.length && fills(b) + n > capacity) b += 1
-          if (b == fills.length) fills += n.toLong else fills(b) += n
-          (id, shard, b, n.toLong, n > capacity)
+          (id, shard, ff.place(n), n.toLong, n > capacity)
         }
       }
       .toDF("doc_id", "shard", "bin", "n_tokens", "oversize")
@@ -1850,8 +1854,7 @@ object TextAnalysis {
       seedRows: Array[(String, Long)],
       survivedRounds: collection.Map[String, Int],
       model: Array[(String, Long)],
-      finalUsage: Map[String, Long],
-      nRounds: Int)
+      finalUsage: Map[String, Long])
 
   /** The [[unigramLmTrain]] loop body — one zero-shuffle codegen Viterbi
     * pass + one bounded usage collect per schedule round (see the public
@@ -1914,8 +1917,7 @@ object TextAnalysis {
       (charsW.iterator.map(_._1) ++ multiKept.iterator.map(_._1))
         .foreach(p => survivedRounds(p) = round + 1)
     }
-    Some(UnigramTrained(seedRows, survivedRounds, model, segUsage(model),
-      sched.length))
+    Some(UnigramTrained(seedRows, survivedRounds, model, segUsage(model)))
   }
 
   /** (pieces, probs, unkScore) for a (piece, weight) model — the single
@@ -1939,9 +1941,12 @@ object TextAnalysis {
           .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
       case Some(t) =>
         def isChar(p: String) = p.codePointCount(0, p.length) == 1
-        val finalTotal = t.model.map(_._2).sum
-        val finalP = t.model.map { case (p, w) =>
-          p -> w.toDouble / finalTotal.toDouble }.toMap
+        // final_p comes from the SAME modelProbs arithmetic the decode
+        // kernel ran with — not a second hand-rolled normalization
+        // (round-19 review finding: the report must show the exact
+        // doubles the segmentation used)
+        val (pieces, probs, _) = modelProbs(t.model)
+        val finalP = pieces.iterator.zip(probs.iterator).toMap
         spark.createDataFrame(t.seedRows.map { case (p, f) =>
             (p, f, isChar(p), t.survivedRounds(p), finalP.get(p),
               t.finalUsage.getOrElse(p, 0L))
@@ -1974,8 +1979,17 @@ object TextAnalysis {
     import spark.implicits._
     unigramTrainCore(df, textCol, maxPieceLen, seedV, targetV, pruneFrac) match {
       case None =>
-        Seq.empty[(String, Long, Long, Long, Long)]
-          .toDF("source", "n_docs", "n_chars", "n_pieces", "pieces_per_kchar")
+        // no trainable words does NOT mean no sources: the report still
+        // rolls up every source with zero pieces — the oracle aggregates
+        // FROM documents unconditionally, so an empty frame here would
+        // row-count-diverge on a whitespace-only corpus (round-19 review
+        // finding)
+        df.select(col(sourceCol).as("source"),
+            length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .select(col("source"), col("n_docs"), col("n_chars"),
+            lit(0L).as("n_pieces"), lit(0L).as("pieces_per_kchar"))
       case Some(t) =>
         val (pieces, probs, unk) = modelProbs(t.model)
         df.select(col(sourceCol).as("source"),
@@ -2062,5 +2076,62 @@ object TextAnalysis {
         when(col("qbin") === 0, lit("head"))
           .when(col("qbin") === 1, lit("middle"))
           .otherwise(lit("tail")))
+  }
+}
+
+/** Leftmost-first-fit segment tree over open-bin REMAINING capacities —
+  * the O(log bins) inner loop of [[TextAnalysis.packBinsFfd]] (round-19
+  * review finding: the naive linear scan is O(docs·bins) per shard).
+  * `place(n)` returns the 0-based index of the leftmost open bin with
+  * remaining ≥ n, opening a new bin when none has room — bit-identical to
+  * the linear first-fit walk (an oversize document opens a bin whose
+  * remainder goes negative and never fits anything again). Leaves hold
+  * remainders (−1 = not open); internal nodes hold subtree maxima; the
+  * leaf array doubles on demand.
+  */
+private[operators] final class FirstFitTree(capacity: Int) {
+  private var leafCap = 1024
+  private var tree = {
+    val t = new Array[Int](2 * leafCap)
+    java.util.Arrays.fill(t, -1)
+    t
+  }
+  private var nBins = 0
+
+  private def grow(): Unit = {
+    val old = tree
+    val oldLeafCap = leafCap
+    leafCap *= 2
+    tree = new Array[Int](2 * leafCap)
+    java.util.Arrays.fill(tree, -1)
+    System.arraycopy(old, oldLeafCap, tree, leafCap, oldLeafCap)
+    var i = leafCap - 1
+    while (i >= 1) {
+      tree(i) = math.max(tree(2 * i), tree(2 * i + 1))
+      i -= 1
+    }
+  }
+
+  def place(n: Int): Int = {
+    val b =
+      if (tree(1) >= n) {
+        var i = 1
+        while (i < leafCap) i = if (tree(2 * i) >= n) 2 * i else 2 * i + 1
+        i - leafCap
+      } else {
+        if (nBins == leafCap) grow()
+        val fresh = nBins
+        nBins += 1
+        tree(leafCap + fresh) = capacity
+        fresh
+      }
+    var i = leafCap + b
+    tree(i) -= n
+    i >>= 1
+    while (i >= 1) {
+      tree(i) = math.max(tree(2 * i), tree(2 * i + 1))
+      i >>= 1
+    }
+    b
   }
 }

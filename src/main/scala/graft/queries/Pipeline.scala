@@ -5603,10 +5603,14 @@ object Pipeline {
     * list — the first bin with room via a list_filter lambda, exactly
     * the operator's while-loop.
     */
-  val q227 = Q(
-    "q227_pack_bins_ffd",
-    """WITH RECURSIVE
-      |dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  /** The q227/q228 shared FFD replay: per doc_id-mod shard, documents in
+    * (n DESC, doc_id) order walk a recursive CTE carrying the open-bin
+    * fills list (first fitting bin via a list_filter lambda — the
+    * operator's segment-tree leftmost fit). Ends with `pk` holding the
+    * complete walk; consumers project `bins` (per-doc assignment) or
+    * `fills` (per-shard occupancy) at i = cnt.m. */
+  private def packFfdCtes: String =
+    """dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    CAST(doc_id % 8 AS BIGINT) AS shard,
       |    CAST(len(string_split(text, ' ')) AS INT) AS n
       |  FROM documents WHERE length(text) > 0),
@@ -5629,7 +5633,12 @@ object Pipeline {
       |          j -> p.fills[j] + o.n <= 128)[1],
       |        len(p.fills) + 1) AS b
       |    FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.i + 1)
-      |),
+      |)""".stripMargin
+
+  val q227 = Q(
+    "q227_pack_bins_ffd",
+    s"""WITH RECURSIVE
+      |$packFfdCtes,
       |fin AS (SELECT pk.shard, pk.bins FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m)
       |SELECT o.doc_id, o.shard, CAST(f.bins[o.rn] AS INT) AS bin,
       |  CAST(o.n AS BIGINT) AS n_tokens, o.n > 128 AS oversize
@@ -5646,31 +5655,8 @@ object Pipeline {
     */
   val q228 = Q(
     "q228_pack_efficiency",
-    """WITH RECURSIVE
-      |dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |    CAST(doc_id % 8 AS BIGINT) AS shard,
-      |    CAST(len(string_split(text, ' ')) AS INT) AS n
-      |  FROM documents WHERE length(text) > 0),
-      |ord AS (SELECT doc_id, shard, n, ROW_NUMBER() OVER (
-      |    PARTITION BY shard ORDER BY n DESC, doc_id) AS rn FROM dl),
-      |cnt AS (SELECT shard, CAST(COUNT(*) AS INT) AS m FROM ord GROUP BY shard),
-      |pk AS (
-      |  SELECT shard, 0 AS i, CAST([] AS BIGINT[]) AS fills, CAST([] AS INT[]) AS bins
-      |  FROM cnt
-      |  UNION ALL
-      |  SELECT shard, i + 1,
-      |    CASE WHEN b <= len(fills)
-      |         THEN list_transform(range(1, len(fills) + 1),
-      |           j -> CASE WHEN j = b THEN fills[j] + n ELSE fills[j] END)
-      |         ELSE list_append(fills, CAST(n AS BIGINT)) END,
-      |    list_append(bins, CAST(b - 1 AS INT))
-      |  FROM (
-      |    SELECT p.shard, p.i, p.fills, p.bins, o.n,
-      |      COALESCE(list_filter(range(1, len(p.fills) + 1),
-      |          j -> p.fills[j] + o.n <= 128)[1],
-      |        len(p.fills) + 1) AS b
-      |    FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.i + 1)
-      |),
+    s"""WITH RECURSIVE
+      |$packFfdCtes,
       |fin AS (SELECT pk.shard, pk.fills FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m),
       |tot AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |    CAST(SUM(n) AS BIGINT) AS n_tokens,

@@ -59,6 +59,37 @@ class PackBinsFfdSpec extends AnyFunSuite {
       row.toString)
   }
 
+  test("segment-tree first fit is bit-identical to the linear walk (round-19 review)") {
+    // deterministic LCG lengths across several capacities, incl. growth
+    // past the initial leaf array and oversize entries
+    var seed = 12345L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (math.abs(seed % bound) + 1).toInt
+    }
+    Seq(10, 37, 128).foreach { cap =>
+      val lens = Array.fill(3000)(next(cap + cap / 4 + 1)) // some oversize
+      val ff = new FirstFitTree(cap)
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      lens.zipWithIndex.foreach { case (n, k) =>
+        var b = 0
+        while (b < fills.length && fills(b) + n > cap) b += 1
+        if (b == fills.length) fills += n.toLong else fills(b) += n
+        val got = ff.place(n)
+        assert(got == b, s"cap=$cap step=$k n=$n: tree chose $got, linear chose $b")
+      }
+    }
+  }
+
+  test("negative doc_ids shard identically to the oracle's % (sign follows dividend)") {
+    val out = TextAnalysis.packBinsFfd(
+        Seq((-3L, "w w"), (5L, "w w w")).toDF("doc_id", "text"),
+        "doc_id", "text", capacity = 10, nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(-3L) == -3L, s"Spark % must truncate toward zero like DuckDB: ${out(-3L)}")
+    assert(out(5L) == 5L)
+  }
+
   test("capacity invariant: no multi-doc bin exceeds capacity; shards are independent") {
     val docs = (1L to 40L).map(i => doc(i, (i % 9 + 1).toInt))
     val rows = TextAnalysis.packBinsFfd(docs.toDF("doc_id", "text"),
