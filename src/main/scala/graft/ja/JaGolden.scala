@@ -395,6 +395,36 @@ object JaGolden {
   lazy val heldoutCorpus24: Seq[(Int, String, Seq[String])] =
     loadHeldout("/graft/ja/heldout_corpus24.tsv")
 
+  /** Twenty-fifth blind held-out set (wind-chime making / sake brewery /
+    * window cleaning / killifish keeping / magic show / shaved-ice stand),
+    * pre-registered round 19 and evaluated round 20 FIRST, before any
+    * dictionary change: first-run 30/40 = 75.0%. Adjudication: SEVEN lexeme
+    * gaps over 8 sentences (風鈴 — the register noun, 吊るす — the probe-71
+    * deferral closed, 新酒, 日光, 手品, 種明かし — a kanji-run UNK tear,
+    * かき氷 per the 紙飛行機 function test), THREE author amendments each
+    * citing a record (お土産 lexicalized-お entry = the header's own flagged
+    * risk; 行った→行く per JaHomographs ledger #1; 見抜ける per the set-20
+    * potentials-are-lexemes pin), ZERO lattice findings — third consecutive
+    * clean-lattice set. Pinned at 40/40; drives q229.
+    */
+  lazy val heldoutCorpus25: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus25.tsv")
+
+  /** Twenty-sixth blind held-out set (kintsugi / papermaking / shadow play /
+    * dyeing / kokeshi painting / origami), pre-registered round 19 and
+    * evaluated round 20 after set 25, still before any dictionary change:
+    * first-run 30/40 = 75.0%. Adjudication: EIGHT lexeme gaps (金継ぎ,
+    * 紙すき, kana すく k-row, 影絵, 染め物, つなぎ目, 折り紙, 折り目 — five
+    * of the eight were the author's own flagged risks), THREE author
+    * amendments each citing a record (お茶 per goldens 251/1025/1237/1685/
+    * 1691; 一緒に per goldens 370/1217/2135; ごと KEPT per goldens
+    * 968/1710/2217 — the drop-ごと expectation had no precedent), ZERO
+    * lattice findings — fourth consecutive clean-lattice set. Pinned at
+    * 40/40; drives q230.
+    */
+  lazy val heldoutCorpus26: Seq[(Int, String, Seq[String])] =
+    loadHeldout("/graft/ja/heldout_corpus26.tsv")
+
   private def loadHeldout(res: String): Seq[(Int, String, Seq[String])] = {
     val in = getClass.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
@@ -456,6 +486,10 @@ object JaGolden {
     literalTable(heldoutCorpus23.map { case (sid, _, toks) => (sid, toks) })
   def heldout24OracleSql: String =
     literalTable(heldoutCorpus24.map { case (sid, _, toks) => (sid, toks) })
+  def heldout25OracleSql: String =
+    literalTable(heldoutCorpus25.map { case (sid, _, toks) => (sid, toks) })
+  def heldout26OracleSql: String =
+    literalTable(heldoutCorpus26.map { case (sid, _, toks) => (sid, toks) })
 
   /** q56/q57 oracles: literal tables of the reviewed SEARCH/EXTENDED rows. */
   def searchOracleSql: String =

@@ -595,4 +595,65 @@ class HeldoutCorpusSpec extends AnyFunSuite {
     val overlap = JaGolden.heldoutCorpus24.filter { case (_, s, _) => seen.contains(s) }
     assert(overlap.isEmpty, s"held-out-24 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
   }
+
+  test("held-out corpus 25: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus25
+    assert(corpus.size == 40, s"held-out corpus 25 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-25 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 25 is disjoint from all earlier corpora") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2) ++ JaGolden.heldoutCorpus10.map(_._2) ++
+      JaGolden.heldoutCorpus11.map(_._2) ++ JaGolden.heldoutCorpus12.map(_._2) ++
+      JaGolden.heldoutCorpus13.map(_._2) ++ JaGolden.heldoutCorpus14.map(_._2) ++
+      JaGolden.heldoutCorpus15.map(_._2) ++ JaGolden.heldoutCorpus16.map(_._2) ++
+      JaGolden.heldoutCorpus17.map(_._2) ++ JaGolden.heldoutCorpus18.map(_._2) ++
+      JaGolden.heldoutCorpus19.map(_._2) ++ JaGolden.heldoutCorpus20.map(_._2) ++
+      JaGolden.heldoutCorpus21.map(_._2) ++ JaGolden.heldoutCorpus22.map(_._2) ++
+      JaGolden.heldoutCorpus23.map(_._2) ++ JaGolden.heldoutCorpus24.map(_._2)
+    val overlap = JaGolden.heldoutCorpus25.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-25 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
+
+  test("held-out corpus 26: 40 fresh-register sentences, full-sequence match") {
+    val tok = new JaTokenizer()
+    val corpus = JaGolden.heldoutCorpus26
+    assert(corpus.size == 40, s"held-out corpus 26 must stay at 40 sentences, got ${corpus.size}")
+    val failures = corpus.flatMap { case (sid, s, expected) =>
+      val got = tok.tokenize(s).toSeq
+      if (got == expected) None
+      else Some(s"sid=$sid $s\n  expected ${expected.mkString("|")}\n  got      ${got.mkString("|")}")
+    }
+    assert(failures.isEmpty, s"\n${failures.size} held-out-26 mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("held-out corpus 26 is disjoint from all earlier corpora") {
+    val seen = JaGolden.corpus.map(_.sentence).toSet ++
+      JaGolden.heldoutCorpus.map(_._2) ++ JaGolden.heldoutCorpus2.map(_._2) ++
+      JaGolden.heldoutCorpus3.map(_._2) ++ JaGolden.heldoutCorpus4.map(_._2) ++
+      JaGolden.heldoutCorpus5.map(_._2) ++ JaGolden.heldoutCorpus6.map(_._2) ++
+      JaGolden.heldoutCorpus7.map(_._2) ++ JaGolden.heldoutCorpus8.map(_._2) ++
+      JaGolden.heldoutCorpus9.map(_._2) ++ JaGolden.heldoutCorpus10.map(_._2) ++
+      JaGolden.heldoutCorpus11.map(_._2) ++ JaGolden.heldoutCorpus12.map(_._2) ++
+      JaGolden.heldoutCorpus13.map(_._2) ++ JaGolden.heldoutCorpus14.map(_._2) ++
+      JaGolden.heldoutCorpus15.map(_._2) ++ JaGolden.heldoutCorpus16.map(_._2) ++
+      JaGolden.heldoutCorpus17.map(_._2) ++ JaGolden.heldoutCorpus18.map(_._2) ++
+      JaGolden.heldoutCorpus19.map(_._2) ++ JaGolden.heldoutCorpus20.map(_._2) ++
+      JaGolden.heldoutCorpus21.map(_._2) ++ JaGolden.heldoutCorpus22.map(_._2) ++
+      JaGolden.heldoutCorpus23.map(_._2) ++ JaGolden.heldoutCorpus24.map(_._2) ++
+      JaGolden.heldoutCorpus25.map(_._2)
+    val overlap = JaGolden.heldoutCorpus26.filter { case (_, s, _) => seen.contains(s) }
+    assert(overlap.isEmpty, s"held-out-26 sentences not out-of-sample: ${overlap.map(_._1).mkString(",")}")
+  }
 }
