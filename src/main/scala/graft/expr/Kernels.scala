@@ -367,6 +367,165 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Unigram-LM forward–backward EXPECTED piece counts — Kudo 2018 §3.2's
+    * actual E-step (soft EM), closing the hard-EM daylight of
+    * [[unigramSegment]] (VERDICT r19 #2): instead of counting pieces on the
+    * single Viterbi path, every span (j, i) that forms a vocab piece (or a
+    * single-codepoint unk) contributes its posterior probability mass
+    *   E[count(j,i)] = α(j) · p(piece) · β(i) / Z
+    * where α is the forward sum over all segmentations of the prefix, β the
+    * backward sum over the suffix, Z = α(n) the total lattice mass.
+    *
+    * Cross-engine exactness (the exact-hash oracle gate) is preserved by
+    * three disciplines, all transcendental-free:
+    *  - SUMS stay in boosted linear space: the same power-of-two
+    *    renormalization as the Viterbi DP (≤ 2^-256 → ×2^256, one int boost;
+    *    exact — only the exponent moves). Window terms are aligned to the
+    *    window's MINIMUM boost before summing; the spread is ≤ 2 (boost
+    *    increments are ≥ 2 positions apart since a post-renorm value > 2^-84
+    *    shrinks by ≥ MinProb = 2^-84 per step), so a scaled term is
+    *    ≥ 2^-340·2^-512 = 2^-852 — comfortably normal, scaling stays exact.
+    *  - ORDERED left folds: each α(i)/β(j) is Σ terms accumulated ascending
+    *    (j for forward, i for backward) from 0.0 — the order DuckDB replays
+    *    with list_reduce(list_prepend(0.0, list(. ORDER BY .)), +).
+    *  - INTEGER quantization before any cross-row aggregation: the
+    *    per-occurrence posterior is floored to q = ⌊eq · 2^24⌋ (the multiply
+    *    is exact — power of two), and only integers leave the row, so the
+    *    corpus rollup Σ wc·q is order-independent and exact in both engines.
+    *    Occurrences with q = 0 (posterior < 2^-24) are dropped — a
+    *    documented quantization floor, deterministic on both sides.
+    *
+    * The emission's boost adjustment k = bα(j)+bβ(i)−bZ is provably in
+    * [-2, 2] (stored values live in (2^-256, maxLen]; true eq ≤ 1), enforced
+    * loudly. Division and multiplication associate left exactly as the
+    * DuckDB twin's `((fas[j+1] * p) * bas[i+1]) / fas[n+1]` — IEEE
+    * correctly-rounded in both engines, so every emitted q is bit-identical.
+    *
+    * Output rows (piece, q) are emitted per word, i ascending then j
+    * ascending, q > 0 only — order is irrelevant downstream (integer sums)
+    * but fixed for the spec's determinism pin.
+    */
+  /** 2^24 — the expected-count quantization scale. */
+  val UnigramQuantScale: Double = 16777216.0
+
+  def unigramExpected(s: UTF8String,
+      vocab: java.util.HashMap[String, java.lang.Double],
+      unkScore: Double, maxLen: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val n = w.codePointCount(0, w.length)
+        val offs = new Array[Int](n + 1)
+        var ci = 0
+        var k0 = 0
+        while (k0 < n) {
+          offs(k0) = ci
+          ci += Character.charCount(w.codePointAt(ci))
+          k0 += 1
+        }
+        offs(n) = w.length
+        // span probability: vocab piece, or unk for an absent single
+        // codepoint (Kudo's totality fallback); 0.0 marks an invalid span
+        def sp(j: Int, i: Int): Double = {
+          val p = vocab.get(w.substring(offs(j), offs(i)))
+          if (p != null) p.doubleValue()
+          else if (i - j == 1) unkScore
+          else 0.0
+        }
+        // forward: fa(i) stored value, fb(i) boost — α(i)·2^(256·fb(i))
+        val fa = new Array[Double](n + 1)
+        val fb = new Array[Int](n + 1)
+        fa(0) = 1.0
+        var i = 1
+        while (i <= n) {
+          var bc = Int.MaxValue
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (sp(j, i) > 0.0 && fb(j) < bc) bc = fb(j)
+            j += 1
+          }
+          var sum = 0.0
+          j = math.max(0, i - maxLen)
+          while (j < i) {
+            val p = sp(j, i)
+            if (p > 0.0) {
+              val spd = fb(j) - bc
+              require(spd <= 2,
+                s"unigram_expected: forward boost spread $spd > 2 (maxLen $maxLen too wide for the renorm window bound)")
+              sum += java.lang.Math.scalb(fa(j) * p, -256 * spd)
+            }
+            j += 1
+          }
+          var b = bc
+          if (sum <= UnigramBoostLo) { sum *= UnigramBoostHi; b += 1 }
+          fa(i) = sum
+          fb(i) = b
+          i += 1
+        }
+        // backward: ba(j) stored, bb(j) boost — β(j)·2^(256·bb(j))
+        val ba = new Array[Double](n + 1)
+        val bb = new Array[Int](n + 1)
+        ba(n) = 1.0
+        var jj = n - 1
+        while (jj >= 0) {
+          val iMax = math.min(n, jj + maxLen)
+          var bc = Int.MaxValue
+          var i2 = jj + 1
+          while (i2 <= iMax) {
+            if (sp(jj, i2) > 0.0 && bb(i2) < bc) bc = bb(i2)
+            i2 += 1
+          }
+          var sum = 0.0
+          i2 = jj + 1
+          while (i2 <= iMax) {
+            val p = sp(jj, i2)
+            if (p > 0.0) {
+              val spd = bb(i2) - bc
+              require(spd <= 2,
+                s"unigram_expected: backward boost spread $spd > 2 (maxLen $maxLen too wide for the renorm window bound)")
+              sum += java.lang.Math.scalb(p * ba(i2), -256 * spd)
+            }
+            i2 += 1
+          }
+          var b = bc
+          if (sum <= UnigramBoostLo) { sum *= UnigramBoostHi; b += 1 }
+          ba(jj) = sum
+          bb(jj) = b
+          jj -= 1
+        }
+        // emission: quantized posterior per valid span
+        var ie = 1
+        while (ie <= n) {
+          var j2 = math.max(0, ie - maxLen)
+          while (j2 < ie) {
+            val p = sp(j2, ie)
+            if (p > 0.0) {
+              val stored = ((fa(j2) * p) * ba(ie)) / fa(n)
+              val kAdj = fb(j2) + bb(ie) - fb(n)
+              require(kAdj >= -2 && kAdj <= 2,
+                s"unigram_expected: emission boost adjust $kAdj outside [-2, 2]")
+              val eq = java.lang.Math.scalb(stored, -256 * kAdj)
+              val q = java.lang.Math.floor(eq * UnigramQuantScale).toLong
+              if (q > 0L) {
+                out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](UTF8String.fromString(w.substring(offs(j2), offs(ie))),
+                    java.lang.Long.valueOf(q)))
+              }
+            }
+            j2 += 1
+          }
+          ie += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** SimHash signature over the space-separated token multiset, one char
     * pass per row (no explode/aggregate): bit b of the result is set iff
     * Σ_tokens (±1 by bit b of polyHash(token)) > 0. Token boundaries follow

@@ -115,6 +115,14 @@ object functions {
       unkScore: Double): Column =
     toCol(graft.expr.UnigramSegment(toExpr(text), pieces, probs, unkScore))
 
+  /** Row-level forward–backward expected unigram piece counts (soft-EM
+    * E-step, Kudo 2018 §3.2; codegen'd — see graft.expr.UnigramExpected):
+    * array<struct<piece, q>> with q the 2^24-quantized posterior mass.
+    */
+  def unigram_expected(text: Column, pieces: Seq[String], probs: Seq[Double],
+      unkScore: Double): Column =
+    toCol(graft.expr.UnigramExpected(toExpr(text), pieces, probs, unkScore))
+
   /** Per-row SimHash signature of a space-separated text (codegen'd fused
     * split+hash+vote; see graft.expr.SimHash64). A pure projection — the
     * scale-safe replacement for explode + per-bit sum aggregation.

@@ -1642,6 +1642,11 @@ object TextAnalysis {
       maxPieceLen: Int = 4, topV: Int = 48): DataFrame = {
     require(maxPieceLen >= 2 && topV >= 1,
       s"unigramLmVocab: need maxPieceLen >= 2 and topV >= 1, got $maxPieceLen/$topV")
+    // topV ≥ 65536 would turn the character-seed cap 65536 − topV negative
+    // (an opaque AnalysisException at plan build) and values close to it
+    // starve the character backbone the DP's totality rests on (ADVICE r19)
+    require(topV <= 61440,
+      s"unigramLmVocab: topV capped at 61440 (the 65536 plan-embed bound minus a 4096-codepoint character-backbone reservation), got $topV")
     val spark = df.sparkSession
     import spark.implicits._
     // the distinct-words frame feeds BOTH the seeding collect and the
@@ -1699,6 +1704,104 @@ object TextAnalysis {
       .withColumn("keep", col("is_char") || col("usage") > 0)
   }
 
+  /** Kudo 2018 §3.2's TRUE E-step — soft EM (VERDICT r19 #2): where
+    * [[unigramLmVocab]] counts pieces on the single Viterbi path (hard EM,
+    * a documented approximation), this computes EXPECTED piece counts via
+    * forward–backward over the full segmentation lattice
+    * (graft.expr.UnigramExpected) and re-estimates the model from them.
+    * The output reports BOTH counts side by side — the divergence surface:
+    * a piece on a near-tied alternative segmentation gets usage_hard = 0
+    * but usage_soft_q > 0, and the soft M-step keeps it where hard-EM
+    * would prune it (exactly the degenerate-pruning failure Kudo's
+    * marginal E-step exists to avoid).
+    *
+    * Exactness: the lattice sums stay in boosted linear space (the
+    * [[unigramLmVocab]] renormalization discipline extended to sums —
+    * no transcendentals, so cross-engine bit-equality carries over), and
+    * every posterior is quantized to an INTEGER q = ⌊eq·2^24⌋ before it
+    * leaves its row, so the corpus rollup Σ wc·q is order-independent and
+    * the driver's exact-hash gate holds. The re-estimated p2 is then one
+    * double division of identical integers per piece. See
+    * [[graft.expr.Kernels.unigramExpected]] for the proof obligations.
+    *
+    * Scale shape: identical to unigramLmVocab — word counting is one
+    * token-keyed shuffle over the DISTINCT-words frame (checkpointed once,
+    * feeding both E-steps), the vocabulary collect is bounded (alphabet
+    * cap + topV) and rides the plan as one reference object, and BOTH
+    * E-steps (Viterbi and forward–backward) are zero-shuffle codegen
+    * projections, O(len · maxPieceLen) hash probes per word. The M-step
+    * total is a one-row aggregate crossJoined back — no second collect.
+    *
+    * Output: piece, freq (seed), is_char, usage_hard (Viterbi-path count,
+    * wc-weighted), usage_soft_q (Σ wc·q — expected count in 2^-24 units),
+    * pruned (multi-piece with zero soft mass), p2 (soft-re-estimated
+    * probability; chars get the +1-occurrence = +2^24 backbone smoothing
+    * mirroring unigramLmEm; NULL when pruned).
+    */
+  def unigramLmSoftEm(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topV: Int = 48): DataFrame = {
+    require(maxPieceLen >= 2 && topV >= 1,
+      s"unigramLmSoftEm: need maxPieceLen >= 2 and topV >= 1, got $maxPieceLen/$topV")
+    require(topV <= 61440,
+      s"unigramLmSoftEm: topV capped at 61440 (the 65536 plan-embed bound minus a 4096-codepoint character-backbone reservation), got $topV")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(toks(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val subs = words.select(col("word"), col("wc"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+    val pf = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    // alphabet capped at the plan-embed bound, tail → unk fallback (the
+    // unigramLmVocab cap rationale; never binds at oracle scale)
+    val vocabRows = pf.where(length(col("piece")) === 1)
+      .orderBy(col("freq").desc, col("piece")).limit(65536 - topV)
+      .union(pf.where(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(topV))
+      .select(col("piece"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (vocabRows.isEmpty)
+      return Seq.empty[(String, Long, Boolean, Long, Long, Boolean, Option[Double])]
+        .toDF("piece", "freq", "is_char", "usage_hard", "usage_soft_q", "pruned", "p2")
+    val total = vocabRows.map(_._2).sum
+    val pieces = vocabRows.map(_._1).toIndexedSeq
+    val probs = vocabRows.map(_._2.toDouble / total.toDouble).toIndexedSeq
+    val unk = 1.0 / (total.toDouble * 1000000.0)
+    val usageHard = words
+      .select(col("wc"), explode(graft.functions.unigram_segment(
+        col("word"), pieces, probs, unk)).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("usage_hard"))
+    val usageSoft = words
+      .select(col("wc"), explode(graft.functions.unigram_expected(
+        col("word"), pieces, probs, unk)).as("e"))
+      .select(col("wc"), col("e.piece").as("piece"), col("e.q").as("q"))
+      .groupBy("piece").agg(sum(col("wc") * col("q")).as("usage_soft_q"))
+    val base = spark.createDataFrame(vocabRows.toSeq).toDF("piece", "freq")
+      .join(broadcast(usageHard), Seq("piece"), "left")
+      .join(broadcast(usageSoft), Seq("piece"), "left")
+      .select(col("piece"), col("freq"),
+        (length(col("piece")) === 1).as("is_char"),
+        coalesce(col("usage_hard"), lit(0L)).as("usage_hard"),
+        coalesce(col("usage_soft_q"), lit(0L)).as("usage_soft_q"))
+      // the soft M-step weight: expected mass + the 2^24 (= one occurrence
+      // in q units) character-backbone smoothing, the unigramLmEm +1 rule
+      .withColumn("w2", col("usage_soft_q")
+        + when(col("is_char"), lit(16777216L)).otherwise(lit(0L)))
+    val tot2 = base.where(col("w2") > 0)
+      .agg(sum(col("w2")).as("tot2"))
+    base.crossJoin(broadcast(tot2))
+      .select(col("piece"), col("freq"), col("is_char"),
+        col("usage_hard"), col("usage_soft_q"),
+        (!col("is_char") && col("usage_soft_q") === 0).as("pruned"),
+        when(!col("is_char") && col("usage_soft_q") === 0, lit(null).cast("double"))
+          .otherwise(col("w2").cast("double") / col("tot2").cast("double")).as("p2"))
+  }
+
   /** The iterated half of [[unigramLmVocab]] — one full hard-EM cycle of
     * the Kudo 2018 loop (prune + re-estimate + re-segment): pass 1 seeds
     * and Viterbi-segments exactly like unigramLmVocab; pass 2 PRUNES
@@ -1722,6 +1825,8 @@ object TextAnalysis {
       maxPieceLen: Int = 4, topV: Int = 48): DataFrame = {
     require(maxPieceLen >= 2 && topV >= 1,
       s"unigramLmEm: need maxPieceLen >= 2 and topV >= 1, got $maxPieceLen/$topV")
+    require(topV <= 61440,
+      s"unigramLmEm: topV capped at 61440 (the 65536 plan-embed bound minus a 4096-codepoint character-backbone reservation), got $topV")
     val spark = df.sparkSession
     import spark.implicits._
     val words = df.select(explode(toks(col(textCol))).as("word"))
@@ -1863,6 +1968,8 @@ object TextAnalysis {
       maxPieceLen: Int, seedV: Int, targetV: Int,
       pruneFrac: Double): Option[UnigramTrained] = {
     require(maxPieceLen >= 2, s"unigram training: need maxPieceLen >= 2, got $maxPieceLen")
+    require(seedV <= 61440,
+      s"unigram training: seedV capped at 61440 (the 65536 plan-embed bound minus a 4096-codepoint character-backbone reservation), got $seedV")
     val sched = unigramPruneSchedule(seedV, targetV, pruneFrac)
     val words = df.select(explode(toks(col(textCol))).as("word"))
       .where(length(col("word")) > 0)

@@ -5374,6 +5374,144 @@ object Pipeline {
        |segs$sfx AS (SELECT word, unnest(pcs) AS piece FROM bt$sfx WHERE pos = 0)""".stripMargin
   }
 
+  /** One forward–backward expected-count CTE chain over the embedded model
+    * `vm` (the q231 oracle shape), emitting `exq$sfx(word, piece, q)` — the
+    * soft-EM E-step twin of [[unigramDpCtes]].
+    *
+    * Replays [[graft.expr.Kernels.unigramExpected]] bit-for-bit: the
+    * forward/backward sums are ORDERED left folds
+    * (list_reduce(list_prepend(0.0, list(term ORDER BY pos)), +) = the
+    * kernel's ascending accumulation from 0.0), window terms are aligned
+    * to the window's minimum boost with exact power-of-two literal
+    * multiplies (spread ≤ 2 — the kernel proves and enforces it), each sum
+    * renormalizes at most once (≤ 2^-256 → ×2^256), and the per-occurrence
+    * posterior ((α·p)·β)/Z is boost-adjusted through a 5-literal CASE
+    * (k ∈ [-2, 2], kernel-enforced) and floored to ⌊eq·2^24⌋ — an INTEGER,
+    * so the downstream Σ wc·q rollup is order-independent on both engines.
+    * All literals are Java shortest-repr doubles, which DuckDB's
+    * correctly-rounded parser maps to identical bits. No unk term: the
+    * oracle (and the sf-scale Spark twin) seeds every single codepoint, so
+    * the map probe only misses on invalid multi-spans (filtered).
+    */
+  private def unigramFwdBwdCtes(sfx: String, vm: String): String = {
+    val lo = graft.expr.Kernels.UnigramBoostLo
+    val hi = graft.expr.Kernels.UnigramBoostHi
+    val d1 = "8.636168555094445E-78" // 2^-256
+    val d2 = "7.458340731200207E-155" // 2^-512
+    val u1 = "1.157920892373162E77" // 2^256
+    val u2 = "1.3407807929942597E154" // 2^512
+    s"""fwd$sfx AS (
+       |  SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS fas, [CAST(0 AS INT)] AS fbs FROM tokw
+       |  UNION ALL
+       |  SELECT word, i + 1, list_append(fas, res.s), list_append(fbs, CAST(res.b AS INT))
+       |  FROM fwd$sfx CROSS JOIN $vm,
+       |  LATERAL (
+       |    SELECT CASE WHEN ssum <= $lo THEN ssum * $hi ELSE ssum END AS s,
+       |      CASE WHEN ssum <= $lo THEN bc + 1 ELSE bc END AS b
+       |    FROM (
+       |      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list(t.raw * (CASE t.bt - t.bc WHEN 0 THEN 1.0 WHEN 1 THEN $d1 WHEN 2 THEN $d2 END) ORDER BY t.j)),
+       |        (acc, x) -> acc + x) AS ssum,
+       |        MAX(t.bc) AS bc
+       |      FROM (
+       |        SELECT j, bt, raw, MIN(bt) OVER () AS bc FROM (
+       |          SELECT j, fbs[j + 1] AS bt,
+       |            fas[j + 1] * m[substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT))][1] AS raw
+       |          FROM unnest(range(greatest(0, i + 1 - 4), i + 1)) u(j))
+       |        WHERE raw IS NOT NULL) t)) res
+       |  WHERE i < length(word)
+       |),
+       |bwd$sfx AS (
+       |  SELECT word, CAST(length(word) AS INT) AS j0, [CAST(1 AS DOUBLE)] AS bas, [CAST(0 AS INT)] AS bbs FROM tokw
+       |  UNION ALL
+       |  SELECT word, j0 - 1, list_prepend(res.s, bas), list_prepend(CAST(res.b AS INT), bbs)
+       |  FROM bwd$sfx CROSS JOIN $vm,
+       |  LATERAL (
+       |    SELECT CASE WHEN ssum <= $lo THEN ssum * $hi ELSE ssum END AS s,
+       |      CASE WHEN ssum <= $lo THEN bc + 1 ELSE bc END AS b
+       |    FROM (
+       |      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list(t.raw * (CASE t.bt - t.bc WHEN 0 THEN 1.0 WHEN 1 THEN $d1 WHEN 2 THEN $d2 END) ORDER BY t.i2)),
+       |        (acc, x) -> acc + x) AS ssum,
+       |        MAX(t.bc) AS bc
+       |      FROM (
+       |        SELECT i2, bt, raw, MIN(bt) OVER () AS bc FROM (
+       |          SELECT i2, bbs[i2 - j0 + 1] AS bt,
+       |            m[substr(word, CAST(j0 AS INT), CAST(i2 - j0 + 1 AS INT))][1] * bas[i2 - j0 + 1] AS raw
+       |          FROM unnest(range(j0, least(length(word), j0 - 1 + 4) + 1)) u(i2))
+       |        WHERE raw IS NOT NULL) t)) res
+       |  WHERE j0 > 0
+       |),
+       |finf$sfx AS (SELECT word, fas, fbs FROM fwd$sfx WHERE i = length(word)),
+       |finb$sfx AS (SELECT word, bas, bbs FROM bwd$sfx WHERE j0 = 0),
+       |exq$sfx AS (
+       |  SELECT word, piece, CAST(floor(eq * 16777216.0) AS BIGINT) AS q FROM (
+       |    SELECT word, substr(word, CAST(j + 1 AS INT), CAST(i - j AS INT)) AS piece,
+       |      (((fas[j + 1] * p) * bas[i + 1]) / fas[length(word) + 1])
+       |        * (CASE fbs[j + 1] + bbs[i + 1] - fbs[length(word) + 1]
+       |            WHEN -2 THEN $u2 WHEN -1 THEN $u1 WHEN 0 THEN 1.0
+       |            WHEN 1 THEN $d1 WHEN 2 THEN $d2 END) AS eq
+       |    FROM (
+       |      SELECT f.word AS word, i, j,
+       |        m[substr(f.word, CAST(j + 1 AS INT), CAST(i - j AS INT))][1] AS p,
+       |        f.fas AS fas, f.fbs AS fbs, b.bas AS bas, b.bbs AS bbs
+       |      FROM finf$sfx f JOIN finb$sfx b USING (word) CROSS JOIN $vm,
+       |        LATERAL unnest(range(1, length(f.word) + 1)) u(i),
+       |        LATERAL unnest(range(greatest(0, i - 4), i)) v(j))
+       |    WHERE p IS NOT NULL)
+       |  WHERE floor(eq * 16777216.0) > 0)""".stripMargin
+  }
+
+  /** Unigram-LM SOFT EM (q231; Kudo 2018 §3.2's true E-step — VERDICT r19
+    * #2): forward–backward EXPECTED piece counts over the full segmentation
+    * lattice beside the hard (Viterbi-path) counts, with the model
+    * re-estimated from the soft counts. The oracle replays the Viterbi DP
+    * (the q218 recursive-CTE pair) AND the forward–backward chain
+    * ([[unigramFwdBwdCtes]]) over the same embedded model; the divergence
+    * between usage_hard and usage_soft_q is the queryable surface of the
+    * hard-EM approximation.
+    */
+  val q231 = Q(
+    "q231_unigram_lm_soft_em",
+    s"""WITH RECURSIVE
+      |tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |subs AS (SELECT word, wc, unnest(flatten(list_transform(range(1, length(word) + 1),
+      |    i -> list_transform(range(1, least(4, length(word) - i + 1) + 1),
+      |      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM tokw),
+      |pf AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM subs GROUP BY piece),
+      |vocab AS (SELECT piece, freq FROM pf WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, freq FROM (SELECT piece, freq FROM pf WHERE length(piece) >= 2
+      |    ORDER BY freq DESC, piece LIMIT 48)),
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab),
+      |v AS (SELECT piece, freq, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+      |  FROM vocab CROSS JOIN tot),
+      |vm AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v),
+      |${unigramDpCtes("", "vm")},
+      |${unigramFwdBwdCtes("", "vm")},
+      |uh AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS usage_hard
+      |  FROM segs JOIN tokw USING (word) GROUP BY piece),
+      |us AS (SELECT piece, CAST(SUM(wc * q) AS BIGINT) AS usage_soft_q
+      |  FROM exq JOIN tokw USING (word) GROUP BY piece),
+      |rep AS (SELECT v.piece, v.freq, length(v.piece) = 1 AS is_char,
+      |    COALESCE(uh.usage_hard, CAST(0 AS BIGINT)) AS usage_hard,
+      |    COALESCE(us.usage_soft_q, CAST(0 AS BIGINT)) AS usage_soft_q
+      |  FROM v LEFT JOIN uh USING (piece) LEFT JOIN us USING (piece)),
+      |w2t AS (SELECT *, usage_soft_q + CASE WHEN is_char THEN 16777216 ELSE 0 END AS w2 FROM rep),
+      |t2 AS (SELECT CAST(SUM(w2) AS BIGINT) AS tot2 FROM w2t WHERE w2 > 0)
+      |SELECT piece, freq, is_char, usage_hard, usage_soft_q,
+      |  (NOT is_char AND usage_soft_q = 0) AS pruned,
+      |  CASE WHEN NOT is_char AND usage_soft_q = 0 THEN NULL
+      |       ELSE CAST(w2 AS DOUBLE) / CAST(tot2 AS DOUBLE) END AS p2
+      |FROM w2t CROSS JOIN t2 ORDER BY piece""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.unigramLmSoftEm(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, topV = 48)
+      .orderBy("piece")
+  }
+
   /** Unigram-LM hard-EM iteration (q220; the full Kudo 2018 loop working:
     * seed → Viterbi → PRUNE unused multi-pieces → re-estimate from usage
     * (+1 on single codepoints only, the character backbone) → re-segment).
@@ -5766,5 +5904,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }
