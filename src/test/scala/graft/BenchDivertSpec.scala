@@ -125,6 +125,20 @@ class BenchDivertSpec extends AnyFunSuite {
       Seq("q01" -> 0.62)))
   }
 
+  test("inflatedQueries names exactly the >3x shared queries (ADVICE r19 #3)") {
+    // the diverted-history entry records WHICH queries inflated so a
+    // repeat across consecutive diverted runs reads as a regression
+    val prior = artifact(0.021, 1.4, "q01" -> 0.6, "q02" -> 0.4, "q03" -> 0.5,
+      "q04" -> 0.7, "q05" -> 0.01, "q62" -> 0.021)
+    val now = Seq("q01" -> 3.0, "q02" -> 0.41, "q03" -> 5.0,
+      "q04" -> 0.7, "q05" -> 1.0, "q06" -> 9.9, "q62" -> 0.02)
+    // q01 = exactly 5x, q03 = 10x; q02/q04 flat; q05's prior 0.01 < 0.05
+    // cannot vote; q06 has no prior; q62's prior 0.021 < 0.05 cannot vote
+    assert(Bench.inflatedQueries(prior, now) == Seq("q01", "q03"))
+    // failed queries (negative sentinel) never vote
+    assert(Bench.inflatedQueries(prior, Seq("q01" -> -1.0)).isEmpty)
+  }
+
   test("spread-only trigger still requires a missing prior floor") {
     val noFloor = """{"metric":"total","value":1.0,"queries":{"q01":0.6},"median_rep_spread":1.2}"""
     assert(Bench.shouldDivert(noFloor, versionFloor = 0.02, medianSpread = 2.5,

@@ -104,4 +104,70 @@ class PackBinsFfdSpec extends AnyFunSuite {
     rows.foreach { case (shard, _, _) => assert(shard >= 0 && shard < 4) }
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("packBinsWithSalvage: fitting docs FFD-pack, oversize docs split through the salvage stream (VERDICT r19 #5)") {
+    // capacity 10: docs 7/6/4/3/3/2 fit (the hand-run walk above), docs
+    // 12 and 25 are oversize. Salvage stream (doc_id order: 7 then 8):
+    // doc 7 (12 tokens) spans offsets [0,12) -> windows 0..1; doc 8 (25)
+    // spans [12,37) -> windows 1..3 (it SHARES window 1 with doc 7's tail
+    // — the concat-and-split contract, no padding between docs).
+    val out = TextAnalysis.packBinsWithSalvage(
+        Seq(doc(1, 7), doc(2, 6), doc(3, 4), doc(4, 3), doc(5, 3), doc(6, 2),
+          doc(7, 12), doc(8, 25)).toDF("doc_id", "text"),
+        "doc_id", "text", capacity = 10, nShards = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // FFD half unchanged from the hand-run walk — oversize docs no longer
+    // shift the bin numbering (they never enter the walk)
+    assert(out(1L) == (("ffd", 7L, 0L, 0L)))
+    assert(out(2L) == (("ffd", 6L, 1L, 1L)))
+    assert(out(3L) == (("ffd", 4L, 1L, 1L)))
+    assert(out(4L) == (("ffd", 3L, 0L, 0L)))
+    assert(out(5L) == (("ffd", 3L, 2L, 2L)))
+    assert(out(6L) == (("ffd", 2L, 2L, 2L)))
+    // salvage half: packSequences arithmetic at contextLen = capacity
+    assert(out(7L) == (("salvage", 12L, 0L, 1L)), out(7L).toString)
+    assert(out(8L) == (("salvage", 25L, 1L, 3L)), out(8L).toString)
+  }
+
+  test("packSalvageReport: per-strategy docs/bins/tokens and the salvaged fraction") {
+    // same fixture: ffd 25 tokens / 3 bins, salvage 37 tokens / 4 windows;
+    // salvage_ppm = 37e6 div 62 = 596_774
+    val r = TextAnalysis.packSalvageReport(
+        Seq(doc(1, 7), doc(2, 6), doc(3, 4), doc(4, 3), doc(5, 3), doc(6, 2),
+          doc(7, 12), doc(8, 25)).toDF("doc_id", "text"),
+        "doc_id", "text", capacity = 10, nShards = 1)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    def g(c: String) = row.getLong(row.fieldIndex(c))
+    assert((g("n_docs_ffd"), g("n_docs_salvaged"), g("ffd_bins"),
+      g("salvage_bins"), g("tokens_ffd"), g("tokens_salvaged"),
+      g("salvage_ppm")) == ((6L, 2L, 3L, 4L, 25L, 37L, 596774L)), row.toString)
+  }
+
+  test("packBinsWithSalvage: all-oversize and all-fitting shards both report; one exchange per stage") {
+    // shard 0 = all oversize, shard 1 = all fitting (nShards 2)
+    val df = Seq(doc(2L, 30), doc(4L, 15), doc(1L, 3), doc(3L, 5))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.packBinsWithSalvage(df, "doc_id", "text",
+        capacity = 10, nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows == Map(2L -> "salvage", 4L -> "salvage",
+      1L -> "ffd", 3L -> "ffd"))
+    val rep = TextAnalysis.packSalvageReport(df, "doc_id", "text",
+        capacity = 10, nShards = 2)
+      .collect().map(r => r.getLong(0) -> ((
+        r.getLong(r.fieldIndex("ffd_bins")), r.getLong(r.fieldIndex("salvage_bins")))))
+      .toMap
+    assert(rep(0L) == ((0L, 5L)), rep(0L).toString) // 45 tokens -> 5 windows
+    assert(rep(1L) == ((1L, 0L)), rep(1L).toString)
+    // plan: the token-count projection is checkpointed, so each branch adds
+    // exactly one shard-keyed exchange (the flatMapGroups; the window)
+    val plan = TextAnalysis.packBinsWithSalvage(df, "doc_id", "text",
+        capacity = 10, nShards = 2).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected the two shard-keyed exchanges, got $shuffles\n$plan")
+  }
 }
