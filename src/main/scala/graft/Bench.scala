@@ -145,7 +145,15 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(prior),
             java.nio.charset.StandardCharsets.UTF_8)
-          Bench.shouldDivert(txt, versionFloor, medianSpread, results)
+          // sf mismatch diverts unconditionally: a different-SF run is
+          // incomparable by construction, and its canaries can look
+          // BETTER than the committed artifact's (the round-20 sf0.001
+          // contamination incident) — the floor/spread guards below
+          // cannot catch that direction
+          if (Bench.sfMismatch(txt, sfDir)) {
+            System.err.println(s"[bench] prior artifact is a different SF than $sfDir — diverting")
+            true
+          } else Bench.shouldDivert(txt, versionFloor, medianSpread, results)
         } catch { case _: Throwable => false }
       }
       if (divert) {
@@ -217,6 +225,18 @@ object Bench {
     *  - spreadBad: spread alone can rise under a genuine regression
     *    (ADVICE r15), so it only decides when no prior floor exists.
     */
+  /** True when the prior artifact was measured at a DIFFERENT scale
+    * factor than this run: a bench at another SF is not comparable and
+    * must never replace the committed clean artifact (round-20 incident:
+    * an sf0.001 contract-check run overwrote the committed sf0.1
+    * snapshot through the canary guards, which only compare floor/spread
+    * — both of which look fine on a faster-SF run). An unparseable prior
+    * (no "sf" field) does not vote.
+    */
+  def sfMismatch(priorTxt: String, sfDir: String): Boolean =
+    "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(priorTxt)
+      .exists(_.group(1) != sfDir)
+
   /** Prior per-query times, parsed from ONLY the artifact's "queries"
     * object ("rep_spread" carries the same key shape and must not
     * contribute). Shared by [[shouldDivert]] and [[inflatedQueries]].

@@ -449,25 +449,42 @@ object Decontaminate {
   /** Near-duplicate benchmark contamination (the GPT-3/C4-style n-gram
     * overlap rule): a corpus doc is contaminated when ≥ `threshold` of its
     * distinct k-token shingles also occur anywhere in the benchmark set.
-    * Returns (id, n_shingles, n_shared, contaminated).
+    * Returns (id, n_shingles, n_shared, contaminated); docs with no
+    * shingles (< k tokens, or null text) are omitted — callers LEFT-join
+    * with false (the q219 contract).
     *
-    * Scale shape: shingles travel as 8-byte hashes; the benchmark side
-    * (distinct hashes of a test set — small by construction) broadcasts,
-    * so the corpus never shuffles: scan → semi-match → per-doc count. The
-    * integer comparison `shared·den ≥ num·total` avoids any FP ratio.
+    * Scale shape (VERDICT r19 stretch #8 — shared onto the `hash_hits_64`
+    * kernel the streaming gate introduced): the corpus side is now a PURE
+    * PROJECTION — per row, distinct shingle hashes + one binary-search
+    * probe of the plan-embedded sorted benchmark array — so the whole flag
+    * is zero-exchange at any corpus size (spec-pinned). The previous shape
+    * exploded every corpus shingle into a broadcast semi-join and
+    * re-aggregated per doc TWICE (n_shared, n_shingles) — two doc-keyed
+    * exchanges of the exploded frame that existed only to count what the
+    * kernel counts in-row. Output is bit-identical (hashedShingles was
+    * already distinct-per-doc). The benchmark side becomes one bounded
+    * collect (≤ `maxBenchHashes`, loud require — the benchmarkWindowHashes
+    * / ingestGate contract: an eval set is small by construction; per-shard
+    * decontamination is the documented path past the cap). The integer
+    * comparison `shared·den ≥ num·total` avoids any FP ratio.
     */
   def flagNearNgram(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 6,
-      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
-    val ch = Dedup.hashedShingles(corpus, idCol, textCol, k)
-    val bh = broadcast(
-      Dedup.hashedShingles(benchmark, idCol, textCol, k)
-        .select(col("h")).distinct())
-    val shared = ch.join(bh, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
-    ch.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-      .join(shared, Seq("id"), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      thresholdNum: Int = 1, thresholdDen: Int = 2,
+      maxBenchHashes: Int = 1 << 21): DataFrame = {
+    val rows = Dedup.hashedShingles(benchmark, idCol, textCol, k)
+      .select(col("h")).distinct().limit(maxBenchHashes + 1).collect()
+    require(rows.length <= maxBenchHashes,
+      s"benchmark has over $maxBenchHashes distinct $k-shingle hashes — raise maxBenchHashes " +
+        "explicitly or decontaminate per benchmark shard")
+    val probe = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      rows.map(_.getLong(0)).sorted)
+    corpus
+      .select(col(idCol).as("id"), array_distinct(
+        graft.functions.shingle_hashes(col(textCol), k)).as("__hs"))
+      .where(size(col("__hs")) > 0)
+      .select(col("id"), size(col("__hs")).cast("long").as("n_shingles"),
+        graft.functions.hash_hits_64(col("__hs"), probe).as("n_shared"))
       .withColumn("contaminated",
         col("n_shared") * thresholdDen >= col("n_shingles") * thresholdNum)
   }

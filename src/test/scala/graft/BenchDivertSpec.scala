@@ -139,6 +139,17 @@ class BenchDivertSpec extends AnyFunSuite {
     assert(Bench.inflatedQueries(prior, Seq("q01" -> -1.0)).isEmpty)
   }
 
+  test("sf mismatch always diverts; same sf and unparseable priors do not (the r20 contamination incident)") {
+    // an sf0.001 contract-check run has BETTER canaries than the
+    // committed sf0.1 artifact, so floor/spread guards pass it through —
+    // the sf field is the only reliable discriminator
+    val sf01 = """{"metric":"total","queries":{"q01":0.6},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.sfMismatch(sf01, "/root/testdata/sf0.001"))
+    assert(!Bench.sfMismatch(sf01, "/root/testdata/sf0.1"))
+    assert(!Bench.sfMismatch("""{"metric":"total","queries":{}}""", "/root/testdata/sf0.1"),
+      "a prior without an sf field must not vote")
+  }
+
   test("spread-only trigger still requires a missing prior floor") {
     val noFloor = """{"metric":"total","value":1.0,"queries":{"q01":0.6},"median_rep_spread":1.2}"""
     assert(Bench.shouldDivert(noFloor, versionFloor = 0.02, medianSpread = 2.5,

@@ -68,10 +68,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.indexOf("Generate", generateIdx + 1) < 0, s"multiple Generates:\n$p")
   }
 
-  test("q65 near-decontamination broadcasts the benchmark hashes (semi join, no shuffle of corpus keys for the probe)") {
+  test("q65 near-decontamination is a hash_hits_64 projection: no join, no corpus shuffle before the final sort") {
+    // VERDICT r19 stretch #8: the broadcast semi-join + two doc-keyed
+    // re-aggregations collapsed into one plan-embedded sorted-probe
+    // projection (bit-identical output; the ingestGate contain rung's
+    // kernel, now shared by the batch protocol)
     val p = plan("q65_decontaminate_near")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hash_hits_64"), p)
+    assert(!p.contains("Join"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"q65 corpus side must be a pure projection:\n$p")
   }
 
   test("q68 chunking is a per-row Generate: no aggregate, no join, no shuffle beyond the final sort") {

@@ -474,6 +474,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r.contains(4L)) // no shingles -> no evidence -> absent (as q31/q65)
   }
 
+  test("flagNearNgram plan: zero-exchange corpus projection (VERDICT r19 stretch #8)") {
+    // the probe rewrite: the old shape exploded every corpus shingle and
+    // re-aggregated per doc twice; the corpus side must now be a pure
+    // hash_hits_64 projection — no Exchange anywhere in the plan
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val qe = Decontaminate.flagNearNgram(corpus, bench, "doc_id", "text")
+      .queryExecution
+    assert(!qe.executedPlan.toString.contains("Exchange"), qe.executedPlan.toString)
+    // the local fixture constant-folds to a LocalTableScan in the physical
+    // plan, so the kernel is pinned on the analyzed plan
+    assert(qe.analyzed.toString.contains("hash_hits_64"), qe.analyzed.toString)
+    // the benchmark cap fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.flagNearNgram(corpus, bench, "doc_id", "text",
+        maxBenchHashes = 2)
+    }
+    assert(e.getMessage.contains("maxBenchHashes"), e.getMessage)
+  }
+
   test("flagNgramCollision: one colliding 13-gram flags, at ANY alignment (the straddling case)") {
     // benchmark: 20 tokens b1..b20
     val bench = Seq((100L, (1 to 20).map("b" + _).mkString(" "))).toDF("doc_id", "text")
