@@ -2064,7 +2064,7 @@ object TextAnalysis {
     * scaladoc for the full contract). Returns None on an empty corpus. */
   private def unigramTrainCore(df: DataFrame, textCol: String,
       maxPieceLen: Int, seedV: Int, targetV: Int,
-      pruneFrac: Double): Option[UnigramTrained] = {
+      pruneFrac: Double, soft: Boolean = false): Option[UnigramTrained] = {
     require(maxPieceLen >= 2, s"unigram training: need maxPieceLen >= 2, got $maxPieceLen")
     require(seedV <= 61440,
       s"unigram training: seedV capped at 61440 (the 65536 plan-embed bound minus a 4096-codepoint character-backbone reservation), got $seedV")
@@ -2094,18 +2094,34 @@ object TextAnalysis {
     // codegen pass + one bounded usage collect
     def segUsage(model: Array[(String, Long)]): Map[String, Long] = {
       val (pieces, probs, unk) = modelProbs(model)
-      words.select(col("wc"), explode(graft.functions.unigram_segment(
-          col("word"), pieces, probs, unk)).as("piece"))
-        .groupBy("piece").agg(sum(col("wc")).as("usage"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (soft)
+        // the soft E-step: forward–backward expected counts, quantized to
+        // integers IN-ROW (graft.expr.UnigramExpected) so the Σ wc·q
+        // aggregate is order-independent — the q231 discipline inside the
+        // training loop; the collect stays vocab-bounded (expected-count
+        // pieces are vocab members plus unk singles, which only exist
+        // past the alphabet cap)
+        words.select(col("wc"), explode(graft.functions.unigram_expected(
+            col("word"), pieces, probs, unk)).as("e"))
+          .select(col("wc"), col("e.piece").as("piece"), col("e.q").as("q"))
+          .groupBy("piece").agg(sum(col("wc") * col("q")).as("usage"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else
+        words.select(col("wc"), explode(graft.functions.unigram_segment(
+            col("word"), pieces, probs, unk)).as("piece"))
+          .groupBy("piece").agg(sum(col("wc")).as("usage"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
+    // the character-backbone smoothing: one occurrence — which in soft
+    // mode is 2^24 quantization units (the q231 M-step rule)
+    val charSmooth = if (soft) 16777216L else 1L
     var model: Array[(String, Long)] = seedRows
     val survivedRounds = scala.collection.mutable.HashMap.empty[String, Int]
     seedRows.foreach { case (p, _) => survivedRounds(p) = 0 }
     sched.zipWithIndex.foreach { case (keepV, round) =>
       val usage = segUsage(model)
       val charsW = model.filter(m => isChar(m._1))
-        .map { case (p, _) => (p, usage.getOrElse(p, 0L) + 1L) }
+        .map { case (p, _) => (p, usage.getOrElse(p, 0L) + charSmooth) }
       // tie-break by UNSIGNED UTF-8 byte order, not Java String order
       // (round-19 review finding): Spark's UTF8String and DuckDB both
       // compare binary UTF-8, while String.compareTo compares UTF-16
@@ -2157,6 +2173,50 @@ object TextAnalysis {
               t.finalUsage.getOrElse(p, 0L))
           }.toSeq)
           .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage")
+    }
+  }
+
+  /** The FULL Kudo 2018 §3.2 loop with the TRUE (soft-EM) E-step — the
+    * [[unigramLmTrain]] schedule driven by forward–backward EXPECTED
+    * counts instead of Viterbi-path counts (the q231 E-step inside the
+    * q223 loop, completing VERDICT r19 #2): per round, usage is the
+    * integer-quantized posterior mass Σ wc·⌊eq·2^24⌋, pruning keeps the
+    * top-scheduled multi-pieces by (expected mass DESC, piece UTF-8 ASC),
+    * and re-estimation weights are the quantized masses with the
+    * character backbone smoothed by 2^24 (= one occurrence in q units).
+    * The loop's behavioral difference from hard EM is exactly the q231
+    * divergence surface, compounded: a near-tied piece the Viterbi path
+    * never uses carries zero hard usage and dies in round 1, while its
+    * lattice mass keeps it alive here (UnigramLmSpec pins a corpus where
+    * the two loops ship DIFFERENT final vocabularies).
+    *
+    * Scale shape: identical to unigramLmTrain — schedule-bounded passes
+    * (data-independent count) over the localCheckpointed distinct-words
+    * frame; the soft E-step is a zero-shuffle codegen projection
+    * (UnigramExpected) with a vocab-bounded usage collect per round; all
+    * cross-engine arithmetic stays on the q231 exactness disciplines.
+    *
+    * Output mirrors unigramLmTrain with final_usage in q units:
+    * piece, freq, is_char, rounds_survived, final_p, final_usage_q.
+    */
+  def unigramLmTrainSoft(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedV: Int = 96, targetV: Int = 24, pruneFrac: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramTrainCore(df, textCol, maxPieceLen, seedV, targetV, pruneFrac,
+        soft = true) match {
+      case None =>
+        Seq.empty[(String, Long, Boolean, Int, Option[Double], Long)]
+          .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage_q")
+      case Some(t) =>
+        def isChar(p: String) = p.codePointCount(0, p.length) == 1
+        val (pieces, probs, _) = modelProbs(t.model)
+        val finalP = pieces.iterator.zip(probs.iterator).toMap
+        spark.createDataFrame(t.seedRows.map { case (p, f) =>
+            (p, f, isChar(p), t.survivedRounds(p), finalP.get(p),
+              t.finalUsage.getOrElse(p, 0L))
+          }.toSeq)
+          .toDF("piece", "freq", "is_char", "rounds_survived", "final_p", "final_usage_q")
     }
   }
 

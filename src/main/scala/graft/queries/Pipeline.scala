@@ -5444,7 +5444,7 @@ object Pipeline {
        |),
        |finf$sfx AS (SELECT word, fas, fbs FROM fwd$sfx WHERE i = length(word)),
        |finb$sfx AS (SELECT word, bas, bbs FROM bwd$sfx WHERE j0 = 0),
-       |exq$sfx AS (
+       |exq$sfx AS MATERIALIZED (
        |  SELECT word, piece, CAST(floor(eq * 16777216.0) AS BIGINT) AS q FROM (
        |    SELECT word, substr(word, CAST(j + 1 AS INT), CAST(i - j AS INT)) AS piece,
        |      (((fas[j + 1] * p) * bas[i + 1]) / fas[length(word) + 1])
@@ -5626,6 +5626,97 @@ object Pipeline {
        |  FROM m2 CROSS JOIN t2),
        |vmc AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v2),
        |${unigramDpCtes("c", "vmc")}""".stripMargin
+
+  /** The q234 soft-EM training replay: the [[unigramTrainCtes]] structure
+    * with [[unigramFwdBwdCtes]] in place of the Viterbi DP — per pass,
+    * usage is the integer Σ wc·q over the quantized forward–backward
+    * emissions, the character backbone smooths by +16777216 (one
+    * occurrence in q units), and both prune cuts are integer-ordered
+    * windows (usage DESC, piece ASC — DuckDB compares binary UTF-8 like
+    * the operator's utf8Less). Ends with u3s, the final-model expected
+    * usage, plus the vs/mu1s/v2s report frames.
+    */
+  private def unigramTrainSoftCtes: String =
+    s"""tokw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |subs AS (SELECT word, wc, unnest(flatten(list_transform(range(1, length(word) + 1),
+       |    i -> list_transform(range(1, least(4, length(word) - i + 1) + 1),
+       |      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece FROM tokw),
+       |pf AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM subs GROUP BY piece),
+       |vocab AS (SELECT piece, freq FROM pf WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (SELECT piece, freq FROM pf WHERE length(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT 96)),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM vocab),
+       |vs AS (SELECT piece, freq, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+       |  FROM vocab CROSS JOIN tot),
+       |vm AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM vs),
+       |${unigramFwdBwdCtes("", "vm")},
+       |u1s AS MATERIALIZED (SELECT piece, CAST(SUM(wc * q) AS BIGINT) AS usage
+       |  FROM exq JOIN tokw USING (word) GROUP BY piece),
+       |cu1s AS (SELECT vs.piece, COALESCE(u1s.usage, 0) + 16777216 AS w
+       |  FROM vs LEFT JOIN u1s USING (piece) WHERE length(vs.piece) = 1),
+       |mu1s AS (SELECT piece, usage AS w FROM (
+       |    SELECT u1s.piece, u1s.usage, ROW_NUMBER() OVER (
+       |      ORDER BY u1s.usage DESC, u1s.piece) AS rn
+       |    FROM u1s JOIN vs USING (piece)
+       |    WHERE length(u1s.piece) >= 2 AND u1s.usage > 0) WHERE rn <= 48),
+       |m1s AS (SELECT * FROM cu1s UNION ALL SELECT * FROM mu1s),
+       |t1s AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM m1s),
+       |v1s AS (SELECT piece, CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p
+       |  FROM m1s CROSS JOIN t1s),
+       |vmb AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v1s),
+       |${unigramFwdBwdCtes("b", "vmb")},
+       |u2s AS MATERIALIZED (SELECT piece, CAST(SUM(wc * q) AS BIGINT) AS usage
+       |  FROM exqb JOIN tokw USING (word) GROUP BY piece),
+       |cu2s AS (SELECT cu1s.piece, COALESCE(u2s.usage, 0) + 16777216 AS w
+       |  FROM cu1s LEFT JOIN u2s USING (piece)),
+       |mu2s AS (SELECT piece, usage AS w FROM (
+       |    SELECT u2s.piece, u2s.usage, ROW_NUMBER() OVER (
+       |      ORDER BY u2s.usage DESC, u2s.piece) AS rn
+       |    FROM u2s JOIN mu1s USING (piece)
+       |    WHERE u2s.usage > 0) WHERE rn <= 24),
+       |m2s AS (SELECT * FROM cu2s UNION ALL SELECT * FROM mu2s),
+       |t2s AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM m2s),
+       |v2s AS (SELECT piece, CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p
+       |  FROM m2s CROSS JOIN t2s),
+       |vmc AS (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM v2s),
+       |${unigramFwdBwdCtes("c", "vmc")},
+       |u3s AS MATERIALIZED (SELECT piece, CAST(SUM(wc * q) AS BIGINT) AS usage
+       |  FROM exqc JOIN tokw USING (word) GROUP BY piece)""".stripMargin
+
+  /** Full unigram-LM training loop under the TRUE soft-EM E-step (q234;
+    * the q231 forward–backward expected counts driving the q223 prune
+    * schedule — VERDICT r19 #2 completed at the loop level). The oracle
+    * replays all THREE expected-count passes as forward/backward
+    * recursive-CTE chains over the three models it re-derives itself.
+    * The usage/emission CTEs are MATERIALIZED: DuckDB materializes
+    * recursive CTEs but INLINES non-recursive ones, so without the hint
+    * each chain re-evaluates the previous chain's emission scan at every
+    * step of its own recursion — measured 600x (the full q234 oracle fell
+    * from >10 min to ~1 s at sf0.01 with the hints; the hint is part of
+    * the committed SQL because the blowup is structural, not data-sized).
+    */
+  val q234 = Q(
+    "q234_unigram_lm_train_soft",
+    s"""WITH RECURSIVE
+       |$unigramTrainSoftCtes
+       |SELECT vs.piece, vs.freq, length(vs.piece) = 1 AS is_char,
+       |  CAST(CASE WHEN length(vs.piece) = 1 THEN 2
+       |    WHEN mu2s.piece IS NOT NULL THEN 2
+       |    WHEN mu1s.piece IS NOT NULL THEN 1
+       |    ELSE 0 END AS INT) AS rounds_survived,
+       |  v2s.p AS final_p,
+       |  COALESCE(u3s.usage, CAST(0 AS BIGINT)) AS final_usage_q
+       |FROM vs LEFT JOIN mu1s USING (piece) LEFT JOIN mu2s USING (piece)
+       |LEFT JOIN v2s USING (piece) LEFT JOIN u3s USING (piece)
+       |ORDER BY vs.piece""".stripMargin) { (s, dir) =>
+    graft.Graft.register(s)
+    TextAnalysis.unigramLmTrainSoft(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, seedV = 96, targetV = 24, pruneFrac = 0.5)
+      .orderBy("piece")
+  }
 
   val q223 = Q(
     "q223_unigram_lm_train",
@@ -5971,5 +6062,5 @@ object Pipeline {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q70, q71, q72, q73, q74, q75, q79, q80, q85, q87, q88, q89, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
 }

@@ -206,6 +206,38 @@ class UnigramSoftEmSpec extends AnyFunSuite {
     assert(math.abs(p2s.sum - 1.0) < 1e-9, p2s.sum.toString)
   }
 
+  test("unigramLmTrainSoft vs unigramLmTrain: the loops ship DIFFERENT final vocabularies (VERDICT r19 #2, loop level)") {
+    // corpus 'aba', seed multis {ab, ba}, schedule [2] (seedV 3 → targetV
+    // 2 at frac 0.4): the Viterbi tie ab|a vs a|ba breaks to a|ba
+    // (commutative-multiply tie, ascending j), so HARD usage of ab is 0
+    // and the u > 0 prune kills it EVEN THOUGH the schedule has room for
+    // two pieces. Its lattice posterior is 5/12 — soft EM keeps it. This
+    // is Kudo §3.2's motivation compounded through the loop.
+    val docs = Seq((1L, "aba")).toDF("doc_id", "text")
+    val hard = TextAnalysis.unigramLmTrain(docs, "text",
+        maxPieceLen = 2, seedV = 3, targetV = 2, pruneFrac = 0.4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val soft = TextAnalysis.unigramLmTrainSoft(docs, "text",
+        maxPieceLen = 2, seedV = 3, targetV = 2, pruneFrac = 0.4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hAb = hard("ab")
+    assert(hAb.getInt(hAb.fieldIndex("rounds_survived")) == 0)
+    assert(hAb.isNullAt(hAb.fieldIndex("final_p")),
+      "hard EM prunes the Viterbi-invisible piece")
+    val sAb = soft("ab")
+    assert(sAb.getInt(sAb.fieldIndex("rounds_survived")) == 1)
+    assert(!sAb.isNullAt(sAb.fieldIndex("final_p")),
+      "soft EM keeps the piece via its lattice mass")
+    assert(sAb.getLong(sAb.fieldIndex("final_usage_q")) > 0L)
+    // both loops keep ba (Viterbi winner AND positive mass)
+    assert(!hard("ba").isNullAt(hard("ba").fieldIndex("final_p")))
+    assert(!soft("ba").isNullAt(soft("ba").fieldIndex("final_p")))
+    // the soft final model is a probability distribution
+    val p2s = soft.values.filter(r => !r.isNullAt(r.fieldIndex("final_p")))
+      .map(r => r.getDouble(r.fieldIndex("final_p")))
+    assert(math.abs(p2s.sum - 1.0) < 1e-9, p2s.sum.toString)
+  }
+
   test("expected-count plan: zero-shuffle codegen projection") {
     val words = Seq(Tuple1("abcab")).toDF("word")
     val plan = words.select(graft.functions.unigram_expected(col("word"),
