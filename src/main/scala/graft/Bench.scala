@@ -141,7 +141,12 @@ object Bench {
     val defaultOut = if (only.isDefined) "/tmp/bench_partial.json" else "bench_full.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       val prior = java.nio.file.Paths.get(defaultOut)
-      val divert = defaultOut == "bench_full.json" && java.nio.file.Files.exists(prior) && {
+      // divert reasons: 1 = sf mismatch (incomparable prior — the history
+      // entry would be garbage against it, so skip it), 2 = canaries
+      // (the contention-vs-regression ambiguity the history disambiguates)
+      val divertReason = if (defaultOut != "bench_full.json"
+          || !java.nio.file.Files.exists(prior)) 0
+      else {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(prior),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -152,18 +157,21 @@ object Bench {
           // cannot catch that direction
           if (Bench.sfMismatch(txt, sfDir)) {
             System.err.println(s"[bench] prior artifact is a different SF than $sfDir — diverting")
-            true
-          } else Bench.shouldDivert(txt, versionFloor, medianSpread, results)
-        } catch { case _: Throwable => false }
+            1
+          } else if (Bench.shouldDivert(txt, versionFloor, medianSpread, results)) 2
+          else 0
+        } catch { case _: Throwable => 0 }
       }
-      if (divert) {
+      if (divertReason == 2) {
         System.err.println("[bench] canaries worse than existing bench_full.json — writing bench_driver.json instead")
         // ADVICE r19 #3: the burst heuristic cannot distinguish contention
-        // from a real 3-query shared-kernel regression, so every diverted
-        // run is ALSO appended to a tracked JSONL history with its
-        // inflated-query names — a repeat of the same names across
-        // consecutive diverted runs is the regression signature, flagged
-        // loudly here and inspectable in-file after the fact.
+        // from a real 3-query shared-kernel regression, so every
+        // canary-diverted run is ALSO appended to a tracked JSONL history
+        // with its inflated-query names — a repeat of the same names
+        // across consecutive diverted runs is the regression signature,
+        // flagged loudly here and inspectable in-file after the fact.
+        // (sf-mismatch diverts skip the history: every query looks
+        // "inflated" against an incomparable prior.)
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(prior),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -194,7 +202,8 @@ object Bench {
           System.err.println(s"[bench] diverted-history write failed: ${e.getMessage}")
         }
         "bench_driver.json"
-      } else defaultOut
+      } else if (divertReason == 1) "bench_driver.json"
+      else defaultOut
     })
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
