@@ -64,6 +64,10 @@ object SegBench {
     bench("bpe_segment")(l => Kernels.bpeSegment(l, pat, rep).numElements())
     bench("unigram_segment")(l =>
       Kernels.unigramSegment(l, vocab, 1e-9, maxLen).numElements())
+    // the soft E-step (q231/q234): forward + backward + quantized emission
+    // — the expected-count sibling of the Viterbi decode, same plan shape
+    bench("unigram_expected")(l =>
+      Kernels.unigramExpected(l, vocab, 1e-9, maxLen).numElements())
   }
 
 }
