@@ -345,6 +345,17 @@ case class UnigramExpected(child: Expression, pieces: Seq[String],
   }
   private val maxLen: Int = pieces.iterator
     .map(p => p.codePointCount(0, p.length)).max
+  // Fail at PLAN BUILD, not per-row in the codegen kernel (ADVICE r20 #3):
+  // the kernel's spread ≤ 2 invariant holds because a boost band (2^256)
+  // cannot be crossed in under ⌈256/84⌉ = 4 positions when every span
+  // multiplies by ≥ MinProb = 2^-84 — so across the maxLen-wide lattice
+  // window the boost moves at most ⌊(maxLen−1)/3⌋ bands. maxLen ≤ 7 keeps
+  // that ≤ 2; a wider vocabulary piece must raise the renorm window bound
+  // in Kernels.unigramExpected first, not fail a job mid-query.
+  require(maxLen <= 7,
+    s"unigram_expected: longest piece spans $maxLen codepoints — the " +
+      "boost-renorm window bound (spread <= 2 at probs >= 2^-84) is only " +
+      "proven for maxLen <= 7")
 
   override def prettyName: String = "unigram_expected"
   override def dataType: DataType = ArrayType(

@@ -139,4 +139,66 @@ object Clustering {
     }
     cents
   }
+
+  /** All m per-subspace Lloyd fits of product quantization in ONE scan per
+    * iteration (r21): the m sub-fits are mathematically independent — each
+    * subspace's E/M-step touches only its own slice — so running them as m
+    * sequential [[fitCentroids]] calls paid m·iters corpus scans plus m
+    * seed collects for work one scan per iteration can do. Per iteration,
+    * each row emits (j, cid_j, d, x) for every subspace j via one
+    * explode-of-structs projection; the aggregate groups by (j, cid, d) —
+    * m·k·subDims groups, map-side combined, one bounded collect. The
+    * per-subspace arithmetic (quantize-once, exact long argmin, truncating
+    * division, tie → smaller cid, empty cluster keeps centroid, seeds =
+    * first k rows by vec_id sliced per subspace) is IDENTICAL to m
+    * independent fitCentroids calls — same centroids bit-for-bit, m× fewer
+    * passes. `base` must expose (vec_id: long, embedding) with
+    * m·subDims-wide embeddings.
+    */
+  private[operators] def fitCentroidsSliced(base: DataFrame, m: Int,
+      subDims: Int, k: Int, iters: Int, scale: Long, op: String)
+      : Array[Array[Array[Long]]] = {
+    require(k >= 1 && k <= 256, s"$op: k in [1, 256] (cid packs into 8 bits)")
+    require(iters >= 1, s"$op: iters must be >= 1")
+    val spark = base.sparkSession
+    import spark.implicits._
+
+    def quantized(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * scale.toDouble).cast("long")
+
+    // ONE seed collect: the per-subspace seed rule is "first k rows by
+    // vec_id, sliced" — the same k rows in every subspace, sliced locally
+    val seedRows = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    require(seedRows.length == k, s"$op: need >= $k vectors, got ${seedRows.length}")
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      seedRows.map(_._2.slice(j * subDims, (j + 1) * subDims)
+        .map(x => math.floor(x * scale).toLong).toArray)
+    }
+
+    (1 to iters).foreach { _ =>
+      val subStructs = array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          (kmeans_assign(slice(col("embedding"), j * subDims + 1, subDims),
+              cents(j), scale)
+            .bitwiseAND(lit(255L))).cast("int").as("cid"),
+          slice(col("embedding"), j * subDims + 1, subDims).as("sl"))
+      }: _*)
+      val sums = base
+        .select(explode(subStructs).as("e"))
+        .select(col("e.j").as("j"), col("e.cid").as("cid"),
+          posexplode(col("e.sl")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("cid"), col("d"))
+        .agg(sum(quantized(col("x"))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone))
+      sums.foreach { r =>
+        // truncating division — the fitCentroids contract, see above
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3) / r.getLong(4)
+      }
+      cents = next
+    }
+    cents
+  }
 }

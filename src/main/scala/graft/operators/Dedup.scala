@@ -749,11 +749,17 @@ object Dedup {
       }
     def pass(key: String): DataFrame = {
       val side = prune(key)
+      // banded DP (r21): the threshold overload computes O(len·maxDist)
+      // cells with early exit instead of the full O(len²) matrix — the
+      // verify DP is the dominant per-candidate cost (q125: ~10 CPU-s at
+      // sf0.1, all in this projection). Rows where the band exceeds
+      // maxDist return the -1 sentinel; the filter keeps exactly the
+      // dist <= maxDist rows with identical dist values.
       side.repartition(parts, col(key)).as("a").join(side.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.fm_k") < col("b.fm_k"))
         .select(col("a.fm_k").as("ka"), col("b.fm_k").as("kb"),
-          levenshtein(col("a.fm_s"), col("b.fm_s")).as("dist"))
-        .where(col("dist") <= maxDist)
+          levenshtein(col("a.fm_s"), col("b.fm_s"), maxDist).as("dist"))
+        .where(col("dist") >= 0)
     }
     pass("fm_pre").unionByName(pass("fm_suf"))
       .distinct() // a pair found by both passes dedupes on (ka, kb, dist)

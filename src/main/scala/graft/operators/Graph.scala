@@ -236,28 +236,37 @@ object Graph {
           s"raise_error(concat('hitsInt: raw sum ', CAST($s AS STRING), " +
           s"' overflows at scale=${scale} — lower scale')), " +
           s"($s * ${scale}L) div m)"
+      // Unlike pageRankInt (whose rank frame is referenced ONCE per hop),
+      // each HITS half-step references the raw-sum frame twice (it feeds
+      // both its own max and the normalized scores) — and Spark logical
+      // plans are trees, not DAGs, so the un-checkpointed subtree
+      // DUPLICATES per reference and the plan grows exponentially with
+      // iters (measured: 2 hops cost 4.7 s vs 3-hop PageRank's 2.7 s at
+      // sf0.1). The re-root sits on the RAW sum (araw/hraw), not on the
+      // normalized frame: checkpointing `a` after the crossJoin (the r20
+      // shape) still computed each half-step's edge join + keyed sum
+      // TWICE per hop — once under the broadcast-max subtree and once on
+      // the main branch. Checkpointing the raw frame runs that join+sum
+      // exactly once; the max and the normalize are then near-free
+      // projections over the checkpointed node-sized RDD, and the
+      // normalized a/h recompute (project + broadcast crossJoin only) is
+      // cheaper than a second materialization. One (long, long) row per
+      // node, one eager job per half-step — same job count as r20, half
+      // the work per job.
       val araw = eBySrc
         .join(h.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s"))
+        .localCheckpoint()
       val amax = araw.agg(max(col("s")).as("m"))
       a = araw.crossJoin(broadcast(amax))
         .select(col("node"), expr(normalize("s")).as("a"))
       val hraw = eByDst
         .join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("s"))
+        .localCheckpoint()
       val hmax = hraw.agg(max(col("s")).as("m"))
       h = hraw.crossJoin(broadcast(hmax))
         .select(col("node"), expr(normalize("s")).as("h"))
-      // Unlike pageRankInt (whose rank frame is referenced ONCE per hop),
-      // each HITS half-step references the previous frame twice (the raw
-      // sum feeds both its own max and the next join) — and Spark logical
-      // plans are trees, not DAGs, so the un-checkpointed subtree
-      // DUPLICATES per reference and the plan grows exponentially with
-      // iters (measured: 2 hops cost 4.7 s vs 3-hop PageRank's 2.7 s at
-      // sf0.1). Re-rooting both node-sized frames every hop keeps the
-      // plan linear; the materialization is one (long, long) row per node.
-      a = a.localCheckpoint()
-      h = h.localCheckpoint()
     }
     val scored = nodes
       .join(a, Seq("node"), "left")
@@ -311,7 +320,14 @@ object Graph {
         .select(col("node"), col("lab").as("new_lab"))
       lab = lab.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
-      if (i % 8 == 0 && i < iters) lab = lab.localCheckpoint()
+      // Re-root EVERY hop, not every 8: unlike pageRankInt (one reference
+      // per hop → linear plan), each LPA hop references the previous label
+      // frame TWICE (the in-neighbor count join and the keep-current left
+      // join), so the un-checkpointed plan doubles per hop — 2^iters copies
+      // of the initial frame (the HITS failure mode; the before-plan at r21
+      // open carried ~30 Exchanges for 3 hops). One node-sized (long, long)
+      // materialization per hop keeps the plan linear.
+      if (i < iters) lab = lab.localCheckpoint()
     }
     val sizes = lab.groupBy("lab").agg(count(lit(1)).as("size"))
     val top = sizes.orderBy(col("size").desc, col("lab")).limit(topK)

@@ -116,13 +116,12 @@ object Quantize {
 
     // per-subspace codebooks under the exact kmeansInt arithmetic; the
     // slice is 1-based and the seed rule (first kCent by vec_id) picks the
-    // SAME seed rows in every subspace, so the oracle shares one seed CTE
-    val cents: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
-      Clustering.fitCentroids(
-        base.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        kCent, iters, scale, op = "pqTopK")
-    }
+    // SAME seed rows in every subspace, so the oracle shares one seed CTE.
+    // All m sub-fits batched into one scan per iteration (r21): identical
+    // centroids, m·iters corpus scans down to iters.
+    val cents: Array[Array[Array[Long]]] =
+      Clustering.fitCentroidsSliced(base, m, sub, kCent, iters, scale,
+        op = "pqTopK")
 
     // encode: m codegen argmins in one projection — no shuffle, the codes
     // frame is the hot structure (m bytes + id per corpus row)
@@ -249,15 +248,15 @@ object Quantize {
       .localCheckpoint()
 
     // stage 2: per-subspace residual codebooks — the same Lloyd at scale
-    // 1 (floor(x·1) is the identity on the residual longs, exact < 2^53)
+    // 1 (floor(x·1) is the identity on the residual longs, exact < 2^53).
+    // All m sub-fits batched into one scan per iteration over the
+    // checkpointed residual frame (r21): identical centroids, m·iters
+    // scans down to iters.
     val residEmb = resid.select(col("vec_id"),
       col("r").cast("array<double>").as("embedding"))
-    val cents: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
-      Clustering.fitCentroids(
-        residEmb.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        kCent, iters, 1L, op = "ivfAdcTopK")
-    }
+    val cents: Array[Array[Array[Long]]] =
+      Clustering.fitCentroidsSliced(residEmb, m, sub, kCent, iters, 1L,
+        op = "ivfAdcTopK")
 
     // stage 3: encode — coarse list id + m residual codes in one
     // projection over the checkpointed frame (no join, no re-scan)

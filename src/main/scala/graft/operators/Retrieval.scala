@@ -274,7 +274,11 @@ object Retrieval {
         .select(col("doc_id"), lit(i).as("pick"))
       sel = sel.union(next).localCheckpoint()
     }
-    sel.join(broadcast(lex), Seq("doc_id"))
+    // join back through the CHECKPOINTED cand frame, not lex: broadcast(lex)
+    // here would embed a second full corpus BM25 subtree in the plan (lex is
+    // un-checkpointed by design — cand is its materialized superset and
+    // already carries lex_rn; sel ⊆ cand, so the row set is identical).
+    sel.join(broadcast(cand.select(col("doc_id"), col("lex_rn"))), Seq("doc_id"))
       .select(col("doc_id"), col("lex_rn"), col("pick"))
   }
 
@@ -417,8 +421,17 @@ object Retrieval {
         sum(col("sq")).as("score_q20"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_q20").desc, col("doc_id"))
+    // localCheckpoint: cand is bounded (≤ topM·|queries| rows) but
+    // referenced FIVE times below (the output branch, both candIds union
+    // sides, and — through candIds — both embSmall derivations). Spark
+    // logical plans are trees, so without the re-root every reference
+    // embeds its own copy of the whole corpus BM25 subtree — measured as a
+    // 522-operator / 107-Exchange physical plan at r21 open (plan file
+    // plans/r21/q214_bm25_hard_negatives_before.txt); one bounded
+    // materialization collapses it to a single BM25 pass.
     val cand = perDoc.withColumn("rn", row_number().over(w))
       .where(col("rn") <= topM)
+      .localCheckpoint()
     // the embedding annotation must LEFT-preserve cand, and a left join
     // cannot broadcast-build its preserved side (the tripletMine note) —
     // so first reduce emb to the candidate/query ids with a broadcast
@@ -426,8 +439,12 @@ object Retrieval {
     // then broadcast the reduced frames as the build sides
     val candIds = cand.select(col("qid").as("vec_id"))
       .union(cand.select(col("doc_id").as("vec_id"))).distinct()
+    // localCheckpoint: embSmall (≤ 2·topM·|queries| rows) feeds BOTH the
+    // qe and ce build sides — without the re-root each side re-scans the
+    // embeddings parquet through its own copy of the reduction join.
     val embSmall = emb.join(broadcast(candIds), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val qe = embSmall.select(col("vec_id").as("qid"), col("embedding").as("__qe"))
     val ce = embSmall.select(col("vec_id").as("doc_id"), col("embedding").as("__ce"))
     cand

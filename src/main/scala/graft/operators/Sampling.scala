@@ -380,10 +380,17 @@ object Sampling {
   def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // localCheckpoint (r21): the scored triples are read THREE times (the
+    // max(score) probe, the ≤64-bucket totals collect, and the final
+    // window) — without the re-root each pass re-runs the corpus scan and
+    // the split+array_distinct projection, the operator's dominant cost.
+    // The materialized frame is 3 longs/doc (~1% of corpus bytes, the
+    // documented triples-frame budget).
     val scored = df.select(col(idCol).cast("long").as("doc_id"),
         split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
         size(array_distinct(col("toks"))).cast("long").as("score"))
+      .localCheckpoint()
     val maxScore = scored.agg(max(col("score"))).head().getAs[Any](0) match {
       case null => return scored // empty corpus: nothing to rank
         .withColumn("cum_toks", lit(null).cast("long"))

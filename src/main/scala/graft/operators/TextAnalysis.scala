@@ -212,8 +212,13 @@ object TextAnalysis {
       .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
       .select(col("doc_id"), col("shard"), lit("salvage").as("layout"),
         col("n_tokens").cast("long").as("n_tokens"),
-        ((col("cum") - col("n_tokens")) / capacity).cast("long").as("bin_first"),
-        ((col("cum") - 1) / capacity).cast("long").as("bin_last"))
+        // integer `div`, not double `/`+cast (ADVICE r20 #1): the double
+        // path rounds past 2^53 of per-shard cumulative tokens while the
+        // q232 oracle's `//` stays exact — keep the arithmetic integer
+        // end-to-end like packBinsReport (identical results below 2^53,
+        // both truncate toward zero on these non-negative operands)
+        expr(s"(cum - n_tokens) div ${capacity}L").as("bin_first"),
+        expr(s"(cum - 1L) div ${capacity}L").as("bin_last"))
     fit.union(salvage)
   }
 
@@ -1272,9 +1277,15 @@ object TextAnalysis {
   def knBigramGate(docs: DataFrame, refDocs: DataFrame, idCol: String,
       textCol: String, threshDen: Long = 1000L): DataFrame = {
     require(threshDen >= 1L, "knBigramGate: threshDen must be >= 1")
+    // localCheckpoint (r21): the bigram model is read by FOUR consumers
+    // (the scored join, ctx, cont, tot) — as an un-rooted subtree each
+    // consumer re-runs the model's final merge aggregation over the reused
+    // exchange output (4× the vocabulary-sized merge at any scale); one
+    // model-sized materialization runs it once.
     val bi = refDocs.select(explode(bigramStructs(col(textCol))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     // context stats from the bigram table: c1 = Σ c12 (token count of w1
     // as a context), n1fol = distinct continuations N₁₊(w1·)
     val ctx = bi.groupBy("w1")
@@ -1385,9 +1396,15 @@ object TextAnalysis {
   def knTrigramGate(docs: DataFrame, refDocs: DataFrame, idCol: String,
       textCol: String, threshDen: Long = 1000L): DataFrame = {
     require(threshDen >= 1L, "knTrigramGate: threshDen must be >= 1")
+    // localCheckpoint (r21, the knBigramGate rationale): tri feeds the
+    // scored join + ctx12 + n23, and n23 feeds four more consumers — the
+    // un-rooted tree re-ran the trigram model's merge aggregation once per
+    // consumer path (6 copies in the before-plan,
+    // plans/r21/q224_kn_trigram_gate_before.txt).
     val tri = refDocs.select(explode(trigramStructs(col(textCol))).as("tg"))
       .select(col("tg.w1"), col("tg.w2"), col("tg.w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
     // top-level context stats: c12 = token count of (w1,w2) as a context,
     // nfol12 = N₁₊(w1w2·) distinct continuations
     val ctx12 = tri.groupBy("w1", "w2")
@@ -1395,6 +1412,7 @@ object TextAnalysis {
     // continuation-count family (each row of tri is one distinct triple,
     // so COUNT(*) over a grouping = the distinct-type count)
     val n23 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n23"))
+      .localCheckpoint() // read by mid2, cont3, tot AND the scored join
     val mid2 = n23.groupBy("w2")
       .agg(sum(col("n23")).as("nmid2"), count(lit(1)).as("nfol2"))
     val cont3 = n23.groupBy("w3").agg(count(lit(1)).as("ncont3"))
@@ -1666,9 +1684,17 @@ object TextAnalysis {
         // [aa, aa]; aaa → [aa, a]).
         def merge1(c: Column): Column =
           replace(c, lit(" " + pair + " "), lit(" " + l + r + " "))
-        vocab = vocab
-          .withColumn("s", merge1(merge1(col("s"))))
-          .localCheckpoint()
+        vocab = vocab.withColumn("s", merge1(merge1(col("s"))))
+        // No per-step checkpoint (r21): each step's best-pair aggregate is
+        // the only consumer of the accumulated replace chain, and replace
+        // is a narrow zero-shuffle projection over the vocabulary frame —
+        // re-running ≤ 8 accumulated layers from the last re-root is
+        // cheaper than materializing the frame every step (the r20 shape
+        // paid one extra eager job + full vocab write per merge, 2× the
+        // job count of the whole loop). The plan stays LINEAR in steps
+        // (single reference per step), so the re-root is purely a lineage
+        // bound, at the pageRankInt cadence.
+        if (step % 8 == 0 && step < steps) vocab = vocab.localCheckpoint()
         step += 1
       }
     }
@@ -1874,11 +1900,24 @@ object TextAnalysis {
       .select(col("wc"), explode(graft.functions.unigram_segment(
         col("word"), pieces, probs, unk)).as("piece"))
       .groupBy("piece").agg(sum(col("wc")).as("usage_hard"))
+    // Σ wc·q in DECIMAL(38,0), not BIGINT (ADVICE r20 #2): q runs to 2^24,
+    // so the long product wc·q wraps SILENTLY in non-ANSI Spark once a
+    // word's corpus count passes ~5.5e11 (~10^13-token corpora) while the
+    // DuckDB twin's HUGEINT sum errors loudly on the BIGINT cast. The
+    // decimal rollup is exact to 10^38; the output column stays BIGINT,
+    // and an out-of-range total fails LOUDLY (the knTrigramGate den
+    // pattern) instead of wrapping — matching the oracle's failure mode.
     val usageSoft = words
       .select(col("wc"), explode(graft.functions.unigram_expected(
         col("word"), pieces, probs, unk)).as("e"))
       .select(col("wc"), col("e.piece").as("piece"), col("e.q").as("q"))
-      .groupBy("piece").agg(sum(col("wc") * col("q")).as("usage_soft_q"))
+      .groupBy("piece")
+      .agg(sum(col("wc").cast("decimal(38,0)") * col("q")).as("__usd"))
+      .select(col("piece"),
+        when(col("__usd").cast("long").isNotNull, col("__usd").cast("long"))
+          .otherwise(raise_error(lit(
+            "unigramLmSoftEm: usage_soft_q overflowed BIGINT — corpus beyond the documented ~10^12-token envelope")))
+          .as("usage_soft_q"))
     val base = spark.createDataFrame(vocabRows.toSeq).toDF("piece", "freq")
       .join(broadcast(usageHard), Seq("piece"), "left")
       .join(broadcast(usageSoft), Seq("piece"), "left")
@@ -2101,10 +2140,18 @@ object TextAnalysis {
         // training loop; the collect stays vocab-bounded (expected-count
         // pieces are vocab members plus unk singles, which only exist
         // past the alphabet cap)
+        // decimal rollup + loud BIGINT-range check — the unigramLmSoftEm
+        // usage_soft_q discipline (ADVICE r20 #2), same envelope note
         words.select(col("wc"), explode(graft.functions.unigram_expected(
             col("word"), pieces, probs, unk)).as("e"))
           .select(col("wc"), col("e.piece").as("piece"), col("e.q").as("q"))
-          .groupBy("piece").agg(sum(col("wc") * col("q")).as("usage"))
+          .groupBy("piece")
+          .agg(sum(col("wc").cast("decimal(38,0)") * col("q")).as("__usd"))
+          .select(col("piece"),
+            when(col("__usd").cast("long").isNotNull, col("__usd").cast("long"))
+              .otherwise(raise_error(lit(
+                "unigramTrainCore: soft usage overflowed BIGINT — corpus beyond the documented ~10^12-token envelope")))
+              .as("usage"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       else
         words.select(col("wc"), explode(graft.functions.unigram_segment(

@@ -1996,12 +1996,16 @@ object Pipeline {
          |  FROM r3)
          |WHERE rn <= 20 ORDER BY rn""".stripMargin
     }) { (s, dir) =>
+    // ed re-rooted before the symmetrizing union (r21): both union sides
+    // reference it, so the un-checkpointed tree ran the orders⋈lineitem
+    // distinct twice inside pageRankInt's edge materialization job.
     val ed = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
+      .localCheckpoint()
     val edges = ed.select(col("cu").as("src"), col("su").as("dst"))
       .union(ed.select(col("su").as("src"), col("cu").as("dst")))
     Graph.pageRankInt(edges, iters = 3, topK = 20).orderBy("rn")
@@ -2225,6 +2229,7 @@ object Pipeline {
          |  FROM (SELECT lab, CAST(COUNT(*) AS BIGINT) AS size FROM l3 GROUP BY 1))
          |WHERE rn <= 20 ORDER BY rn""".stripMargin
     }) { (s, dir) =>
+    // ed re-rooted before the symmetrizing union — the q131 rationale
     val ed = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
         col("o_orderkey") === col("l_orderkey"))
@@ -2232,6 +2237,7 @@ object Pipeline {
       .select((col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
+      .localCheckpoint()
     val edges = ed.select(col("cu").as("src"), col("su").as("dst"))
       .union(ed.select(col("su").as("src"), col("cu").as("dst")))
     Graph.labelPropagation(edges, iters = 3, topK = 20).orderBy("rn")
@@ -2568,12 +2574,14 @@ object Pipeline {
          |  FROM r3 JOIN nn ON r3.node = nn.node WHERE r3.pr > 0)
          |WHERE rn <= 20 ORDER BY rn""".stripMargin
     }) { (s, dir) =>
+    // ed re-rooted before the symmetrizing union — the q131 rationale
     val ed = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
+      .localCheckpoint()
     val edges = ed.select(col("cu").as("src"), col("su").as("dst"))
       .union(ed.select(col("su").as("src"), col("cu").as("dst")))
     val seeds = t(s, dir, "customer").where(col("c_nationkey") === 1)

@@ -991,10 +991,15 @@ object Relational {
     val c = t(s, dir, "customer").where(col("c_custkey") < 40)
       .select(col("c_custkey"), col("c_name"))
     val a = c.as("a"); val b = c.as("b")
+    // banded DP (r21): levenshtein with the threshold arg runs
+    // O(len·maxDist) instead of O(len²) and the -1 sentinel filter
+    // evaluates the DP ONCE per pair (the filter-then-project form ran it
+    // twice for surviving rows). Identical kept rows and dist values —
+    // the threshold form returns the exact distance when <= 2.
     a.join(b, col("a.c_custkey") < col("b.c_custkey"))
-      .where(levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
       .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"),
-        levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+        levenshtein(col("a.c_name"), col("b.c_name"), 2).as("dist"))
+      .where(col("dist") >= 0)
       .orderBy("ka", "kb")
   }
 

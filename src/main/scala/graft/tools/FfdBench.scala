@@ -36,6 +36,12 @@ object FfdBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toInt else 1000000
     val capacity = if (args.length > 1) args(1).toInt else 2048
+    // the long-doc bucket below draws rnd() % (capacity - 640): a
+    // user-supplied capacity <= 640 is a modulo-by-zero/negative-modulus
+    // crash (or silent negative sizes) — fail with the contract instead
+    // (ADVICE r20 #4)
+    require(capacity > 640,
+      s"FfdBench: capacity must be > 640 (long-doc bucket spans [640, capacity)), got $capacity")
     val rnd = lcg(42L)
     // FFD consumes docs in (n DESC, id ASC) order; synthesize the sorted
     // sizes directly (a zipf-ish SFT length mix: many short, few long)
