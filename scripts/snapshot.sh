@@ -48,7 +48,14 @@ def floor(d):
 nf, of = floor(new), floor(old)
 ns, os_ = new.get("median_rep_spread"), old.get("median_rep_spread")
 bad = []
-floor_bad = nf is not None and of is not None and nf > max(of * 3, 0.2)
+# Floor ratio tightened 3x -> 1.5x (VERDICT r20 #2): the round-20 closing
+# gate overwrote a 132 s-class clean artifact with a 155.9 s loaded-window
+# run whose floor (0.040 vs 0.017 = 2.4x) sailed under the old 3x gate.
+# 1.5x (+10 ms absolute slack so two near-idle floors never reject each
+# other) catches exactly that direction: the gate's own closing run being
+# the loaded one. The divert guards in Bench.scala protect the tree from
+# the DRIVER's runs; this protects it from ours.
+floor_bad = nf is not None and of is not None and nf > max(of * 1.5, of + 0.010)
 spread_bad = ns is not None and os_ is not None and ns > os_ * 1.5
 # The version-call floor is plan-independent: ambient contention inflates
 # it 1:1, while a genuine per-query regression leaves it flat. Rep spread
