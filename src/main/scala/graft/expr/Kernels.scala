@@ -1028,4 +1028,81 @@ object Kernels {
     dupStats(splitLiteral(str, "\n\n"), out, 15)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(l => l: Any))
   }
+
+  /** Ordered double fold over `array<struct<key, v:double>>`: sort by
+    * (key asc, v asc) and left-fold v from 0.0 — the codegen replacement
+    * for the interpreted `aggregate(array_sort(ts), 0.0, (acc,x) ->
+    * acc + x.v)` HOF in the BM25 per-document rollup (Retrieval) and the
+    * margin neighborhood means (Similarity). Bit-identical to the HOF
+    * form: the sort order matches array_sort's struct comparison on the
+    * reachable inputs (keys are groupBy/row_number outputs — distinct and
+    * non-null per array, so field 0 alone decides; the v tie-break is
+    * belt-and-braces), and the accumulation is the same left-to-right
+    * IEEE double chain. Any null element or null field yields null (the
+    * HOF's acc + null = null). `keyKind`: 0 = string, 1 = int, 2 = long.
+    */
+  def orderedStructDoubleSum(a: ArrayData, keyKind: Int): java.lang.Double = {
+    val n = a.numElements
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    val sKeys = if (keyKind == 0) new Array[UTF8String](n) else null
+    val lKeys = if (keyKind != 0) new Array[Long](n) else null
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val row = a.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1)) return null
+      if (keyKind == 0) sKeys(i) = row.getUTF8String(0)
+      else lKeys(i) = if (keyKind == 1) row.getInt(0).toLong else row.getLong(0)
+      vals(i) = row.getDouble(1)
+      i += 1
+    }
+    // insertion sort: arrays are query-term / top-k sized (tens of entries)
+    i = 1
+    while (i < n) {
+      val sk = if (sKeys != null) sKeys(i) else null
+      val lk = if (lKeys != null) lKeys(i) else 0L
+      val v = vals(i)
+      var j = i - 1
+      var cont = true
+      while (j >= 0 && cont) {
+        val c =
+          if (sKeys != null) sKeys(j).compareTo(sk)
+          else java.lang.Long.compare(lKeys(j), lk)
+        if (c > 0 || (c == 0 && java.lang.Double.compare(vals(j), v) > 0)) {
+          if (sKeys != null) sKeys(j + 1) = sKeys(j) else lKeys(j + 1) = lKeys(j)
+          vals(j + 1) = vals(j)
+          j -= 1
+        } else cont = false
+      }
+      if (sKeys != null) sKeys(j + 1) = sk else lKeys(j + 1) = lk
+      vals(j + 1) = v
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += vals(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Integer dot product of two `array<bigint>`: Σ a(i)·b(i) as a long —
+    * the codegen replacement for the interpreted
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,x) -> acc + x)` in
+    * the int8 two-tier rerank. Exact (associative integer arithmetic;
+    * the caller's overflow envelope is ≤ dims·127² per pair). Mismatched
+    * lengths or a null element yield null — zip_with pads the shorter
+    * side with null, the product goes null, and acc + null = null.
+    */
+  def longDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements
+    if (b.numElements != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 }

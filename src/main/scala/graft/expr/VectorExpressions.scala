@@ -352,10 +352,15 @@ case class UnigramExpected(child: Expression, pieces: Seq[String],
   // window the boost moves at most ⌊(maxLen−1)/3⌋ bands. maxLen ≤ 7 keeps
   // that ≤ 2; a wider vocabulary piece must raise the renorm window bound
   // in Kernels.unigramExpected first, not fail a job mid-query.
+  // ADVICE r21: the band math above (spread = ⌊(maxLen−1)/3⌋ ≤ 2) would in
+  // fact admit maxLen up to 9; the pin at 7 is DELIBERATE conservative
+  // headroom (one full band of margin against the crossing-count argument),
+  // not the exact invariant — a caller needing 8–9 should re-derive the
+  // window bound in Kernels.unigramExpected before loosening this.
   require(maxLen <= 7,
     s"unigram_expected: longest piece spans $maxLen codepoints — the " +
       "boost-renorm window bound (spread <= 2 at probs >= 2^-84) is only " +
-      "proven for maxLen <= 7")
+      "proven for maxLen <= 7 (deliberately below the theoretical 9)")
 
   override def prettyName: String = "unigram_expected"
   override def dataType: DataType = ArrayType(
@@ -720,6 +725,90 @@ case class HashHits64(child: Expression, probe: Seq[Long]) extends UnaryExpressi
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `ordered_struct_sum(array<struct<key, v:double>>) → double` — sort by
+  * (key, v) ascending and left-fold v from 0.0: the whole-stage-codegen
+  * replacement for `aggregate(array_sort(ts), 0.0, (acc,x) -> acc + x.v)`,
+  * which runs as an INTERPRETED higher-order function (HOFs are
+  * CodegenFallback through Spark 4.x). Bit-identical on the reachable
+  * inputs — see [[Kernels.orderedStructDoubleSum]] for the order and null
+  * contracts. Key types: string, int, long.
+  */
+case class OrderedStructSum(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "ordered_struct_sum"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def keyKind: Int = child.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 => fs(0).dataType match {
+      case StringType => 0
+      case IntegerType => 1
+      case LongType => 2
+      case _ => -1
+    }
+    case _ => -1
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 &&
+        keyKind >= 0 && fs(1).dataType == DoubleType => TypeCheckSuccess
+    case _ => TypeCheckFailure(
+      s"$prettyName expects array<struct<string|int|bigint, double>>")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.orderedStructDoubleSum(v.asInstanceOf[ArrayData], keyKind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val res = ctx.freshName("ossRes")
+      s"""
+         |java.lang.Double $res = graft.expr.Kernels.orderedStructDoubleSum($a, $keyKind);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `long_dot(a, b) → bigint` — integer dot product of two `array<bigint>`:
+  * the whole-stage-codegen replacement for the interpreted
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF in the int8 rerank's
+  * per-pair scoring (the |corpus|×|queries| hot kernel of q75). Exact —
+  * associative integer arithmetic; null/mismatch contract at
+  * [[Kernels.longDot]].
+  */
+case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "long_dot"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def isLongVec(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongVec(left.dataType) && isLongVec(right.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects two array<bigint> arguments")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.longDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("ldotRes")
+      s"""
+         |java.lang.Long $res = graft.expr.Kernels.longDot($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Static probe kernel for [[HashHits64]]: sorted signed longs. */

@@ -59,6 +59,20 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     toCol(graft.expr.CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** Ordered double fold over array<struct<key, v:double>>: sort by
+    * (key, v) asc, left-fold v from 0.0 — the codegen replacement for
+    * `aggregate(array_sort(ts), 0.0, (acc,x) -> acc + x.v)` (see
+    * graft.expr.OrderedStructSum for the exactness/null contract).
+    */
+  def ordered_struct_sum(c: Column): Column =
+    toCol(graft.expr.OrderedStructSum(toExpr(c)))
+
+  /** Integer dot product of two array<bigint> vectors (codegen'd; see
+    * graft.expr.LongDot).
+    */
+  def long_dot(a: Column, b: Column): Column =
+    toCol(graft.expr.LongDot(toExpr(a), toExpr(b)))
+
   /** Hashes of all k-token shingles of a space-separated text (codegen'd
     * fused split+slice+hash; see graft.expr.ShingleHashes).
     */

@@ -719,6 +719,11 @@ object Dedup {
       df: DataFrame, keyCol: String, strCol: String,
       blockLen: Int, maxDist: Int,
       maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    // ADVICE r21: the 3-arg banded levenshtein's semantics for a negative
+    // threshold are not defined by this repo (the old 2-arg form made a
+    // negative maxDist a trivially-empty filter); reject it loudly. The
+    // q94 call site passes the fixed threshold 2.
+    require(maxDist >= 0, s"fuzzyMatchBlocked: maxDist must be >= 0, got $maxDist")
     // staged: both join sides and both passes read this subtree; without
     // the persist the scan+projection would run four times (same rationale
     // as the LSH signature stage above).

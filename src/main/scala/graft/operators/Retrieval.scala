@@ -82,11 +82,15 @@ object Retrieval {
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("s", idf * (col("tf").cast("double") * lit(k1 + 1.0) / denom))
+    // ordered_struct_sum (r22): the sorted-term left fold used to run as
+    // an interpreted `aggregate(array_sort(...))` HOF — CodegenFallback,
+    // evaluated via the interpreter per document. The codegen kernel sorts
+    // by (term, s) and folds the same IEEE double chain: bit-identical
+    // (terms are distinct per doc — groupBy keys), oracle hash green.
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("term"), col("s"))).as("ts"))
       .select(col("doc_id"), size(col("ts")).as("n_terms"),
-        aggregate(array_sort(col("ts")), lit(0.0),
-          (acc, x) => acc + x.getField("s")).as("score"))
+        graft.functions.ordered_struct_sum(col("ts")).as("score"))
     // TakeOrdered bounds the sort; the rank window then runs over ≤ topK
     // rows (the q41 pattern — never a global single-partition window).
     val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(topK)

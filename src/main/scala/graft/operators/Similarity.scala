@@ -83,9 +83,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("scale").as("qs"), col("codes").as("qcodes")))
     val cc = Quantize.int8(corpus, "vec_id", "embedding")
       .select(col("vec_id").as("nid"), col("scale").as("cs"), col("codes").as("ccodes"))
-    val idot = aggregate(
-      zip_with(col("qcodes"), col("ccodes"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    // long_dot (r22): the per-pair integer dot ran as an interpreted
+    // zip_with+aggregate HOF over the |corpus|×|queries| projection — the
+    // operator's hot kernel. The codegen kernel is the same associative
+    // long arithmetic (exact under any order); null/mismatch contract
+    // mirrors zip_with's null padding.
+    val idot = graft.functions.long_dot(col("qcodes"), col("ccodes"))
     val approx = cc.crossJoin(qc)
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -424,10 +427,13 @@ object Similarity {
     }
     val fwd = topMean("xid", "yid")
     // mean over the (at most k) found neighbors, folded in rank order
+    // ordered_struct_sum (r22): same rank-ordered fold, codegen instead of
+    // the interpreted aggregate-HOF (rn is a row_number — distinct and
+    // non-null per key, so the kernel's (rn, cos) sort = array_sort's)
     def neighborhoodMean(df: DataFrame, key: String, out: String) =
       df.groupBy(col(key))
-        .agg((aggregate(array_sort(collect_list(struct(col("rn"), col("cos")))),
-          lit(0.0), (acc, x) => acc + x.getField("cos"))
+        .agg((graft.functions.ordered_struct_sum(
+          collect_list(struct(col("rn"), col("cos"))))
           / count(lit(1)).cast("double")).as(out))
     val avgX = neighborhoodMean(fwd, "xid", "avg_x")
     val avgY = neighborhoodMean(topMean("yid", "xid"), "yid", "avg_y")

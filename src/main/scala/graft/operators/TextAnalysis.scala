@@ -1900,24 +1900,38 @@ object TextAnalysis {
       .select(col("wc"), explode(graft.functions.unigram_segment(
         col("word"), pieces, probs, unk)).as("piece"))
       .groupBy("piece").agg(sum(col("wc")).as("usage_hard"))
-    // Σ wc·q in DECIMAL(38,0), not BIGINT (ADVICE r20 #2): q runs to 2^24,
-    // so the long product wc·q wraps SILENTLY in non-ANSI Spark once a
-    // word's corpus count passes ~5.5e11 (~10^13-token corpora) while the
-    // DuckDB twin's HUGEINT sum errors loudly on the BIGINT cast. The
-    // decimal rollup is exact to 10^38; the output column stays BIGINT,
-    // and an out-of-range total fails LOUDLY (the knTrigramGate den
-    // pattern) instead of wrapping — matching the oracle's failure mode.
+    // Σ wc·q split into two overflow-free LONG sums (r22; measured fix for
+    // the r21 DECIMAL(38,0) rollup): sum over decimal(38,0) cannot use the
+    // fast fixed-width hash-aggregate path (precision > 18 is not a
+    // mutable UnsafeRow field), and in a long-lived session the fallback
+    // made q234 0.78 → 5.15 s and inflated q218/q231. The split keeps the
+    // EXACT loud-overflow contract (ADVICE r20 #2): with q ≤ 2^24 per row
+    // (per-occurrence posterior ≤ 1, Kernels.unigramExpected), qhi =
+    // q div 4096 ≤ 2^12 and qlo = q % 4096 < 2^12, so both partial sums
+    // are ≤ 2^13·Σwc — provably wrap-free while Σwc < 2^49 (the loud
+    // envelope guard below, ~50× beyond the documented ~10^13-token
+    // envelope). The total 4096·Σhi + Σlo is reassembled in DECIMAL per
+    // OUTPUT row (vocab-sized, not corpus-sized) and fails loudly past
+    // BIGINT exactly where the DuckDB twin's HUGEINT→BIGINT cast does.
     val usageSoft = words
       .select(col("wc"), explode(graft.functions.unigram_expected(
         col("word"), pieces, probs, unk)).as("e"))
       .select(col("wc"), col("e.piece").as("piece"), col("e.q").as("q"))
       .groupBy("piece")
-      .agg(sum(col("wc").cast("decimal(38,0)") * col("q")).as("__usd"))
-      .select(col("piece"),
-        when(col("__usd").cast("long").isNotNull, col("__usd").cast("long"))
+      .agg(sum(col("wc") * expr("q div 4096")).as("__ushi"),
+        sum(col("wc") * (col("q") % 4096)).as("__uslo"),
+        sum(col("wc")).as("__usw"))
+      .select(col("piece"), {
+        val tot = col("__ushi").cast("decimal(38,0)") * lit(4096L) + col("__uslo")
+        when(col("__usw") >= lit(562949953421312L), // 2^49
+          raise_error(lit("unigramLmSoftEm: usage_soft_q partial-sum " +
+            "envelope exceeded — corpus beyond the documented " +
+            "~10^13-token envelope")).cast("long"))
+          .when(tot.cast("long").isNotNull, tot.cast("long"))
           .otherwise(raise_error(lit(
-            "unigramLmSoftEm: usage_soft_q overflowed BIGINT — corpus beyond the documented ~10^12-token envelope")))
-          .as("usage_soft_q"))
+            "unigramLmSoftEm: usage_soft_q overflowed BIGINT — corpus beyond the documented ~10^12-token envelope")).cast("long"))
+          .as("usage_soft_q")
+      })
     val base = spark.createDataFrame(vocabRows.toSeq).toDF("piece", "freq")
       .join(broadcast(usageHard), Seq("piece"), "left")
       .join(broadcast(usageSoft), Seq("piece"), "left")
@@ -2140,18 +2154,29 @@ object TextAnalysis {
         // training loop; the collect stays vocab-bounded (expected-count
         // pieces are vocab members plus unk singles, which only exist
         // past the alphabet cap)
-        // decimal rollup + loud BIGINT-range check — the unigramLmSoftEm
-        // usage_soft_q discipline (ADVICE r20 #2), same envelope note
+        // split-long rollup + loud BIGINT-range check — the unigramLmSoftEm
+        // usage_soft_q discipline (r22: same exact envelope, long-sum
+        // hash-agg speed; the decimal form ran per EM iteration here and
+        // made q234 5.15 s in a full bench session — see the derivation at
+        // unigramLmSoftEm)
         words.select(col("wc"), explode(graft.functions.unigram_expected(
             col("word"), pieces, probs, unk)).as("e"))
           .select(col("wc"), col("e.piece").as("piece"), col("e.q").as("q"))
           .groupBy("piece")
-          .agg(sum(col("wc").cast("decimal(38,0)") * col("q")).as("__usd"))
-          .select(col("piece"),
-            when(col("__usd").cast("long").isNotNull, col("__usd").cast("long"))
+          .agg(sum(col("wc") * expr("q div 4096")).as("__ushi"),
+            sum(col("wc") * (col("q") % 4096)).as("__uslo"),
+            sum(col("wc")).as("__usw"))
+          .select(col("piece"), {
+            val tot = col("__ushi").cast("decimal(38,0)") * lit(4096L) + col("__uslo")
+            when(col("__usw") >= lit(562949953421312L), // 2^49
+              raise_error(lit("unigramTrainCore: soft usage partial-sum " +
+                "envelope exceeded — corpus beyond the documented " +
+                "~10^13-token envelope")).cast("long"))
+              .when(tot.cast("long").isNotNull, tot.cast("long"))
               .otherwise(raise_error(lit(
-                "unigramTrainCore: soft usage overflowed BIGINT — corpus beyond the documented ~10^12-token envelope")))
-              .as("usage"))
+                "unigramTrainCore: soft usage overflowed BIGINT — corpus beyond the documented ~10^12-token envelope")).cast("long"))
+              .as("usage")
+          })
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       else
         words.select(col("wc"), explode(graft.functions.unigram_segment(

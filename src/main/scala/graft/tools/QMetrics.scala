@@ -53,15 +53,27 @@ object QMetrics {
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val d = snap().zip(before).map { case (a, b) => a - b }
-        // listener is async; give it a beat to drain before the next snap
-        Thread.sleep(300)
+        // listener is async — drain it deterministically (ADVICE r21 #3: a
+        // fixed sleep undercounts the measured rep under load, bleeding
+        // task metrics into the next query's baseline). The bus has no
+        // public waitUntilEmpty, so poll until two consecutive snapshots
+        // agree (all jobs are complete here — the counters can only still
+        // move from queued listener events).
+        var prev = snap()
+        var settled = false
+        var polls = 0
+        while (!settled && polls < 100) {
+          Thread.sleep(50)
+          val cur = snap()
+          settled = cur == prev
+          prev = cur
+          polls += 1
+        }
         val d2 = snap().zip(before).map { case (a, b) => a - b }
         if (rep == 2) println(f"[qmetrics] $name jobs=${d2(0)} stages=${d2(1)} " +
           f"tasks=${d2(2)} cpu_s=${d2(3) / 1e9}%.2f run_s=${d2(4) / 1e3}%.2f " +
           f"shuffle_mb=${(d2(5) + d2(6)) / 1e6}%.1f input_mb=${d2(7) / 1e6}%.1f " +
           f"input_recs=${d2(8)} wall_s=$wall%.2f")
-        else { val _ = d }
       }
     }
     spark.stop()
