@@ -232,12 +232,19 @@ object Retrieval {
     * (monotone) scale factors for bit-reproducibility, not behavior.
     *
     * Scale shape: everything after the BM25 TakeOrdered is bounded by
-    * kLex — the candidate frame (≤ kLex rows, one localCheckpoint) and
-    * the pairwise-sim frame (≤ kLex² rows) are computed once; the greedy
-    * loop then runs kSel tiny TakeOrdered jobs over those bounded frames
-    * (per-iteration localCheckpoint keeps the plan flat, the PageRank
-    * lineage-guard pattern). No driver-side collect: the selection stays
-    * a DataFrame end to end.
+    * kLex, so the candidate frame (≤ kLex rows of id, rank and int8
+    * codes) is COLLECTED once and the greedy argmax loop runs on the
+    * driver in the same exact integer arithmetic (r22). The r21 form kept
+    * the loop distributed — kSel TakeOrdered jobs plus per-step
+    * localCheckpoints over ≤ kLex-row frames — and measured 56 jobs /
+    * 3.3 s wall for 1.0 CPU-s at sf0.1: pure job-scheduling overhead on a
+    * provably bounded problem. The collect is the house bounded-collect
+    * class (kLex·dims longs — smaller than the PQ codebook collects);
+    * corpus-scale work (the BM25 ranking, the embedding probe join) stays
+    * distributed, and the driver never touches an unbounded frame.
+    * Selection order, tie-breaks (doc_id asc) and the integer mmr scores
+    * are replayed bit-identically — pinned by RetrievalSpec and the q141
+    * oracle hash.
     */
   def mmrDiversify(docs: DataFrame, emb: DataFrame, idCol: String,
       textCol: String, terms: Seq[String], kLex: Int = 20, kSel: Int = 8,
@@ -251,39 +258,54 @@ object Retrieval {
     val codes = graft.operators.Quantize
       .int8(emb, "vec_id", "embedding")
       .select(col("vec_id").as("doc_id"), col("codes"))
-    val cand = broadcast(lex).join(codes, Seq("doc_id"))
+    val candRows = broadcast(lex).join(codes, Seq("doc_id"))
       .select(col("doc_id"), col("lex_rn"),
         ((lit(kLex + 1) - col("lex_rn")).cast("long") * relUnit).as("rel"),
         col("codes"))
-      .localCheckpoint()
-    val a = cand.select(col("doc_id").as("da"), col("codes").as("ca"))
-    val b = cand.select(col("doc_id").as("db"), col("codes").as("cb"))
-    val pairs = a.join(b, col("da") =!= col("db"))
-      .select(col("da"), col("db"),
-        aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("sim"))
-      .localCheckpoint()
-    var sel = cand.orderBy(col("rel").desc, col("doc_id")).limit(1)
-      .select(col("doc_id"), lit(1).as("pick"))
-      .localCheckpoint()
-    for (i <- 2 to kSel) {
-      val remaining = cand.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
-      val msim = pairs
-        .join(sel.select(col("doc_id").as("db")), Seq("db"))
-        .groupBy(col("da").as("doc_id")).agg(max(col("sim")).as("maxsim"))
-      val next = remaining.join(msim, Seq("doc_id"))
-        .withColumn("mmr", lit(lamNum) * col("rel")
-          - lit(lamDen - lamNum) * col("maxsim"))
-        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
-        .select(col("doc_id"), lit(i).as("pick"))
-      sel = sel.union(next).localCheckpoint()
+      .collect()
+    val sess = docs.sparkSession
+    import sess.implicits._
+    if (candRows.isEmpty)
+      return Seq.empty[(Long, Int, Int)].toDF("doc_id", "lex_rn", "pick")
+    val ids = candRows.map(_.getLong(0))
+    val rns = candRows.map(_.getInt(1))
+    val rels = candRows.map(_.getLong(2))
+    val cds = candRows.map(_.getSeq[Long](3).toArray)
+    val n = candRows.length
+    def dot(x: Array[Long], y: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      val m = math.min(x.length, y.length)
+      while (i < m) { s += x(i) * y(i); i += 1 }
+      s
     }
-    // join back through the CHECKPOINTED cand frame, not lex: broadcast(lex)
-    // here would embed a second full corpus BM25 subtree in the plan (lex is
-    // un-checkpointed by design — cand is its materialized superset and
-    // already carries lex_rn; sel ⊆ cand, so the row set is identical).
-    sel.join(broadcast(cand.select(col("doc_id"), col("lex_rn"))), Seq("doc_id"))
-      .select(col("doc_id"), col("lex_rn"), col("pick"))
+    // greedy loop — the exact integer recurrence of the r21 distributed
+    // form: seed = argmax (rel desc, doc_id asc); each further step
+    // maximizes lamNum·rel − (lamDen−lamNum)·max-sim-to-selected with the
+    // same tie-break. All longs, so bit-equal to the Spark TakeOrdered.
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxsim = Array.fill(n)(Long.MinValue)
+    var seed = 0
+    for (j <- 1 until n)
+      if (rels(j) > rels(seed) || (rels(j) == rels(seed) && ids(j) < ids(seed)))
+        seed = j
+    picked += seed
+    while (picked.length < math.min(kSel, n)) {
+      val last = picked.last
+      var best = -1
+      var bestMmr = 0L
+      for (j <- 0 until n if !picked.contains(j)) {
+        val s = dot(cds(j), cds(last))
+        if (s > maxsim(j)) maxsim(j) = s
+        val mmr = lamNum * rels(j) - (lamDen - lamNum) * maxsim(j)
+        if (best < 0 || mmr > bestMmr || (mmr == bestMmr && ids(j) < ids(best))) {
+          best = j; bestMmr = mmr
+        }
+      }
+      picked += best
+    }
+    picked.zipWithIndex
+      .map { case (j, k) => (ids(j), rns(j), k + 1) }
+      .toSeq.toDF("doc_id", "lex_rn", "pick")
   }
 
   /** Cohen's κ classifier-agreement as EXACT integer rationals (Cohen,

@@ -93,17 +93,95 @@ object Robust {
         s"trimmedMeanReport: valueCol '$valueCol' must be integral (got $other); " +
           "FLOOR-integerize (e.g. cents) before calling")
     }
-    val grp = Window.partitionBy(groupCols.map(col): _*)
-    val w = grp.orderBy((col("__tm_v") +: tieCols.map(col)): _*)
-    df.withColumn("__tm_v", col(valueCol).cast("long"))
-      .withColumn("__tm_rn", row_number().over(w))
-      .withColumn("__tm_n", count(lit(1)).over(grp))
+    // Two-phase bucketed exact trim (r22, VERDICT r21 #6). The r20 form
+    // ranked every row with one row_number window per group — a total
+    // per-group sort, i.e. |groups| sort tasks each holding a full group
+    // (3 tasks over the whole corpus at q160's shape; unshardable at
+    // scale). The trim is rank-DEFINED but its OUTPUT is rank-free: the
+    // kept-set SUM depends only on the value multiset (rows tied on v are
+    // interchangeable under any tieCols order), and the kept COUNT is
+    // always exactly n − 2t (t < n/2 by the permille bound). So:
+    //   1. per-group n/min/max (one map-side-partial aggregate);
+    //   2. per-(group, bucket) count+sum over ~1024 monotone value buckets
+    //      (map-side partials; the only corpus-wide shuffle is this
+    //      bucket-count frame);
+    //   3. a window over the BUCKET frame (≤ ~1026 rows per group) finds
+    //      each bucket's bottom/top trim take; buckets strictly inside the
+    //      kept band contribute their aggregate sum, fully-trimmed buckets
+    //      drop, and only the ≤ 2 straddling buckets per group resolve at
+    //      value granularity (per-(group,bucket,value) counts + a window
+    //      over ~n/1024 rows).
+    // sum_kept is BIT-identical to the rank form even under 64-bit wrap:
+    // long addition is mod-2^64 associative/commutative, and kept_v · v
+    // equals v added kept_v times mod 2^64. Null values replicate the
+    // rank form's NULLS FIRST placement: they land in a null bucket that
+    // sorts first, count toward n/n_kept, and contribute nothing to the
+    // sum (an all-null kept set yields a null sum_kept, as before).
+    val gcols = groupCols.map(col)
+    // one bounded materialization (the tokenBudgetSelect pattern): phases
+    // 1–3 re-read (groups, v) instead of re-running the caller's producer
+    val base = df.select((gcols :+ col(valueCol).cast("long").as("__tm_v")): _*)
+      .localCheckpoint()
+    // `div` (trunc toward zero) is monotone; the width is computed in
+    // DECIMAL on the tiny range frame so hi − lo cannot wrap, and the
+    // per-row bucket (v div w) − (lo div w) stays within ~[0, 1026]
+    // without ever forming v − lo (which can overflow long).
+    val rng = base.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__tm_n"),
+        min(col("__tm_v")).as("__tm_lo"), max(col("__tm_v")).as("__tm_hi"))
       .withColumn("__tm_t", expr(s"(__tm_n * $permille) div 1000"))
-      .where(col("__tm_rn") > col("__tm_t") && col("__tm_rn") <= col("__tm_n") - col("__tm_t"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(max(col("__tm_n")).as("n_rows"),
-        count(lit(1)).as("n_kept"),
-        sum(col("__tm_v")).as("sum_kept"))
+      .withColumn("__tm_w", expr(
+        "CAST((CAST(__tm_hi AS DECIMAL(38,0)) - __tm_lo) div 1024 AS BIGINT) + 1"))
+    val bucketed = base
+      .join(broadcast(rng), groupCols)
+      .withColumn("__tm_b",
+        expr("(__tm_v div __tm_w) - (__tm_lo div __tm_w)").cast("int"))
+    val bcnt = bucketed.groupBy((gcols :+ col("__tm_b")): _*)
+      .agg(count(lit(1)).as("__tm_c"), sum(col("__tm_v")).as("__tm_s"),
+        max(col("__tm_n")).as("__tm_n"), max(col("__tm_t")).as("__tm_t"))
+    val wB = Window.partitionBy(gcols: _*).orderBy(col("__tm_b"))
+    val marked = bcnt
+      .withColumn("__tm_cb", coalesce(sum(col("__tm_c")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tm_ca", col("__tm_n") - col("__tm_cb") - col("__tm_c"))
+      .withColumn("__tm_tl",
+        greatest(lit(0L), least(col("__tm_c"), col("__tm_t") - col("__tm_cb"))))
+      .withColumn("__tm_th",
+        greatest(lit(0L), least(col("__tm_c"), col("__tm_t") - col("__tm_ca"))))
+    val interior = marked
+      .where(col("__tm_tl") === 0L && col("__tm_th") === 0L)
+      .groupBy(gcols: _*).agg(sum(col("__tm_s")).as("__tm_isum"))
+    // straddling buckets: partially trimmed, some rows kept — at most one
+    // per trim side per group
+    val partialDesc = marked
+      .where((col("__tm_tl") > 0L || col("__tm_th") > 0L) &&
+        col("__tm_c") - col("__tm_tl") - col("__tm_th") > 0L)
+      .select((gcols :+ col("__tm_b") :+ col("__tm_c").as("__tm_bc") :+
+        col("__tm_tl") :+ col("__tm_th")): _*)
+    val wV = Window.partitionBy((gcols :+ col("__tm_b")): _*).orderBy(col("__tm_v"))
+    val psum = bucketed
+      .join(broadcast(partialDesc), groupCols :+ "__tm_b")
+      .groupBy((gcols :+ col("__tm_b") :+ col("__tm_v")): _*)
+      .agg(count(lit(1)).as("__tm_cv"), max(col("__tm_bc")).as("__tm_bc"),
+        max(col("__tm_tl")).as("__tm_tl"), max(col("__tm_th")).as("__tm_th"))
+      .withColumn("__tm_vcb", coalesce(sum(col("__tm_cv")).over(
+        wV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tm_vca", col("__tm_bc") - col("__tm_vcb") - col("__tm_cv"))
+      .withColumn("__tm_keep",
+        col("__tm_cv")
+          - greatest(lit(0L), least(col("__tm_cv"), col("__tm_tl") - col("__tm_vcb")))
+          - greatest(lit(0L), least(col("__tm_cv"), col("__tm_th") - col("__tm_vca"))))
+      .groupBy(gcols: _*)
+      .agg(sum(col("__tm_keep") * col("__tm_v")).as("__tm_psum"))
+    rng.join(interior, groupCols, "left")
+      .join(psum, groupCols, "left")
+      .select((gcols :+
+        col("__tm_n").as("n_rows") :+
+        (col("__tm_n") - lit(2L) * col("__tm_t")).as("n_kept") :+
+        when(col("__tm_isum").isNull && col("__tm_psum").isNull,
+          lit(null).cast("long"))
+          .otherwise(coalesce(col("__tm_isum"), lit(0L)) +
+            coalesce(col("__tm_psum"), lit(0L))).as("sum_kept")): _*)
       .withColumn("trimmed_mean",
         col("sum_kept").cast("double") / col("n_kept").cast("double"))
   }

@@ -90,6 +90,53 @@ class RobustSpec extends AnyFunSuite {
       ("g1", 10L, 8L, 44L, 5.5), ("g2", 3L, 3L, 1200L, 400.0)))
   }
 
+  test("trimmedMeanReport (r22 bucketed): matches the rank definition on ties, negatives, skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // adversarial multiset: heavy ties (forces straddling buckets to split
+    // a tie run across the cut), negatives (trunc-div bucket monotonicity),
+    // one huge outlier (bucket width >> typical gap, most mass in bucket 0)
+    val rows = (1 to 500).map(i => ("a", ((i * 29) % 37).toLong - 18L, i)) ++
+      (1 to 300).map(i => ("a", 5L, 1000 + i)) ++
+      Seq(("a", 999999999L, 2000)) ++
+      (1 to 40).map(i => ("b", (i % 3).toLong, 3000 + i))
+    val d = rows.toDF("grp", "v", "id")
+    for (p <- Seq(0, 50, 100, 499)) {
+      val got = Robust.trimmedMeanReport(d, "v", Seq("grp"), p, Seq("id"))
+        .orderBy("grp").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+      // rank-definition reference, computed independently with a window
+      val grpW = Window.partitionBy(col("grp"))
+      val w = grpW.orderBy(col("v"), col("id"))
+      val ref = d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(grpW))
+        .withColumn("t", expr(s"(n * $p) div 1000"))
+        .where(col("rn") > col("t") && col("rn") <= col("n") - col("t"))
+        .groupBy("grp")
+        .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_kept"),
+          sum(col("v")).as("sum_kept"))
+        .withColumn("trimmed_mean",
+          col("sum_kept").cast("double") / col("n_kept").cast("double"))
+        .orderBy("grp").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+      assert(got.toSeq == ref.toSeq, s"permille=$p")
+    }
+  }
+
+  test("trimmedMeanReport (r22 bucketed): single-value group and layout independence") {
+    import spark.implicits._
+    val d = (Seq.fill(50)(7L)).zipWithIndex.map { case (v, i) => ("g", v, i) }
+      .toDF("grp", "v", "id")
+    val a = Robust.trimmedMeanReport(d, "v", Seq("grp"), 100, Seq("id"))
+      .collect()(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getDouble(4)) ==
+      ((50L, 40L, 280L, 7.0)))
+    val b = Robust.trimmedMeanReport(d.repartition(13), "v", Seq("grp"), 100, Seq("id"))
+      .collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("trimmedMeanReport: trim 0 is the plain mean; outlier falls in the trimmed tail") {
     import spark.implicits._
     val d = (Seq.fill(9)(10L) :+ 10000L).zipWithIndex
