@@ -1029,6 +1029,83 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(l => l: Any))
   }
 
+  /** Word-level repetition statistics in ONE per-row pass:
+    * `[n_tokens, n_distinct_words, n_distinct_bigrams, max_word_count]`
+    * over the `split(text, " ")` token array (split semantics identical to
+    * Spark's regex split with limit −1: every empty token kept). The r21
+    * form computed these with three interpreted higher-order passes per
+    * row — an array_sort + struct-fold run-length for the top word (the
+    * max RUN over sorted tokens equals the max MULTISET count, so a hash
+    * count replaces the sort), a zip_with bigram build + array_distinct,
+    * and an array_distinct over words. Integer outputs only; the callers'
+    * int/int divisions stay in the plan, so every emitted bit is
+    * unchanged.
+    */
+  def wordRepetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val t = splitLiteral(s.toString, " ")
+    val n = t.length
+    val wc = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var maxRun = 0L
+    var i = 0
+    while (i < n) {
+      val c = wc.merge(t(i), java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+      if (c.longValue > maxRun) maxRun = c.longValue
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[String](math.max(n, 1) * 2)
+    i = 0
+    while (i + 1 < n) {
+      bigrams.add(t(i) + " " + t(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      n.toLong, wc.size.toLong, bigrams.size.toLong, maxRun))
+  }
+
+  /** Token-profile statistics in ONE per-row pass:
+    * `[n_tokens, n_distinct, sum_codepoint_len, n_stopword, n_alpha]`
+    * over `split(text, " ")` (same split semantics as
+    * [[wordRepetitionStats]]). Replaces the interpreted per-token HOF
+    * chain in TextAnalysis.quality / gopherFilter: an aggregate length
+    * fold, an isin filter, an `^[a-z]+$` rlike filter and an
+    * array_distinct — four passes, each through the expression
+    * interpreter. Lengths count Unicode CODE POINTS (Spark's `length`),
+    * alpha means non-empty and every char in [a-z] (the `^[a-z]+$`
+    * semantics on ASCII-lowercase text — [a-z] cannot partially match a
+    * supplementary pair, so a per-char check is exact). Integer outputs;
+    * callers keep their divisions in-plan, bit-unchanged.
+    */
+  def tokenProfile(s: UTF8String, stop: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val t = splitLiteral(s.toString, " ")
+    val n = t.length
+    val seen = new java.util.HashSet[String](n * 2)
+    var sumLen = 0L
+    var nStop = 0L
+    var nAlpha = 0L
+    var i = 0
+    while (i < n) {
+      val w = t(i)
+      seen.add(w)
+      sumLen += w.codePointCount(0, w.length)
+      if (stop.contains(w)) nStop += 1
+      if (w.nonEmpty) {
+        var alpha = true
+        var j = 0
+        while (alpha && j < w.length) {
+          val c = w.charAt(j)
+          if (c < 'a' || c > 'z') alpha = false
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      n.toLong, seen.size.toLong, sumLen, nStop, nAlpha))
+  }
+
   /** Ordered double fold over `array<struct<key, v:double>>`: sort by
     * (key asc, v asc) and left-fold v from 0.0 — the codegen replacement
     * for the interpreted `aggregate(array_sort(ts), 0.0, (acc,x) ->

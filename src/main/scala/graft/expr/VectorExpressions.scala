@@ -727,6 +727,66 @@ case class HashHits64(child: Expression, probe: Seq[Long]) extends UnaryExpressi
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `token_profile(text, stopwords) → array<bigint>` =
+  * `[n_tokens, n_distinct, sum_len, n_stopword, n_alpha]` — the one-pass
+  * codegen kernel behind TextAnalysis.quality / gopherFilter (see
+  * [[Kernels.tokenProfile]]). The stopword set rides the plan as one
+  * reference object, the UnigramSegment pattern.
+  */
+case class TokenProfile(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  // immutable Seq constructor arg keeps structural equality/codegen CSE
+  // (the AcMatch/BpeSegment lesson); the set is built once per plan
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(stopwords.length, 1) * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def prettyName: String = "token_profile"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.tokenProfile(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("tokenProfileStops", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.tokenProfile($c, $sRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `word_repetition_stats(text) → array<bigint>` =
+  * `[n_tokens, n_distinct_words, n_distinct_bigrams, max_word_count]` —
+  * the one-pass codegen kernel behind TextAnalysis.repetition (see
+  * [[Kernels.wordRepetitionStats]] for the equivalence argument vs the
+  * interpreted sort/fold/zip_with formulation it replaces).
+  */
+case class WordRepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "word_repetition_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName expects a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.wordRepetitionStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.wordRepetitionStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `ordered_struct_sum(array<struct<key, v:double>>) → double` — sort by
   * (key, v) ascending and left-fold v from 0.0: the whole-stage-codegen
   * replacement for `aggregate(array_sort(ts), 0.0, (acc,x) -> acc + x.v)`,

@@ -73,6 +73,19 @@ object functions {
   def long_dot(a: Column, b: Column): Column =
     toCol(graft.expr.LongDot(toExpr(a), toExpr(b)))
 
+  /** One-pass word repetition stats [n_tokens, n_distinct_words,
+    * n_distinct_bigrams, max_word_count] (codegen'd; see
+    * graft.expr.WordRepetitionStats).
+    */
+  def word_repetition_stats(text: Column): Column =
+    toCol(graft.expr.WordRepetitionStats(toExpr(text)))
+
+  /** One-pass token profile [n_tokens, n_distinct, sum_len, n_stopword,
+    * n_alpha] (codegen'd; see graft.expr.TokenProfile).
+    */
+  def token_profile(text: Column, stopwords: Seq[String]): Column =
+    toCol(graft.expr.TokenProfile(toExpr(text), stopwords.toIndexedSeq))
+
   /** Hashes of all k-token shingles of a space-separated text (codegen'd
     * fused split+slice+hash; see graft.expr.ShingleHashes).
     */

@@ -279,15 +279,21 @@ object TextAnalysis {
     */
   def quality(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
-    val tk = toks(col(textCol))
-    // typed lambda, not expr(): word lists with quotes and non-identifier
-    // column names must not break (or inject into) the plan
-    df.select(
-      col(idCol),
-      size(tk).as("n_tokens"),
-      size(array_distinct(tk)).as("n_uniq"),
-      size(filter(tk, x => x.isin(stopwords: _*))).as("n_stop"),
-      (aggregate(tk, lit(0), (acc, x) => acc + length(x)) / size(tk)).as("avg_tok_len"))
+    // one codegen pass (graft.expr.TokenProfile, r22) replaces the four
+    // interpreted per-token HOFs (length fold, isin filter, distinct,
+    // size); the stopword set rides the plan as a reference object —
+    // word lists with quotes still cannot break (or inject into) the plan.
+    // Divisions stay in-plan: long/long `/` is the same IEEE double divide
+    // the int/int form produced, so every emitted bit is unchanged.
+    val n = element_at(col("__tp"), 1)
+    df.select(col(idCol),
+        graft.functions.token_profile(col(textCol), stopwords).as("__tp"))
+      .select(
+        col(idCol),
+        n.cast("int").as("n_tokens"),
+        element_at(col("__tp"), 2).cast("int").as("n_uniq"),
+        element_at(col("__tp"), 4).cast("int").as("n_stop"),
+        (element_at(col("__tp"), 3) / n).as("avg_tok_len"))
       .withColumn("ttr", col("n_uniq") / col("n_tokens"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("quality",
@@ -451,43 +457,31 @@ object TextAnalysis {
     */
   def repetition(df: DataFrame, idCol: String, textCol: String,
       dupWordMax: Double = 0.3, topWordMax: Double = 0.2): DataFrame = {
-    val tk = toks(col(textCol))
-    // Bigram stats via zip_with over two slices: BOTH arrays are top-level
-    // lambda children, evaluated once per row. Referencing `tk` (a split
-    // expression) from INSIDE a per-element lambda — element_at(tk, i) or
-    // slice(tk, i, k) over an index sequence — re-runs the split for every
-    // element: O(n²) work per row that profiled as ~5s of q59's 9s at
-    // sf0.1. The denominator is just n-1, no array needed.
-    // Top-word count via sort + ONE-PASS run-length aggregate: O(n log n)
-    // per row. The naive distinct×scan form is O(n_uniq·n) — quadratic on
-    // repetitive docs, which are exactly the ones this operator hunts. The
-    // sorted array must be the aggregate's INPUT child, evaluated once per
-    // row: referencing `array_sort(tk)` from inside per-element lambdas
-    // (e.g. element_at in a filter) re-sorts the array for every element —
-    // O(n²·log n), observed as a runaway q59 at sf0.1. The DuckDB oracle
-    // computes the same max run length from the same sorted list (boundary
-    // diffs — its CTE materializes the sort once, so the shape differs but
-    // the integers agree).
-    val runState = aggregate(
-      array_sort(tk),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val n = size(tk)
-    val distinctBigrams = size(array_distinct(zip_with(
-      slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
-      (a, b) => concat_ws(" ", a, b))))
-    df.select(
-      col(idCol),
-      n.as("n_tokens"),
-      (lit(1) - size(array_distinct(tk)) / n).as("dup_word_frac"),
-      when(n >= 2, lit(1) - distinctBigrams / (n - 1))
-        .otherwise(lit(0.0)).as("dup_bigram_frac"),
-      (runState / n).as("top_word_frac"))
+    // All four integers come from ONE codegen per-row pass
+    // (graft.expr.WordRepetitionStats, r22). The r21 form ran three
+    // interpreted higher-order expressions per row — an array_sort +
+    // struct-fold run-length for the top word (max run over sorted tokens
+    // = max hash count, so no sort is needed at all), a zip_with bigram
+    // build + array_distinct, and a word array_distinct — profiled as
+    // q59's dominant CPU. The divisions below are unchanged (long/long
+    // `/` is the same IEEE double divide the int/int form produced), so
+    // every emitted bit and the null/short-doc edge semantics are
+    // identical: a null text yields a null stats array, which nulls
+    // n_tokens/fracs exactly as size(null)/aggregate(null) did, and the
+    // n >= 2 guard still lands dup_bigram_frac on 0.0.
+    val n = element_at(col("__wr"), 1)
+    val nd = element_at(col("__wr"), 2)
+    val nb = element_at(col("__wr"), 3)
+    val mr = element_at(col("__wr"), 4)
+    df.select(col(idCol),
+        graft.functions.word_repetition_stats(col(textCol)).as("__wr"))
+      .select(
+        col(idCol),
+        n.cast("int").as("n_tokens"),
+        (lit(1) - nd / n).as("dup_word_frac"),
+        when(n >= 2, lit(1) - nb / (n - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        (mr / n).as("top_word_frac"))
       .withColumn("repetitive",
         col("dup_word_frac") > dupWordMax || col("top_word_frac") > topWordMax)
   }
@@ -686,14 +680,19 @@ object TextAnalysis {
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minAlphaFrac: Double = 0.8, maxDupFrac: Double = 0.5): DataFrame = {
-    val tk = toks(col(textCol))
-    val n = size(tk)
-    df.select(
-      col(idCol),
-      n.as("n_words"),
-      (aggregate(tk, lit(0L), (acc, x) => acc + length(x)) / n).as("mean_word_len"),
-      (size(filter(tk, x => x.rlike("^[a-z]+$"))) / n).as("alpha_frac"),
-      (lit(1) - size(array_distinct(tk)) / n).as("dup_frac"))
+    // one codegen pass (graft.expr.TokenProfile, r22) replaces the three
+    // interpreted per-token HOFs (length fold, rlike filter, distinct) —
+    // n_alpha's per-char [a-z] check is exactly ^[a-z]+$ on the reachable
+    // inputs (see Kernels.tokenProfile); divisions stay in-plan.
+    val n = element_at(col("__tp"), 1)
+    df.select(col(idCol),
+        graft.functions.token_profile(col(textCol), Seq.empty).as("__tp"))
+      .select(
+        col(idCol),
+        n.cast("int").as("n_words"),
+        (element_at(col("__tp"), 3) / n).as("mean_word_len"),
+        (element_at(col("__tp"), 5) / n).as("alpha_frac"),
+        (lit(1) - element_at(col("__tp"), 2) / n).as("dup_frac"))
       .withColumn("r_word_count",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("r_mean_len",
