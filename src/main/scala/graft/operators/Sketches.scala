@@ -238,10 +238,19 @@ object HistogramQuantiles {
         floor((v - col("__qb_lo")) / ((col("__qb_hi") - col("__qb_lo")) / buckets))
           .cast("int"),
         lit(buckets - 1)))
+    // |qs| is a plan literal, so the "count thresholds below idx" filter
+    // unrolls to |qs| codegen'd conditionals (r22) — the filter() HOF form
+    // ran the lambda through the expression interpreter once per row per
+    // element. Counting is order-free, so the unrolled sum over positions
+    // equals size(filter(...)) exactly; v-null rows stay null via the
+    // outer when, and a row only reaches qbin when thr has all |qs|
+    // thresholds (collect_list over the non-empty threshold hits).
+    val nBelow = qs.indices
+      .map(i => when(element_at(col("__qb_tb"), i + 1) < idx, 1).otherwise(0))
+      .reduce(_ + _)
     df.crossJoin(broadcast(thr))
       .withColumn("qbin",
-        when(v.isNull, lit(null))
-          .otherwise(size(filter(col("__qb_tb"), t => t < idx)).cast("int")))
+        when(v.isNull, lit(null)).otherwise(nBelow.cast("int")))
       .drop("__qb_lo", "__qb_hi", "__qb_tb")
   }
 }
