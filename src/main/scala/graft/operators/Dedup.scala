@@ -526,7 +526,9 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val clusters = nearDupClusters(df, idCol, textCol, k, numHashes, bands, threshold)
     val scores = df.select(col(idCol).cast("long").as("doc_id"),
-      size(array_distinct(split(col(textCol), " "))).cast("long").as("score"))
+      // fused split+distinct codegen pass (graft.expr.TokenProfile, r22)
+      element_at(graft.functions.token_profile(col(textCol), Seq.empty), 2)
+        .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -386,10 +386,13 @@ object Sampling {
     // the split+array_distinct projection, the operator's dominant cost.
     // The materialized frame is 3 longs/doc (~1% of corpus bytes, the
     // documented triples-frame budget).
+    // fused split+count+distinct codegen pass (graft.expr.TokenProfile,
+    // r22) — one per-row kernel call instead of split + size +
+    // array_distinct expression trees
     val scored = df.select(col(idCol).cast("long").as("doc_id"),
-        split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        size(array_distinct(col("toks"))).cast("long").as("score"))
+        graft.functions.token_profile(col(textCol), Seq.empty).as("__tp"))
+      .select(col("doc_id"), element_at(col("__tp"), 1).as("n_toks"),
+        element_at(col("__tp"), 2).as("score"))
       .localCheckpoint()
     val maxScore = scored.agg(max(col("score"))).head().getAs[Any](0) match {
       case null => return scored // empty corpus: nothing to rank

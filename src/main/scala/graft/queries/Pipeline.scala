@@ -2293,7 +2293,8 @@ object Pipeline {
       |  FROM sc)
       |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin) { (s, dir) =>
     val sc = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      size(array_distinct(split(col("text"), " "))).as("n_uniq"))
+      element_at(graft.functions.token_profile(col("text"), Seq.empty), 1 + 1)
+        .cast("int").as("n_uniq"))
     TextAnalysis.capPerGroup(sc, "source", "n_uniq", "doc_id", k = 10)
       .orderBy("source", "cap_rank")
   }
@@ -2927,7 +2928,8 @@ object Pipeline {
       |    AS on_front
       |FROM sc s ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
     val sc = t(s, dir, "documents").select(col("doc_id"),
-      size(array_distinct(split(col("text"), " "))).as("nuq"),
+      element_at(graft.functions.token_profile(col("text"), Seq.empty), 1 + 1)
+        .cast("int").as("nuq"),
       length(col("text")).as("len"))
     Robust.paretoFront(sc, "doc_id", "nuq", "len").orderBy("doc_id")
   }
@@ -3100,7 +3102,8 @@ object Pipeline {
       |  ELSE 0 END AS BIGINT) AS pctl_ppm
       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sc = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      size(array_distinct(split(col("text"), " "))).as("q"))
+      element_at(graft.functions.token_profile(col("text"), Seq.empty), 1 + 1)
+        .cast("int").as("q"))
     graft.operators.Sampling.percentileNormalize(sc, "source", "q", "doc_id")
       .orderBy("doc_id")
   }
